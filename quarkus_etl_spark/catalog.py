@@ -1,0 +1,92 @@
+"""Table catalog: fixture loading, view registration, identifier rules.
+
+Mirrors the reference's schema behaviors (SURVEY.md §1, Tier A4-A7):
+
+- A4 dynamic schema inference — Spark readers infer from parquet footers /
+  JDBC metadata, same role as ClassMapMapper.kt:26-33.
+- A6 identifier normalization — the reference uppercases every output column
+  (alias wins over base name): ClassMapMapper.kt:19-21. `normalize_identifiers`
+  is that rule as an engine pass.
+- A7 duplicate-column guard — hard error on a repeated output name:
+  ClassMapMapper.kt:22-24. Spark tolerates duplicates until resolution, so we
+  fail fast explicitly.
+- A5 type normalization — the reference rewrites Oracle TIMESTAMP to the
+  portable java.sql.Timestamp (ClassMapMapper.kt:27-30,36-39). Our analog:
+  the `events` fixture carries parquet TIMESTAMP(NANOS), which Spark cannot
+  represent; we read nanos-as-long and convert to a microsecond
+  TIMESTAMP_NTZ so every engine (Spark, DuckDB oracle) sees the same value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class DuplicateColumnError(RuntimeError):
+    """Mirror of the reference's hard error (ClassMapMapper.kt:22-24)."""
+
+
+def assert_no_duplicate_columns(df: DataFrame) -> DataFrame:
+    seen: set[str] = set()
+    for name in df.columns:
+        if name in seen:
+            raise DuplicateColumnError(f"column {name} appeared twice in this resultset!")
+        seen.add(name)
+    return df
+
+
+def normalize_identifiers(df: DataFrame) -> DataFrame:
+    """Uppercase every output column (alias ≻ name is implicit: Spark's
+    .alias already replaced the base name). Mirrors ClassMapMapper.kt:19-24,
+    including the duplicate check applied *after* uppercasing."""
+    upper = [c.upper() for c in df.columns]
+    seen: set[str] = set()
+    for name in upper:
+        if name in seen:
+            raise DuplicateColumnError(f"column {name} appeared twice in this resultset!")
+        seen.add(name)
+    return df.toDF(*upper)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. `events` needs the nanos→micros conversion
+    (see module docstring); everything else is a plain parquet scan that
+    keeps predicate pushdown / column pruning fully available."""
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each fixture as a lowercase temp view (idempotent) so SQL-path
+    queries (subqueries, CTEs, grouping sets) run over the same catalog the
+    DuckDB oracle sees. Returns the DataFrames keyed by table name."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

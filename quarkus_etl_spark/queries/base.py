@@ -1,0 +1,107 @@
+"""Query registry + determinism helpers for the oracle harness.
+
+Every query from SURVEY.md §2 registers here as
+    (name) -> callable(spark, sf_dir) -> DataFrame
+optionally with a DuckDB oracle SQL string. The driver hash-compares values
+order-insensitively but EXACTLY, so cross-engine float determinism is part of
+the engine contract (SURVEY.md §7.4 "known-hard list"):
+
+- Aggregates over doubles are computed via exact DECIMAL arithmetic and cast
+  back to double: both engines then produce bit-identical IEEE values,
+  regardless of summation order / partial-aggregation splits.
+- Averages are `exact_decimal_sum::double / count` — one deterministic double
+  division instead of an engine-specific streaming mean.
+- Every computed column is aliased identically in Spark and SQL.
+- Any LIMIT is preceded by a full-key ORDER BY tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TABLES, load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and its DuckDB oracle) to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (lazy scan; pushdown-friendly)."""
+    return load_table(spark, sf_dir, name)
+
+
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixtures as temp views once per (session, sf_dir) so
+    SQL-path queries (CTEs, subqueries, grouping sets) can run."""
+    key = (id(spark), sf_dir)
+    if key in _VIEWS_READY:
+        return
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_READY.add(key)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine exact-arithmetic helpers (Spark side + SQL-text side).
+# Money-like fixture doubles carry ≤2 decimal digits, so DECIMAL(18,2) is a
+# lossless container; sums in decimal are exact in both engines.
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,2)"
+
+
+def dec2(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(DEC)
+
+
+def dsum(c: Column | str, alias: str) -> Column:
+    """Exact sum of a 2-dp double column, returned as double."""
+    return F.sum(dec2(c)).cast("double").alias(alias)
+
+
+def davg(c: Column | str, alias: str) -> Column:
+    """Deterministic mean: exact decimal sum cast to double, / count."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec2(c)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+
+
+def all_query_callables() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import _load_all  # noqa: PLC0415  (cycle-free lazy import)
+
+    _load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    from . import _load_all  # noqa: PLC0415
+
+    _load_all()
+    return dict(ORACLES)

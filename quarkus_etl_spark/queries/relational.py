@@ -1,0 +1,568 @@
+"""Tier-B relational core: scans, predicates, joins, aggregates, sorts,
+set ops (SURVEY.md §2 Tier B).
+
+The reference admits this whole surface by pushing arbitrary SQL to the
+source engine (reference: LoaderBean.kt:12, EtlMain.kt:106); here each shape
+is expressed with the DataFrame API so Catalyst plans it natively (predicate
+pushdown into the parquet scan, broadcast/SMJ selection by AQE, partial+final
+aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .base import davg, dec2, dsum, ensure_views, register, sql_davg, sql_dsum, t
+
+# ---------------------------------------------------------------------------
+# Scans (A1 parity: whole-query source scan — reference EtlMain.kt:103-108)
+# ---------------------------------------------------------------------------
+
+
+@register("q_scan_parquet", oracle="SELECT * FROM lineitem")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem")
+
+
+@register("q_scan_select_literal", oracle="SELECT 1 AS one")
+def q_scan_select_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's job-0 extract is `select 1`
+    (application.properties:13)."""
+    return spark.sql("SELECT 1 AS one")
+
+
+# ---------------------------------------------------------------------------
+# Projection + filter (the reference's job-1 shape: application.properties:18
+# `select id,street_address,... from addresses where id < 13422`)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_filter_projection",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 1342
+    """,
+)
+def q_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1342)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q_pred_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def q_pred_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-12-31 23:59:59").cast("timestamp_ntz")
+    return li.where(F.col("l_shipdate").between(lo, hi)).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+
+
+@register(
+    "q_pred_in",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def q_pred_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q_pred_like",
+    oracle="SELECT p_partkey, p_name, p_type FROM part WHERE p_name LIKE '%red%'",
+)
+def q_pred_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@register(
+    "q_pred_null",
+    oracle="""
+    SELECT event_id, user_id, props FROM events
+    WHERE props IS NOT NULL AND value IS NOT NULL
+    """,
+)
+def q_pred_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.where(F.col("props").isNotNull() & F.col("value").isNotNull()).select(
+        "event_id", "user_id", "props"
+    )
+
+
+@register(
+    "q_pred_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_discount, l_quantity
+    FROM lineitem
+    WHERE (l_discount > 0.05 AND l_quantity < 25.0) OR NOT (l_returnflag = 'A')
+    """,
+)
+def q_pred_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cond = ((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25.0)) | ~(
+        F.col("l_returnflag") == "A"
+    )
+    return li.where(cond).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_discount", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins — physical strategy left to Catalyst/AQE except where hinted
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_acctbal
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    c = t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    c = t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same values as a plain inner join; the broadcast hint pins the
+    physical plan to BroadcastHashJoin (dim side ships to every executor —
+    no shuffle of the fact side)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return c.join(broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    SELECT o_orderkey, b.band_id, o_totalprice
+    FROM orders
+    JOIN (VALUES (0, 0.0, 50000.0), (1, 50000.0, 150000.0),
+                 (2, 150000.0, 300000.0), (3, 300000.0, 1e18)) AS b(band_id, lo, hi)
+      ON o_totalprice >= b.lo AND o_totalprice < b.hi
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (non-equi) join. The band table is tiny, so Spark plans a
+    BroadcastNestedLoopJoin — the scalable physical choice for theta joins
+    against a small build side."""
+    o = t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50000.0), (1, 50000.0, 150000.0), (2, 150000.0, 300000.0), (3, 300000.0, 1e18)],
+        "band_id int, lo double, hi double",
+    )
+    cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    return o.join(broadcast(bands), cond).select("o_orderkey", "band_id", "o_totalprice")
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderkey, c_custkey, n_name
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 200000
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_linenumber", "o_orderkey", "c_custkey", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 shape (pricing summary report). Catalyst plans
+    partial+final hash aggregation; decimal arithmetic keeps the result
+    bit-identical across engines and partitionings."""
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    price, disc, tax = dec2("l_extendedprice"), dec2("l_discount"), dec2("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS n_cust, {sql_dsum("c_acctbal", "sum_bal")}
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 3
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "sum_bal"))
+        .where(F.col("n_cust") > 3)
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_cust
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@register("q_agg_approx_distinct")  # approximate → rows-only check
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100TB-scale substitute for exact
+    COUNT(DISTINCT) (one pass, fixed memory, no shuffle explosion)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt, {sql_dsum("c_acctbal", "sum_bal")}
+    FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("c_acctbal", "sum_bal")
+    )
+
+
+@register(
+    "q_agg_gsets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               {sql_dsum("l_extendedprice", "sum_price")}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS pos
+    FROM customer
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort; the sort position is materialized as a column so the
+    order itself is value-checked (the harness hash is order-insensitive)."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment", F.row_number().over(w).alias("pos")
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge — no global sort, scale-safe). Full-key tiebreak makes the
+    k-th row deterministic."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    b = c.where(F.col("c_acctbal") > 8000).select("c_custkey", "c_acctbal")
+    return a.unionByName(b)
+
+
+@register(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.subtract(s)

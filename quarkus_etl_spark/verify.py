@@ -1,0 +1,146 @@
+"""Local differential harness mirroring the driver's correctness gate
+(SURVEY.md §5.2): run each registered query on Spark AND its DuckDB oracle
+on the same parquet fixtures, compare row count + column names + an
+order-insensitive multiset of row values (columns sorted by name).
+
+Used by tests/test_correctness.py and by ad-hoc `python -m
+quarkus_etl_spark.verify [sf_dir] [query ...]`.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Any
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from .catalog import TABLES
+from .queries import all_oracles, all_query_callables
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon(v: Any) -> Any:
+    """Canonicalize a cell for cross-engine comparison."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    return v
+
+
+def _rowset(rows: list[tuple], col_order: list[int]) -> Counter:
+    return Counter(tuple(_canon(r[i]) for i in col_order) for r in rows)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    rows_spark: int = -1
+    rows_duck: int = -1
+    cols_spark: list[str] = field(default_factory=list)
+    cols_duck: list[str] = field(default_factory=list)
+    error: str = ""
+    sample_only_spark: list = field(default_factory=list)
+    sample_only_duck: list = field(default_factory=list)
+
+
+def compare_query(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    name: str,
+    sf_dir: str,
+) -> CompareResult:
+    queries, oracles = all_query_callables(), all_oracles()
+    try:
+        sdf = queries[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+    except Exception as e:  # noqa: BLE001
+        return CompareResult(name, False, error=f"spark: {type(e).__name__}: {e}")
+    if name not in oracles:
+        # rows-only check, like the driver's weaker path
+        return CompareResult(name, True, rows_spark=len(srows), cols_spark=scols)
+    try:
+        cur = con.execute(oracles[name])
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return CompareResult(name, False, error=f"duckdb: {type(e).__name__}: {e}")
+
+    res = CompareResult(
+        name, True, len(srows), len(drows), scols, dcols
+    )
+    if sorted(scols) != sorted(dcols):
+        res.ok = False
+        res.error = f"column mismatch: spark={scols} duck={dcols}"
+        return res
+    if len(srows) != len(drows):
+        res.ok = False
+        res.error = f"row count mismatch: spark={len(srows)} duck={len(drows)}"
+    s_order = [scols.index(c) for c in sorted(scols)]
+    d_order = [dcols.index(c) for c in sorted(dcols)]
+    sset, dset = _rowset(srows, s_order), _rowset(drows, d_order)
+    if sset != dset:
+        res.ok = False
+        only_s = list((sset - dset).elements())[:3]
+        only_d = list((dset - sset).elements())[:3]
+        res.sample_only_spark = only_s
+        res.sample_only_duck = only_d
+        if not res.error:
+            res.error = "value multiset mismatch"
+    return res
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[CompareResult]:
+    con = duck_connection(sf_dir)
+    queries = all_query_callables()
+    names = names or sorted(queries)
+    return [compare_query(spark, con, n, sf_dir) for n in names]
+
+
+def main() -> None:
+    import sys
+
+    from .session import get_spark
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    names = [a for a in args if "/" not in a] or None
+    spark = get_spark("verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for r in run_all(spark, sf_dir, names):
+        status = "OK  " if r.ok else "FAIL"
+        extra = "" if r.ok else f"  {r.error}"
+        checked = "oracle" if r.rows_duck >= 0 else "rows-only"
+        print(f"{status} {r.name:28s} rows={r.rows_spark} [{checked}]{extra}")
+        if not r.ok:
+            failures += 1
+            if r.sample_only_spark or r.sample_only_duck:
+                print(f"     spark-only: {r.sample_only_spark}")
+                print(f"     duck-only : {r.sample_only_duck}")
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} failing")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
