@@ -1,0 +1,133 @@
+"""Tier-B window functions (SURVEY.md §2 "Window functions").
+
+Every window ORDER BY carries a full-key tiebreak so row_number/lag frames
+are deterministic across engines (SURVEY.md §7.4 item 2). Running sums go
+through DECIMAL so the prefix accumulation is exact rather than
+order-of-float-addition dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import dec2, register, t
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "q_win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. At scale this is the shuffle-once pattern:
+    one hash partition by key, per-partition sort, no global sort."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        ).where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           LAG(value, 2, -1.0) OVER w AS prev2_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           NTILE(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+    FROM orders
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
