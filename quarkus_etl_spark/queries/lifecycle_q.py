@@ -1,0 +1,140 @@
+"""Lifecycle-parity queries (SURVEY.md §2 "Scans / sources / sinks" +
+Tier A8-A10): sink round-trips, csv/json ingestion, the ETL job path itself,
+and the synthetic generator.
+
+Scratch artifacts go under /root/repo/.scratch/<sf>/ keyed by scale factor;
+each query (re)writes its own artifact so runs are self-contained.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EtlJob
+from ..jobs import JobRunner
+from ..operators.generator import gen_addresses
+from .base import ensure_views, register, t
+
+_SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    p = _SCRATCH / sf / name
+    p.parent.mkdir(parents=True, exist_ok=True)
+    return str(p)
+
+
+@register("q_sink_parquet", oracle="SELECT * FROM lineitem")
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the full fact table to parquet and read it back (A2 sink parity
+    for files); the round-trip must be lossless vs the source."""
+    path = _scratch(sf_dir, "sink_lineitem.parquet")
+    t(spark, sf_dir, "lineitem").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "q_scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export + schema-pinned re-read (int/string columns only — float
+    text round-trips are an engine-formatting trap, SURVEY.md §7.4)."""
+    path = _scratch(sf_dir, "nation.csv")
+    t(spark, sf_dir, "nation").write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", "true"
+    ).csv(path)
+
+
+@register(
+    "q_scan_json",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines export + re-read. Doubles survive exactly: Spark writes
+    shortest-repr decimal strings and parses them back to the same IEEE
+    value."""
+    path = _scratch(sf_dir, "customer.json")
+    t(spark, sf_dir, "customer").write.mode("overwrite").json(path)
+    df = spark.read.schema(
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).json(path)
+    return df.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "q_etl_job",
+    oracle="""
+    SELECT o_orderkey AS O_ORDERKEY, o_custkey AS O_CUSTKEY,
+           o_orderstatus AS O_ORDERSTATUS, o_totalprice AS O_TOTALPRICE
+    FROM orders WHERE o_orderkey < 1342
+    """,
+)
+def q_etl_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole reason to exist, as one query: a config-driven
+    job whose extract SQL is evaluated by the engine, with the engine's
+    uppercase identifier normalization applied (job-1 shape,
+    application.properties:16-21). The oracle aliases to uppercase because
+    normalization IS the contract (ClassMapMapper.kt:21)."""
+    ensure_views(spark, sf_dir)
+    job = EtlJob(
+        name="addrx_shape",
+        extract=(
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_orderkey < 1342"
+        ),
+        write=None,
+    )
+    return JobRunner(spark).extract(job)
+
+
+@register("q_gen_addresses")  # seeded-random generator → rows-only check
+def q_gen_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic address generator (A10), deterministic under seed=42.
+    No oracle: DuckDB can't reproduce Spark's hash; the pytest suite pins
+    row count, schema, pool membership, and determinism instead."""
+    return gen_addresses(spark, n=10_000, seed=42)
+
+
+@register(
+    "q_multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           n_chars AS payload_bytes,
+           lang AS meta_lang,
+           CAST(n_chars AS BIGINT) AS meta_chars,
+           LEN(STRING_SPLIT(text, ' ')) AS n_chunks
+    FROM documents
+    """,
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: binary payload + typed struct metadata +
+    array column survive a parquet round-trip intact (Tier C
+    q_multimodal_cols). The payload here is utf-8 text bytes standing in for
+    an opaque media blob; byte length must equal the documents.n_chars
+    column computed upstream."""
+    path = _scratch(sf_dir, "media.parquet")
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("payload"),
+        F.struct(
+            F.col("lang").alias("lang"), F.col("n_chars").cast("long").alias("chars")
+        ).alias("meta"),
+        F.split("text", " ").alias("chunks"),
+    )
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.chars").alias("meta_chars"),
+        F.size("chunks").alias("n_chunks"),
+    )

@@ -1,0 +1,152 @@
+"""Tier-B streaming surface, batch-checkable part (SURVEY.md §2 "Streaming").
+
+The reference's pipeline is itself a streaming producer/consumer
+(EtlMain.kt:51-56); its Spark analog is Structured Streaming. These queries
+pin the *event-time semantics* (tumbling / sliding / session windows,
+keyed dedup) in batch mode, where DuckDB can oracle them; the live
+readStream variants (watermarks, dropDuplicatesWithinWatermark,
+applyInPandasWithState) live in quarkus_etl_spark.streaming and are
+smoke-tested in tests/ (rows-only — no SQL oracle exists for state).
+
+Window-alignment note: Spark's `window()` aligns to the epoch; DuckDB's
+`time_bucket` sub-day origin is 2000-01-01, which is itself 5-minute-aligned
+to the epoch, so bucket edges coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import dec2, register, sql_dsum, t
+
+_SUM_VAL = sql_dsum("value", "sum_value")
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type, COUNT(*) AS cnt, {_SUM_VAL}
+    FROM events
+    GROUP BY ALL
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(dec2("value")).cast("double").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS window_start,
+               value
+        FROM events
+    )
+    SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+           COUNT(*) AS cnt, {_SUM_VAL}
+    FROM assigned GROUP BY window_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding by 5: each event lands in exactly two
+    windows; the oracle materializes the two assignments explicitly."""
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(dec2("value")).cast("double").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events, {_SUM_VAL}
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user — built-in
+    `session_window`; the oracle is the classic gaps-and-islands rewrite.
+    Spark merges events strictly-within gap, so the oracle flag uses `<`."""
+    ev = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "5 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id, value FROM (
+        SELECT user_id, event_type, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event per (user, type). Batch analog
+    of streaming `dropDuplicatesWithinWatermark`; deterministic keep-first
+    (plain dropDuplicates keeps an arbitrary row, which can't be oracled)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )

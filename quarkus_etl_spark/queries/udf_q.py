@@ -1,0 +1,127 @@
+"""Tier-B UDF/UDAF/UDTF surface (SURVEY.md §2).
+
+The reference has no UDF story of its own (its functions are whatever the
+source engine ships); ours is the native Spark ladder, slowest to fastest:
+row-at-a-time Python UDF (q_udf_scalar — demonstrated, but the slow path),
+Arrow-vectorized pandas UDF (q_udf_pandas — the 100TB-scale way to run
+Python), grouped applyInPandas UDAF, and explode/posexplode as the built-in
+table-function path.
+
+Oracle determinism: pandas/numpy float ops are per-row IEEE (no
+accumulation), and the grouped UDAF only sums integer-valued doubles
+(exact in any order), so results hash-match SQL exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from .base import register, t
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier
+    FROM customer
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — correct, but the slow path (ser/de per
+    row). Kept in the inventory because the surface exists; real pipelines
+    should use q_udf_pandas' shape."""
+
+    @F.udf(returnType=StringType(), useArrow=False)
+    def tier(bal):
+        if bal < 0:
+            return "debt"
+        if bal < 5000:
+            return "standard"
+        return "premium"
+
+    c = t(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_acctbal", tier("c_acctbal").alias("tier"))
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS disc_price
+    FROM lineitem
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched vectorized UDF: numpy does one IEEE multiply per row —
+    bit-identical to the SQL expression, ~10-100x faster than a row UDF."""
+
+    @F.pandas_udf("double")
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@register(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas. Each group arrives as
+    one pandas DataFrame (Arrow batches); quantities are integer-valued
+    doubles, so the pandas sum is exact and order-insensitive."""
+
+    def group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "sum_qty": [float(pdf["l_quantity"].sum())],
+                "max_price": [float(pdf["l_extendedprice"].max())],
+            }
+        )
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        group_stats,
+        schema="l_returnflag string, l_linestatus string, n_rows long, "
+        "sum_qty double, max_price double",
+    )
+
+
+@register(
+    "q_udtf_explode",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+    """,
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function (1 row -> N rows) via posexplode; 1-based position to
+    match SQL subscript convention."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token"))
+        .select("doc_id", "token", (F.col("pos0") + 1).cast("long").alias("pos"))
+    )

@@ -1,0 +1,61 @@
+"""Writers (SURVEY.md Tier A2-A3 "JDBC batch sink" + file sinks).
+
+The reference writes micro-batches of 2000 rows through a prepared
+statement (EtlMain.kt:72-88). Spark's JDBC sink batches identically via
+`batchsize` — per partition, in parallel, which the reference's single
+consumer could not. File sinks get the same declarative treatment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..config import WriteTarget
+
+REFERENCE_BATCH_SIZE = 2000  # EtlMain.kt:74
+
+
+def write_dataframe(df: DataFrame, target: WriteTarget) -> None:
+    fmt = target.format.lower()
+    if fmt == "jdbc":
+        opts = {"batchsize": str(REFERENCE_BATCH_SIZE), **target.options}
+        df.write.format("jdbc").options(**opts).mode(target.mode).save()
+        return
+    if fmt == "table":
+        writer = df.write.mode(target.mode)
+        if target.partition_by:
+            writer = writer.partitionBy(*target.partition_by)
+        writer.saveAsTable(target.table)
+        return
+    if target.path is None:
+        raise ValueError(f"write target format={fmt} requires a path")
+    writer = df.write.format(fmt).options(**target.options).mode(target.mode)
+    if target.partition_by:
+        writer = writer.partitionBy(*target.partition_by)
+    writer.save(target.path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = REFERENCE_BATCH_SIZE,
+    driver: str | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """JDBC batch sink with the reference's 2000-row default (A2/A3).
+
+    `num_partitions` caps concurrent connections — the analog of the
+    reference's pool max 5 (DatabaseBean.kt:59), but per-partition."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    if driver:
+        writer = writer.option("driver", driver)
+    writer.options(**options).mode(mode).save()
