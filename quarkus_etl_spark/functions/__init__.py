@@ -1,0 +1,12 @@
+"""Column-expression function library (all JVM-side built-ins — no Python
+UDFs): vector math over array columns, text analytics primitives."""
+
+from .text import (  # noqa: F401
+    char_shingles,
+    language_scores,
+    ngrams,
+    normalize_text,
+    quality_score,
+    tokenize,
+)
+from .vectors import cosine_similarity, dot_product, l2_norm, to_double_array  # noqa: F401

@@ -1,0 +1,85 @@
+"""Text analytics primitives for training-data pipelines (SURVEY.md Tier C
+q_text_*): tokenization, n-grams/shingles, language-ID heuristic, quality
+scoring, fingerprinting.
+
+All pure Column expressions (codegen'd, no UDFs). Each primitive is designed
+so a SQL engine can replicate it exactly — that is what makes the Tier-C
+queries oracle-checkable instead of rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword pools for the n-gram/stopword-overlap
+# language heuristic. Deliberately small + public-knowledge words only.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "para", "en"),
+}
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty-safe)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(text), "\\s+")
+
+
+def normalize_text(text: Column | str) -> Column:
+    """lowercase + whitespace collapse + trim — the canonical form used for
+    fingerprinting and exact dedup."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Portable across engines (DuckDB md5 produces identical hex)."""
+    return F.md5(normalize_text(text))
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams (shingles) — the MinHash input set.
+    `transform(sequence(1, len-n+1), i -> substr(text, i, n))`, guarded for
+    short documents."""
+    text = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(text, i, F.lit(n))))
+
+
+def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
+    """Word n-grams from a token array: join of tokens[i..i+n-1]."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(sep, *[F.element_at(tokens, i + j + 1) for j in range(n)])
+    )
+
+
+def stopword_overlap(tokens: Column, lang: str) -> Column:
+    """# of distinct stopwords of `lang` present in the token set."""
+    pool = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens), pool))
+
+
+def language_scores(tokens: Column) -> list[Column]:
+    """One aliased score column per language (distinct-stopword hits)."""
+    return [stopword_overlap(tokens, lang).alias(f"score_{lang}") for lang in STOPWORDS]
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length saturation, alpha ratio,
+    mean token length band. Exactly replicable in SQL (no randomness, no
+    floats beyond deterministic per-row arithmetic)."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text)
+    n_chars = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1.0))
+    mean_tok = n_chars / F.greatest(n_tokens, F.lit(1.0))
+    tok_score = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score * 0.4 + alpha_ratio * 0.4 + tok_score * 0.2)

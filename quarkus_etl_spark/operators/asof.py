@@ -1,0 +1,80 @@
+"""As-of join (SURVEY.md §2 q_join_asof, §4.3 item 3).
+
+Spark has no built-in as-of verb, and the naive formulation (range theta
+join + row_number) shuffles the full cross-range. This implementation is the
+scale-correct composition: tag both sides, UNION them, and run ONE window
+pass partitioned by key and ordered by time — a single shuffle, linear work,
+no candidate blow-up. This is the standard union-merge as-of pattern (same
+asymptotics as pandas merge_asof, but distributed).
+
+Semantics (backward as-of, inclusive): for each left row, attach the right
+row with the greatest `right_ts <= left_ts` for the same key; ties on
+right_ts broken by the largest tiebreak column. Matches DuckDB `ASOF JOIN`
+(which our oracle uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    tiebreak: str | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join; `right_value_cols` are carried to the output
+    (prefixed `asof_`), plus `asof_ts` = matched right timestamp."""
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+
+    carried = [right_ts, *right_value_cols]
+    r_struct = F.struct(*[F.col(c) for c in carried]).alias("__r")
+    lhs = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    ).withColumn("__r", F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in carried) + ">"
+    ))
+    rhs = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        r_struct,
+    )
+    # Left rows need their own columns downstream; right rows only carry __r.
+    lhs_cols = [c for c in left.columns]
+    rhs_full = rhs.select(
+        *[
+            F.col(c) if c == on else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lhs_cols
+        ],
+        "__ts",
+        "__side",
+        "__r",
+    )
+    union = lhs.select(*lhs_cols, "__ts", "__side", "__r").unionByName(rhs_full)
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if tiebreak is not None:
+        order.insert(1, F.col(f"__r.{tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = union.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = matched.where(F.col("__side") == 1)
+    if how == "inner":
+        out = out.where(F.col("__match").isNotNull())
+    return out.select(
+        *lhs_cols,
+        F.col(f"__match.{right_ts}").alias("asof_ts"),
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )

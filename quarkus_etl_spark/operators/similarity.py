@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (SURVEY.md Tier C q_sim_*).
+
+Three tiers, slowest-exact to fastest-approximate:
+- `brute_force_topk`: exact cosine vs a probe vector; Spark plans
+  TakeOrderedAndProject (per-partition heap, no global sort). The correct
+  baseline at any scale where a full scan is acceptable.
+- `pairwise_similar`: exhaustive blocked self-join (exact, oracle-checkable;
+  the block column bounds the quadratic).
+- `lsh_topk` / random-hyperplane bucketing: the 100TB path — sign-bit
+  signatures from d fixed hyperplanes put each vector in one of 2^d buckets;
+  probing the query's bucket (+ optional multi-probe neighbors at hamming
+  distance 1) reduces candidates by ~2^d while keeping recall high for
+  high-cosine neighbors. Hyperplanes are seeded-deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, to_double_array
+
+
+def _probe_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, id_col: str, probe: list[float], k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine vs `probe`, deterministic tiebreak on id."""
+    v = to_double_array(vec_col)
+    sim = cosine_similarity(v, _probe_lit(probe))
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pairwise_similar(
+    df: DataFrame, id_col: str, vec_col: str, block_col: str, threshold: float
+) -> DataFrame:
+    """All pairs within a block with cosine >= threshold (exact)."""
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), to_double_array(vec_col).alias("__v")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def add_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "bucket"
+) -> DataFrame:
+    """Sign-bit bucket id from the hyperplane dot products (pure Column
+    algebra — one pass, codegen'd)."""
+    v = to_double_array(vec_col)
+    bucket = None
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, _probe_lit(p), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("int")
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn(out_col, bucket)
+
+
+def _bucket_of(probe: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for i, p in enumerate(planes):
+        if sum(x * y for x, y in zip(probe, p)) >= 0:
+            b |= 1 << i
+    return b
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the probe's bucket (plus hamming-1
+    neighbor buckets when multiprobe) — candidate set ~n/2^planes * (1 +
+    planes). Recall is approximate by design; exactness is brute_force_topk's
+    job."""
+    dim = len(probe)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    target = _bucket_of(probe, planes)
+    probe_buckets = [target] + ([target ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+    bucketed = add_lsh_bucket(df, vec_col, planes)
+    cands = bucketed.where(F.col("bucket").isin(probe_buckets))
+    v = to_double_array(vec_col)
+    sim = cosine_similarity(v, _probe_lit(probe))
+    return (
+        cands.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

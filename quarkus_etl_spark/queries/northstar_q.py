@@ -1,0 +1,324 @@
+"""Tier-C north-star queries (SURVEY.md §2 Tier C): dedup family, similarity
+search, text analytics, as-of join.
+
+Oracle philosophy: every deterministic member of each family is
+hash-checked against DuckDB (exact dedup, blocked n-gram Jaccard, exact
+cosine top-k/pairs, text stats/quality/fingerprint/language-ID, as-of);
+the approximate/scale members (MinHash-LSH, SimHash, hyperplane ANN) are
+rows-only by nature but share the same verified building blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, language_scores, normalize_text, quality_score, tokenize
+from ..functions.vectors import cosine_similarity, to_double_array
+from ..operators.asof import asof_join
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..operators.similarity import brute_force_topk, lsh_topk, pairwise_similar
+from .base import register, t
+
+
+# --------------------------------------------------------------------------
+# As-of join (q_join_asof): for each purchase, the latest prior click of the
+# same user. DuckDB has native ASOF JOIN (the declared oracle, SURVEY §2).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+        how="left",
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", F.col("asof_value"))
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, bow_key, lang FROM (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_sort(list_distinct(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), ' ')) AS bow_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), ' '))
+                   ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the canonical bag-of-words key (sorted distinct token
+    set) — the fixtures contain token-identical shuffled documents, so this
+    removes real duplicates; keep-min(doc_id) is deterministic."""
+    d = t(spark, sf_dir, "documents")
+    bow = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(normalize_text("text"))))))
+    keyed = d.select("doc_id", bow.alias("bow_key"), "lang")
+    return dedup_exact(keyed, ["bow_key"], "doc_id").select("doc_id", "bow_key", "lang")
+
+
+@register("q_dedup_near")  # LSH recall is probabilistic → rows-only
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dedup, candidates verified with exact
+    Jaccard >= 0.8 — precision 1.0, recall per the LSH S-curve."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@register("q_dedup_simhash")  # hash-majority fingerprint → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit, token+bigram features) near-dup pairs at
+    hamming <= 3 via pigeonhole 16-bit banding."""
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "q_dedup_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ),
+    sets AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i+1])) AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) * 1.0 /
+           len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exhaustive word-bigram-set Jaccard (block = lang): the
+    deterministic, oracle-checked member of the near-dup family. Bigrams
+    keep Jaccard discriminative over the fixtures' small shared vocabulary
+    (unigram-set Jaccard saturates at ~0.64 median)."""
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_topk",
+    oracle="""
+    SELECT vec_id,
+           list_cosine_similarity(embedding::DOUBLE[], p.probe) AS cosine
+    FROM embeddings
+    CROSS JOIN (SELECT embedding::DOUBLE[] AS probe FROM embeddings WHERE vec_id = 0) p
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 vs the vec_id=0 probe. Fold order matches
+    DuckDB's list_cosine_similarity bit-for-bit (see functions.vectors)."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return brute_force_topk(e, "embedding", "vec_id", probe, k=10)
+
+
+@register(
+    "q_sim_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.e, b.e) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+)
+def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine >= 0.4 within label blocks (the fixture
+    embeddings are near-orthogonal random vectors; 0.4 sits in the top
+    ~0.05% of the within-label cosine distribution)."""
+    e = t(spark, sf_dir, "embeddings")
+    return pairwise_similar(e, "vec_id", "embedding", "label", threshold=0.4)
+
+
+@register("q_sim_ann_lsh")  # approximate recall → rows-only
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH bucketing (+multi-probe) — the
+    scale path: candidates shrink ~2^8 with seeded-deterministic planes."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_topk(e, "embedding", "vec_id", probe, k=10, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# Text analytics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           LENGTH(text) AS n_chars_measured,
+           LEN(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           LEN(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+           LENGTH(text) * 1.0 / LEN(string_split_regex(trim(text), '\\s+')) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_text_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM grams GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams: explode -> count -> TakeOrdered."""
+    from ..functions.text import ngrams
+
+    d = t(spark, sf_dir, "documents")
+    toks = tokenize(normalize_text("text"))
+    return (
+        d.select(F.explode(ngrams(toks, 2)).alias("bigram"))
+        .where(~F.col("bigram").rlike("^\\s*$") & (F.size(F.split(F.col("bigram"), " ")) == 2))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def _langid_case_sql() -> str:
+    pools = {
+        lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in STOPWORDS.items()
+    }
+    score = {
+        lang: f"len(list_intersect(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), {pool}))"
+        for lang, pool in pools.items()
+    }
+    return f"""
+    SELECT doc_id, lang,
+           {score['en']} AS score_en, {score['de']} AS score_de,
+           {score['fr']} AS score_fr, {score['es']} AS score_es,
+           CASE WHEN {score['en']} >= {score['de']} AND {score['en']} >= {score['fr']} AND {score['en']} >= {score['es']} THEN 'en'
+                WHEN {score['de']} >= {score['fr']} AND {score['de']} >= {score['es']} THEN 'de'
+                WHEN {score['fr']} >= {score['es']} THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM documents
+    """
+
+
+@register("q_text_langid", oracle=_langid_case_sql())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic with a fixed-priority argmax
+    (en > de > fr > es on ties) so prediction is deterministic."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokenize(F.lower(F.col("text")))
+    scores = language_scores(toks)
+    s = {c._jc.toString().split("AS ")[-1].strip("`"): c for c in scores}
+    sc = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
+    pred = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"]) & (sc["en"] >= sc["es"]), "en"
+        )
+        .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]), "de")
+        .when(sc["fr"] >= sc["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", "lang", *scores).withColumn("lang_pred", pred)
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+           + (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+              / GREATEST(LENGTH(text), 1)) * 0.4
+           + (CASE WHEN LENGTH(text) * 1.0 / GREATEST(LEN(string_split_regex(trim(text), '\\s+')), 1)
+                        BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           LENGTH(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint_md5
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fingerprint_md5("text").alias("fp"), F.length("text").alias("n_chars_measured")
+    )
