@@ -1,0 +1,63 @@
+"""Benchmark harness (driver contract): runs the full query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is materialized with a `noop`-format write — full execution of
+the physical plan (scan, shuffle, agg, join) without sink or
+collect-to-Python cost, which is what a cluster job would look like.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from quarkus_etl_spark.queries import all_query_callables
+from quarkus_etl_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_query_callables()
+    names = sorted(queries)
+    timings: dict[str, float] = {}
+
+    # One warmup action so JVM/codegen startup isn't billed to the first query.
+    materialize(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+
+    for name in names:
+        start = time.monotonic()
+        try:
+            materialize(queries[name](spark, sf_dir))
+            timings[name] = round(time.monotonic() - start, 4)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    result = {
+        "metric": "full_inventory_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_queries": len(names),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -18,9 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..functions.text import char_shingles, normalize_text, tokenize
+from ..plans.tuning import ensure_parallelism
 
 
 # --------------------------------------------------------------------------
@@ -44,27 +46,52 @@ def dedup_exact(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 # --------------------------------------------------------------------------
 
 
-def minhash_signatures(
+def feature_sets(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
+    feature: str = "bigram",
     shingle_size: int = 5,
 ) -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature per document.
+    """(id, __feat: array<long>) — the document's dedup feature set, hashed
+    to longs up front (identity is all Jaccard needs; long set ops are
+    several times cheaper than string set ops).
 
-    One explode + one groupBy: the k hash families are k columns of the
-    exploded shingle relation, min-aggregated together (map-side partial
-    aggregation collapses them before the shuffle)."""
-    shingled = df.select(
-        F.col(id_col), F.explode(char_shingles(normalize_text(text_col), shingle_size)).alias("__sh")
-    )
-    hashed = shingled.select(
-        id_col, *[F.hash(F.col("__sh"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
+    feature="bigram": word bigrams — order-sensitive, stays discriminative
+    over small vocabularies (char shingles from a ~45-word vocabulary
+    overlap heavily between unrelated documents, which floods LSH with
+    false candidates).
+    feature="char": classic character shingles of `shingle_size`.
+    """
+    from ..functions.text import ngrams
+
+    norm = normalize_text(text_col)
+    if feature == "bigram":
+        raw = ngrams(tokenize(norm), 2)
+    elif feature == "char":
+        raw = char_shingles(norm, shingle_size)
+    else:
+        raise ValueError(f"unknown feature mode: {feature}")
+    feats = F.array_distinct(F.transform(raw, lambda g: F.xxhash64(g)))
+    return ensure_parallelism(df).select(F.col(id_col), feats.alias("__feat"))
+
+
+def minhash_signatures(
+    feats: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature per document from its feature set.
+
+    ZERO-shuffle formulation: each h_i is `array_min(transform(feat, x ->
+    hash(x, i)))` — a per-row fold over the (already materialized) feature
+    array, embarrassingly parallel and fully codegen'd. An explode+groupBy
+    would pay a 64-column hash-aggregate for no benefit."""
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__feat"), lambda x, i=i: F.hash(x, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return feats.select(id_col, *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -86,38 +113,57 @@ def lsh_candidate_pairs(
             "band_idx", "band_hash"
         ),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Group each LSH bucket and emit its pairs directly: evaluates the
+    # signature DAG ONCE (a self-join would compute it twice) and turns the
+    # candidate step into one aggregation. Buckets above `max_bucket` are
+    # dropped — an oversized bucket means a non-discriminative band hash,
+    # and its quadratic pair list would dominate cost for no precision
+    # (every real pair also collides in some other, smaller bucket with
+    # high probability).
+    max_bucket = 1000
+    buckets = (
+        exploded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .where(F.size("__ids").between(2, max_bucket))
+    )
+    n = F.size("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
 
 
 def exact_jaccard(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, shingle_size: int = 5
+    feats: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
-    """Attach exact shingle-set Jaccard to candidate pairs (verification
-    step — precision 1.0)."""
-    sets = df.select(
-        F.col(id_col), char_shingles(normalize_text(text_col), shingle_size).alias("__set")
-    )
+    """Attach exact feature-set Jaccard to candidate pairs (verification
+    step — precision 1.0). Feature sets are broadcast (id -> array<long>);
+    the pair relation keeps its join-output parallelism."""
+    sets = feats.select(F.col(id_col), F.col("__feat").alias("__set"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     return (
-        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+        pairs.join(
+            broadcast(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a")),
+            "id_a",
+        )
+        .join(
+            broadcast(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "set_b")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("set_a", "set_b")).cast("double")
-                / F.size(F.array_union("set_a", "set_b"))
-            ).alias("jaccard"),
+            (inter / (F.size("set_a") + F.size("set_b") - inter)).alias("jaccard"),
         )
     )
 
@@ -129,15 +175,15 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     num_hashes: int = 64,
     bands: int = 16,
+    feature: str = "bigram",
     shingle_size: int = 5,
 ) -> DataFrame:
-    """Full near-dedup pipeline: signatures -> LSH candidates -> exact
-    verification at `threshold`."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    """Full near-dedup pipeline: feature sets -> signatures -> LSH
+    candidates -> exact verification at `threshold`."""
+    feats = feature_sets(df, id_col, text_col, feature, shingle_size)
+    sigs = minhash_signatures(feats, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return exact_jaccard(df, cands, id_col, text_col, shingle_size).where(
-        F.col("jaccard") >= threshold
-    )
+    return exact_jaccard(feats, cands, id_col).where(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
@@ -158,24 +204,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     feats = F.array_union(
         F.array_distinct(tokenize(norm)), F.array_distinct(ngrams(tokenize(norm), 2))
     )
-    toks = df.select(F.col(id_col), F.explode(feats).alias("__tok"))
-    h = F.xxhash64("__tok")
     one = F.lit(1).cast("long")
-    # shiftleft wraps to the sign bit at i=63, which is exactly the mask we
-    # want; literals like 1<<63 would overflow the long literal instead.
-    bit_sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(h.bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    # ZERO-shuffle: hash the feature set once per row, then each bit's
+    # majority is a per-row filter-count over the hashed array — no explode,
+    # no 64-column aggregate, fully codegen'd.
+    # (shiftleft wraps to the sign bit at i=63, which is exactly the mask we
+    # want; a 1<<63 literal would overflow the long.)
+    hashed = F.transform(feats, lambda x: F.xxhash64(x))
+    base = ensure_parallelism(df).select(
+        F.col(id_col), hashed.alias("__f"), F.size(hashed).alias("__n")
     )
     fingerprint = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
-        fingerprint = fingerprint.bitwiseOR(term)
-    return bit_sums.select(id_col, fingerprint.alias("simhash"))
+        mask = F.shiftleft(one, i)
+        pos = F.size(F.filter(F.col("__f"), lambda v: v.bitwiseAND(mask) != 0))
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(pos * 2 > F.col("__n"), mask).otherwise(F.lit(0).cast("long"))
+        )
+    return base.select(id_col, fingerprint.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -203,25 +249,34 @@ def simhash_near_dup_pairs(
             )
         ).alias("band_idx", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Bucket-group + in-bucket pair expansion: one evaluation of the simhash
+    # DAG (vs two for a self-join); oversized buckets dropped as
+    # non-discriminative (same rationale as lsh_candidate_pairs).
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("simhash")))).alias("__m")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
+        .where(F.size("__m").between(2, 1000))
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__m"), i + 2, F.size("__m")),
+                lambda y: F.struct(
+                    x[id_col].alias("id_a"),
+                    y[id_col].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -247,20 +302,34 @@ def ngram_jaccard_pairs(
     from ..functions.text import ngrams
 
     toks = tokenize(normalize_text(text_col))
+    # Hash each n-gram to a long up front: set intersection over longs is
+    # several times cheaper than over strings, and Jaccard only needs
+    # identity, not content.
+    hashed = F.array_distinct(F.transform(ngrams(toks, n), lambda g: F.xxhash64(g)))
     sets = df.select(
         F.col(id_col),
         F.col(block_col).alias("__blk"),
-        F.array_distinct(ngrams(toks, n)).alias("__set"),
+        hashed.alias("__set"),
+        F.size(hashed).alias("__len"),
     )
-    a, b = sets.alias("a"), sets.alias("b")
-    j = F.size(F.array_intersect("a.__set", "b.__set")).cast("double") / F.size(
-        F.array_union("a.__set", "b.__set")
-    )
+    # Probe side must be spread across cores (a small parquet input is one
+    # split); build side is broadcast so it needs no repartition.
+    a, b = ensure_parallelism(sets).alias("a"), broadcast(sets.alias("b"))
+    la, lb = F.col("a.__len"), F.col("b.__len")
+    inter = F.size(F.array_intersect("a.__set", "b.__set")).cast("double")
+    # |A∪B| = |A|+|B|-|A∩B| — one array op instead of two.
+    j = inter / (la + lb - inter)
+    # Size-ratio prune: J(A,B) <= min/max, so J >= t requires
+    # min(|A|,|B|) >= t*max(|A|,|B|). Evaluated before the intersect,
+    # this skips most candidate pairs entirely. Broadcasting the build side
+    # keeps the probe side in its scan partitions — full parallelism even
+    # though the block key has tiny cardinality (skew-proof).
     return (
         a.join(
             b,
             (F.col("a.__blk") == F.col("b.__blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.least(la, lb) >= F.lit(threshold) * F.greatest(la, lb)),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

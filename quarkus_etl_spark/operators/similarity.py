@@ -20,8 +20,10 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..functions.vectors import cosine_similarity, to_double_array
+from ..plans.tuning import ensure_parallelism
 
 
 def _probe_lit(vec: list[float]) -> Column:
@@ -35,7 +37,7 @@ def brute_force_topk(
     v = to_double_array(vec_col)
     sim = cosine_similarity(v, _probe_lit(probe))
     return (
-        df.select(F.col(id_col), sim.alias("cosine"))
+        ensure_parallelism(df).select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -45,11 +47,21 @@ def pairwise_similar(
     df: DataFrame, id_col: str, vec_col: str, block_col: str, threshold: float
 ) -> DataFrame:
     """All pairs within a block with cosine >= threshold (exact)."""
+    from ..functions.vectors import dot_product, l2_norm
+
+    v = to_double_array(vec_col)
+    # Precompute each vector's norm ONCE (n sqrt-folds) instead of twice per
+    # pair (n^2); broadcast the build side so the tiny block-key cardinality
+    # can't serialize the join onto a handful of cores.
     base = df.select(
-        F.col(id_col), F.col(block_col).alias("__blk"), to_double_array(vec_col).alias("__v")
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        v.alias("__v"),
+        l2_norm(v).alias("__n"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    sim = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    a, b = ensure_parallelism(base).alias("a"), broadcast(base.alias("b"))
+    raw = dot_product(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
+    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
     return (
         a.join(
             b,

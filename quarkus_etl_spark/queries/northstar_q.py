@@ -23,6 +23,7 @@ from ..operators.dedup import (
     simhash_near_dup_pairs,
 )
 from ..operators.similarity import brute_force_topk, lsh_topk, pairwise_similar
+from ..plans.tuning import ensure_parallelism
 from .base import register, t
 
 
@@ -239,8 +240,8 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     toks = tokenize(normalize_text("text"))
     return (
-        d.select(F.explode(ngrams(toks, 2)).alias("bigram"))
-        .where(~F.col("bigram").rlike("^\\s*$") & (F.size(F.split(F.col("bigram"), " ")) == 2))
+        ensure_parallelism(d.where(F.size(tokenize(normalize_text("text"))) >= 2))
+        .select(F.explode(ngrams(toks, 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
