@@ -1,0 +1,135 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY.md Tier C
+q_multimodal_cols + north-star "multimodal columns").
+
+Media are opaque `binary` payload columns with typed struct metadata.
+Decode / feature-extraction run as Arrow-batched `mapInPandas` over the
+binary column — the Spark-side plumbing (schemas, batch iteration,
+partition-preserving map) is real and tested; the actual codec calls are
+STUBBED (this environment ships no image/audio libraries): payloads use a
+deterministic synthetic header that `decode_media` parses, and requesting a
+real codec raises NotImplementedError at the exact point a PIL/ffmpeg call
+would slot in.
+
+Synthetic payload layout (big-endian):
+  magic   3 bytes  b"SYN"
+  kind    1 byte   0=image 1=audio 2=video
+  width   2 bytes  (image/video) | sample_rate/1000 (audio)
+  height  2 bytes  (image/video) | channels (audio)
+  body    N bytes  opaque
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<kind: string, declared_w: int, declared_h: int>"
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_bytes int, ok boolean"
+)
+
+_KINDS = ("image", "audio", "video")
+
+SUPPORTED_CODECS = ("synthetic",)
+
+
+def make_synthetic_payload(media_id: int, kind: int, w: int, h: int) -> bytes:
+    body = bytes((media_id * 7 + i) % 256 for i in range(16 + (media_id % 32)))
+    return b"SYN" + struct.pack(">BHH", kind, w, h) + body
+
+
+def synthetic_media(spark, n: int = 100) -> DataFrame:
+    """Deterministic media table for tests/benches: id -> payload+meta."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            rows = {
+                "media_id": ids,
+                "payload": [
+                    make_synthetic_payload(i, i % 3, 64 + (i % 8) * 16, 64 + (i % 5) * 16)
+                    for i in ids
+                ],
+                "meta": [
+                    {
+                        "kind": _KINDS[i % 3],
+                        "declared_w": 64 + (i % 8) * 16,
+                        "declared_h": 64 + (i % 5) * 16,
+                    }
+                    for i in ids
+                ],
+            }
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_media(df: DataFrame, codec: str = "synthetic") -> DataFrame:
+    """Parse payload headers into typed columns via Arrow-batched
+    mapInPandas. `codec` selects the decode backend; only the synthetic
+    header parser exists in this environment."""
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(
+            f"codec {codec!r}: real decoders (PIL/ffmpeg) are not available in "
+            "this environment; the mapInPandas plumbing below is where they "
+            "plug in"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "width": [], "height": [], "n_bytes": [], "ok": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                ok = raw[:3] == b"SYN" and len(raw) >= 8
+                kind, w, h = (
+                    struct.unpack(">BHH", raw[3:8]) if ok else (0, 0, 0)
+                )
+                out["media_id"].append(mid)
+                out["kind"].append(_KINDS[kind] if ok and kind < 3 else "unknown")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(raw))
+                out["ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int, codec: str = "synthetic") -> DataFrame:
+    """'Resize' = rewrite the synthetic header dims (a real backend would
+    transcode pixels here). Demonstrates binary-in/binary-out mapInPandas."""
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r} unavailable (stub environment)")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                kind = raw[3] if raw[:3] == b"SYN" and len(raw) >= 8 else 0
+                payloads.append(b"SYN" + struct.pack(">BHH", kind, target_w, target_h) + raw[8:])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return df.select("media_id", "payload").mapInPandas(
+        resize, schema="media_id long, payload binary"
+    )
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Pure-Column stats over binary payloads (no Python): byte length,
+    header magic check — the cheap pre-filter before any decode fan-out."""
+    return df.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        (F.substring("payload", 1, 3) == F.lit(b"SYN")).alias("has_magic"),
+        F.col("meta.kind").alias("declared_kind"),
+    )

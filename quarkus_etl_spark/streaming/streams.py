@@ -1,0 +1,128 @@
+"""Streaming pipelines over event-shaped data.
+
+Design rules for scale:
+- Always watermark before stateful ops (windows, dedup) so state is bounded
+  and late data has a defined drop point — an unbounded-state streaming agg
+  is the same bug as the reference's UNLIMITED channel (EtlMain.kt:51),
+  which we deliberately do not replicate.
+- Sinks go through foreachBatch -> the batch writers, so every sink format
+  (parquet/jdbc/table) and the 2000-row JDBC batching work identically in
+  streaming and batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import WriteTarget
+from ..sources.writers import write_dataframe
+
+# Watermarks require TIMESTAMP (instant) semantics — Spark rejects
+# TIMESTAMP_NTZ event time — so streaming schemas use `timestamp`; with the
+# engine's UTC session timezone the values coincide with the batch NTZ view.
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (each arriving file is a micro-batch input)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(source_dir)
+
+
+def tumbling_stream(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type. Late rows
+    beyond the watermark are dropped (defined, bounded state)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked session windows (inactivity gap) per user — built-in
+    `session_window` keeps merge state per key, bounded by the watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming dedup: drops key-duplicates arriving within the
+    watermark horizon; state for a key expires once the watermark passes it
+    (vs. dropDuplicates, whose state grows forever on a stream)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Test/debug sink: run the stream into an in-memory table until all
+    currently-available input is processed."""
+    q = df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+    q.processAllAvailable()
+    return q
+
+
+def stream_etl_job(
+    stream_df: DataFrame,
+    target: WriteTarget,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming ETL sink via foreachBatch -> the batch writers: the exact
+    streaming analog of the reference's consumer loop (EtlMain.kt:64-93) —
+    each micro-batch is written with the same code path (and JDBC batchsize)
+    as a batch job, with checkpointed progress instead of the reference's
+    at-most-once, no-resume semantics."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_dataframe(batch_df, target)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

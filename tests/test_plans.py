@@ -1,0 +1,67 @@
+"""Physical-plan regression tests (SURVEY.md §4.2): the value checks prove
+results are right; these prove the plans stay scale-shaped — pushdown,
+pruning, broadcast, top-k heap — so a refactor can't silently trade a
+pushed filter for a full scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quarkus_etl_spark.plans import (
+    assert_broadcast_join,
+    assert_in_plan,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    assert_take_ordered,
+    plan_string,
+)
+from quarkus_etl_spark.queries.relational import (
+    q_agg_groupby,
+    q_filter_projection,
+    q_join_broadcast,
+    q_topk,
+)
+
+
+def test_filter_is_pushed_to_parquet_scan(spark, sf_dir):
+    assert_pushed_filter(q_filter_projection(spark, sf_dir), "o_orderkey")
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    assert_read_schema_only(
+        q_filter_projection(spark, sf_dir),
+        {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"},
+    )
+
+
+def test_flagship_prunes_and_pushes(spark, sf_dir):
+    df = q_agg_groupby(spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_only(
+        df,
+        {
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        },
+    )
+    # partial+final hash aggregation around one exchange (AQE hides the
+    # WholeStageCodegen spans until execution, so assert the agg shape)
+    plan = plan_string(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_broadcast_hint_is_honored(spark, sf_dir):
+    assert_broadcast_join(q_join_broadcast(spark, sf_dir))
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    assert_take_ordered(q_topk(spark, sf_dir))
+
+
+def test_python_free_hot_path(spark, sf_dir):
+    """The relational core must contain no Python evaluation (BatchEvalPython
+    / ArrowEvalPython) — UDFs are quarantined to the q_udf_* family."""
+    for q in (q_filter_projection, q_agg_groupby, q_join_broadcast, q_topk):
+        plan = plan_string(q(spark, sf_dir))
+        assert "EvalPython" not in plan, f"Python in hot path:\n{plan}"

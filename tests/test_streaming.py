@@ -1,0 +1,104 @@
+"""Structured Streaming smoke tests (SURVEY.md §2 streaming rows-only items):
+real readStream pipelines — watermarked tumbling windows, stateful dedup,
+foreachBatch ETL sink — checked against their batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quarkus_etl_spark.catalog import load_table
+from quarkus_etl_spark.config import WriteTarget
+from quarkus_etl_spark.streaming import (
+    dedup_within_watermark,
+    file_stream,
+    run_stream_to_memory,
+    sessionized_stream,
+    stream_etl_job,
+    tumbling_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Fixture events re-materialized as a 4-file parquet directory so the
+    file stream sees multiple micro-batch inputs (and µs timestamps)."""
+    path = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode("overwrite").parquet(str(path / "events"))
+    return str(path / "events")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    stream = tumbling_stream(file_stream(spark, events_dir))
+    q = run_stream_to_memory(stream, "tumbling_smoke", output_mode="append")
+    try:
+        got = spark.table("tumbling_smoke")
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # watermark append-mode emits only finalized windows; every emitted
+        # window must match its batch counterpart exactly
+        emitted = got.count()
+        assert emitted > 0
+        joined = got.join(
+            batch.select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                F.col("cnt").alias("batch_cnt"),
+            ),
+            ["window_start", "event_type"],
+        )
+        assert joined.where(F.col("cnt") != F.col("batch_cnt")).count() == 0
+        assert joined.count() == emitted
+    finally:
+        q.stop()
+
+
+def test_session_stream_runs(spark, events_dir):
+    stream = sessionized_stream(file_stream(spark, events_dir))
+    q = run_stream_to_memory(stream, "session_smoke", output_mode="append")
+    try:
+        got = spark.table("session_smoke")
+        assert got.count() > 0
+        # session invariant: end = last event + gap => end > start
+        assert got.where(F.col("session_end") <= F.col("session_start")).count() == 0
+    finally:
+        q.stop()
+
+
+def test_dedup_within_watermark(spark, sf_dir, events_dir):
+    stream = dedup_within_watermark(
+        file_stream(spark, events_dir), keys=["user_id", "event_type"]
+    )
+    q = run_stream_to_memory(stream, "dedup_smoke", output_mode="append")
+    try:
+        got = spark.table("dedup_smoke")
+        batch_distinct = (
+            load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+        )
+        # within-watermark dedup can keep more than a global distinct (keys
+        # recur beyond the horizon) but never less, and never more than input
+        n = got.count()
+        total = load_table(spark, sf_dir, "events").count()
+        assert batch_distinct <= n <= total
+        # no exact duplicate rows within a watermark window for a key+ts
+        assert got.groupBy("user_id", "event_type", "ts").count().where("count > 2").count() == 0
+    finally:
+        q.stop()
+
+
+def test_stream_etl_job_foreachbatch(spark, events_dir, tmp_path):
+    out = str(tmp_path / "etl_out")
+    target = WriteTarget(format="parquet", path=out, mode="append")
+    stream = file_stream(spark, events_dir).where(F.col("event_type") == "purchase")
+    q = stream_etl_job(stream, target, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    src = spark.read.parquet(events_dir).where(F.col("event_type") == "purchase")
+    assert got.count() == src.count()
+    assert set(got.columns) == set(src.columns)
