@@ -292,13 +292,24 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float,
     n: int = 2,
+    strategy: str = "exhaustive",
 ) -> DataFrame:
-    """Exhaustive-within-block pairwise word-n-gram-set Jaccard.
-    Deterministic and SQL-replicable (unlike LSH), so it serves as the
-    oracle-checked member of the near-dup family; the block column bounds
-    the quadratic term. Word n-grams (default bigrams) capture local order,
-    which keeps Jaccard discriminative even over a small shared vocabulary
-    (unigram sets saturate)."""
+    """Blocked pairwise word-n-gram-set Jaccard at `threshold` — exact
+    either way; `strategy` picks the candidate-generation plan:
+
+    - "exhaustive": broadcast blocked self-join with size-ratio pruning and
+      short-circuited intersect. Wins when blocks are broadcastable and the
+      vocabulary is dense (synthetic fixtures: every feature is common, so
+      rarity-based pruning has nothing to grip).
+    - "prefix": AllPairs/PPJoin prefix filtering — candidates only from
+      pairs sharing one of each doc's globally-rarest features. Near-linear
+      on realistic Zipf-distributed corpora at cluster scale, where the
+      exhaustive quadratic is intractable and rare features are truly rare.
+
+    Word n-grams (default bigrams) capture local order, which keeps Jaccard
+    discriminative even over a small shared vocabulary (unigram sets
+    saturate). Deterministic and SQL-replicable (unlike LSH), so it serves
+    as the oracle-checked member of the near-dup family."""
     from ..functions.text import ngrams
 
     toks = tokenize(normalize_text(text_col))
@@ -312,29 +323,94 @@ def ngram_jaccard_pairs(
         hashed.alias("__set"),
         F.size(hashed).alias("__len"),
     )
+    if strategy == "exhaustive":
+        return _jaccard_exhaustive(sets, id_col, threshold)
+    if strategy == "prefix":
+        return _jaccard_prefix(sets, id_col, threshold)
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def _jaccard_exhaustive(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
     # Probe side must be spread across cores (a small parquet input is one
-    # split); build side is broadcast so it needs no repartition.
+    # split); build side is broadcast so it needs no repartition — and the
+    # block key's tiny cardinality can't skew a broadcast join.
     a, b = ensure_parallelism(sets).alias("a"), broadcast(sets.alias("b"))
     la, lb = F.col("a.__len"), F.col("b.__len")
     inter = F.size(F.array_intersect("a.__set", "b.__set")).cast("double")
-    # |A∪B| = |A|+|B|-|A∩B| — one array op instead of two.
-    j = inter / (la + lb - inter)
-    # Size-ratio prune: J(A,B) <= min/max, so J >= t requires
-    # min(|A|,|B|) >= t*max(|A|,|B|). Evaluated before the intersect,
-    # this skips most candidate pairs entirely. Broadcasting the build side
-    # keeps the probe side in its scan partitions — full parallelism even
-    # though the block key has tiny cardinality (skew-proof).
-    return (
-        a.join(
-            b,
-            (F.col("a.__blk") == F.col("b.__blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.least(la, lb) >= F.lit(threshold) * F.greatest(la, lb)),
+    j = inter / (la + lb - inter)  # |A∪B| = |A|+|B|-|A∩B|
+    # The ENTIRE predicate lives in the join condition, cheap conjuncts
+    # first: codegen short-circuits left-to-right, so the intersect only
+    # runs for pairs passing (id order, size-ratio: J <= min/max ⇒ J >= t
+    # needs min >= t*max). A post-join .where() would be merged AHEAD of
+    # the cheap conjuncts by PushPredicateThroughJoin (observed in the
+    # plan). The threshold is applied in linear form (inter*(1+t) >=
+    # t*(|A|+|B|)) so the intersect appears once; the output jaccard uses
+    # the division form, identical to the SQL oracle.
+    return a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.least(la, lb) >= F.lit(threshold) * F.greatest(la, lb))
+        & (inter * (1.0 + threshold) >= F.lit(threshold) * (la + lb)),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        j.alias("jaccard"),
+    )
+
+
+def _jaccard_prefix(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    # -- Prefix filtering (AllPairs/PPJoin family) -------------------------
+    # Exact (no recall loss): order every doc's features by global rarity
+    # (document frequency, then hash as tiebreak) and keep each doc's
+    # "prefix" — its ⌊(1-t)·|A|⌋+2 rarest features. Theorem: two sets with
+    # J >= t MUST share at least one prefix feature under a common global
+    # order (if the prefixes were disjoint, the overlap could not reach t).
+    # Candidates therefore come from an equi-join on rare features instead
+    # of an O(n²) blocked cross product; rare features have tiny document
+    # frequency, so the join fan-out stays near-linear.
+    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("__len")).cast("int") + 2
+
+    exploded = sets.select(id_col, "__blk", "__len", F.explode("__set").alias("__h"))
+    docfreq = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        exploded.join(docfreq, "__h")
+        .groupBy(id_col, "__blk", "__len")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__h"))).alias("__ranked"))
+    )
+    prefixes = ranked.select(
+        id_col,
+        "__blk",
+        F.explode(F.slice(F.transform("__ranked", lambda s: s["__h"]), F.lit(1), prefix_len)).alias(
+            "__h"
+        ),
+    )
+    pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.__h") == F.col("pb.__h"))
+            & (F.col("pa.__blk") == F.col("pb.__blk"))
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            j.alias("jaccard"),
+            F.col(f"pa.{id_col}").alias("id_a"), F.col(f"pb.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+
+    # -- Exact verification on the surviving candidates --------------------
+    sa = broadcast(
+        sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"), F.col("__len").alias("la"))
+    )
+    sb = broadcast(
+        sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"), F.col("__len").alias("lb"))
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    j = inter / (F.col("la") + F.col("lb") - inter)  # |A∪B| = |A|+|B|-|A∩B|
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", j.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

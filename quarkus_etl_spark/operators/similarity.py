@@ -134,3 +134,73 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization
+# --------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int
+) -> list[list[float]]:
+    """Deterministic centroid seed: the first `n_cells` vectors by id (a
+    k-means iteration could refine these; for ANN cell routing the seeds
+    already partition the space usefully). One tiny driver collect."""
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(to_double_array(vec_col).alias("v"))
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def add_ivf_cell(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "cell"
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid — pure Column algebra:
+    build the score array, take array_position of its max. Ties resolve to
+    the lowest cell id (array_position finds the first occurrence)."""
+    v = to_double_array(vec_col)
+    scores = F.array(*[cosine_similarity(v, _probe_lit(c)) for c in centroids])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return df.withColumn(out_col, cell)
+
+
+def _probe_cells(probe: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else -1.0
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(probe, centroids[i]))
+    return ranked[:nprobe]
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF ANN: route the probe to its `nprobe` nearest cells and scan only
+    those (~nprobe/n_cells of the data). The cell assignment is a pure
+    column expression, so at scale the index is just a partition/cluster-by
+    column on the stored table — no shuffle at query time."""
+    cents = ivf_centroids(df, vec_col, id_col, n_cells)
+    cells = _probe_cells(probe, cents, nprobe)
+    bucketed = add_ivf_cell(ensure_parallelism(df), vec_col, cents)
+    cands = bucketed.where(F.col("cell").isin(cells))
+    sim = cosine_similarity(to_double_array(vec_col), _probe_lit(probe))
+    return (
+        cands.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -323,3 +323,42 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fingerprint_md5("text").alias("fp"), F.length("text").alias("n_chars_measured")
     )
+
+
+@register(
+    "q_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+           LENGTH(text) * 1.0 /
+             GREATEST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1)
+             AS chars_per_bpe_token
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star "token counting"): whitespace
+    tokens and a BPE-ish regex segmentation (letter runs | digit runs |
+    single punctuation) — the standard cheap proxy for LLM token budgets."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        (F.length("text").cast("double") / F.greatest(F.size(bpe), F.lit(1))).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+@register("q_sim_ann_ivf")  # approximate recall → rows-only
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF coarse quantization (the other scale path next to
+    LSH): deterministic seeded centroids, nprobe=3 cells scanned."""
+    from ..operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e, "embedding", "vec_id", probe, k=10, n_cells=16, nprobe=3)

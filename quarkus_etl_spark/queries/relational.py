@@ -401,8 +401,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) (one pass, fixed memory, no shuffle explosion)."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
     )
 
 

@@ -145,3 +145,20 @@ def test_multimodal_real_codec_is_stubbed(spark):
         decode_media(media, codec="pil")
     with pytest.raises(NotImplementedError):
         resize_images(media, 10, 10, codec="ffmpeg")
+
+
+def test_ngram_jaccard_strategies_agree(spark, sf_dir):
+    """Exhaustive and prefix-filtered candidate generation are both exact:
+    identical pair sets and jaccard values."""
+    from quarkus_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", "lang", 0.7, strategy="exhaustive").collect()
+    }
+    pf = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", "lang", 0.7, strategy="prefix").collect()
+    }
+    assert ex == pf and len(ex) > 0
