@@ -51,10 +51,17 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
 
 
 def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
-    """Word n-grams from a token array: join of tokens[i..i+n-1]."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    return F.transform(
+    """Word n-grams from a token array: join of tokens[i..i+n-1].
+
+    Short arrays (< n tokens) yield an EMPTY array — computed behind a
+    `when` guard, because `sequence(0, -1)` would otherwise produce [0,-1]
+    and `element_at(tokens, 0)` is an error under ANSI mode."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(
         idx, lambda i: F.concat_ws(sep, *[F.element_at(tokens, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -138,3 +138,17 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.chars").alias("meta_chars"),
         F.size("chunks").alias("n_chunks"),
     )
+
+
+@register("q_sink_orc", oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders")
+def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-read round-trip (connector matrix: parquet/csv/json/orc
+    — the Spark-native analog of the reference's four JDBC engines,
+    DatabaseBean.kt:32-40). Content equality against the source table is the
+    oracle; DuckDB never sees the ORC file."""
+    path = _scratch(sf_dir, "orders.orc")
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    src.write.mode("overwrite").format("orc").save(path)
+    return spark.read.format("orc").load(path)
