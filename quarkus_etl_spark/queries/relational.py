@@ -566,3 +566,91 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return n.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytical composites (join+agg+topk stress, SURVEY.md §6's
+# "bench within 2x" target runs these shapes at sf0.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q3_shape",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) shape: selective dim filter -> 3-way
+    join -> grouped decimal revenue -> top-10. Catalyst broadcast-joins the
+    filtered customer side; the topk is TakeOrderedAndProject."""
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(
+        dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    ).cast("double").alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue)
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5_shape",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) shape: 6-way join with two broadcast
+    dims and a same-nation theta constraint, grouped decimal revenue."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.sum(
+        dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    ).cast("double").alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue)
+    )

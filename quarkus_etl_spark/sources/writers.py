@@ -59,3 +59,26 @@ def write_jdbc(
     if driver:
         writer = writer.option("driver", driver)
     writer.options(**options).mode(mode).save()
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    At scale this is THE lever for repeated big-to-big joins: two tables
+    bucketed into the same bucket count on the join key co-locate matching
+    rows, so joins between them need no Exchange (and with sort_cols, no
+    per-task sort) — the shuffle is paid once at write time instead of on
+    every query. See tests/test_plans.py::test_bucketed_join_has_no_exchange
+    for the plan proof."""
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

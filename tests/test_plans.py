@@ -65,3 +65,38 @@ def test_python_free_hot_path(spark, sf_dir):
     for q in (q_filter_projection, q_agg_groupby, q_join_broadcast, q_topk):
         plan = plan_string(q(spark, sf_dir))
         assert "EvalPython" not in plan, f"Python in hot path:\n{plan}"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketing both sides of a join on the key removes the Exchange from
+    the join plan entirely — the 'shuffle paid once at write time' contract
+    of write_bucketed_table."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.sources.writers import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "orders_bkt", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed_table(lineitem, "lineitem_bkt", ["l_orderkey"], 8, ["l_orderkey"])
+    try:
+        joined = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("lineitem_bkt"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_orderkey", "l_linenumber", "o_totalprice", "l_quantity")
+        )
+        # force SMJ path (no broadcast) so the bucketing is what saves the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_string(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it still computes the right thing
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
