@@ -126,3 +126,55 @@ def stream_etl_job(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def running_user_totals(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, emitted once per micro-batch per active user.
+
+    This is the escape hatch for stateful logic the built-in windows can't
+    express (counters, custom sessionization, small per-key ML state). State
+    is a 3-tuple per user; the watermark bounds how long idle keys live via
+    the processing-timeout, so state can't grow unboundedly (the engine's
+    standing rule — see module docstring)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout  # noqa: PLC0415
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+    idle_reap_ms = 60 * 60 * 1000  # reap keys idle for 1h of EVENT time
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        # Event-time timeout: reaping rides the watermark, so it is
+        # deterministic in replay and settles in tests (a processing-time
+        # timeout keeps the query busy forever from processAllAvailable's
+        # point of view).
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_reap_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

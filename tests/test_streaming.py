@@ -102,3 +102,38 @@ def test_stream_etl_job_foreachbatch(spark, events_dir, tmp_path):
     src = spark.read.parquet(events_dir).where(F.col("event_type") == "purchase")
     assert got.count() == src.count()
     assert set(got.columns) == set(src.columns)
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_dir):
+    """applyInPandasWithState: the final emitted running total per user must
+    equal the batch aggregate (integer-valued doubles aside, value sums here
+    are 2-dp money — compare rounded)."""
+    from quarkus_etl_spark.streaming.streams import running_user_totals
+
+    stream = running_user_totals(
+        file_stream(spark, events_dir, max_files_per_trigger=2)
+    )
+    q = run_stream_to_memory(stream, "stateful_smoke", output_mode="update")
+    try:
+        got = spark.table("stateful_smoke")
+        # last emission per user carries the running total
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            got.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("user_id", "n_events", F.round("total_value", 2).alias("tv"))
+        )
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("tv"),
+            )
+        )
+        diff = final.exceptAll(batch).count() + batch.exceptAll(final).count()
+        assert diff == 0
+    finally:
+        q.stop()
