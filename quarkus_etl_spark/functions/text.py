@@ -90,3 +90,22 @@ def quality_score(text: Column | str) -> Column:
     mean_tok = n_chars / F.greatest(n_tokens, F.lit(1.0))
     tok_score = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
     return (len_score * 0.4 + alpha_ratio * 0.4 + tok_score * 0.2)
+
+
+def fingerprint_rolling(text: Column | str, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over the normalized text's characters:
+    h = Σ code(c_i)·base^(n-1-i) mod 2^31-1, computed as a sequential
+    aggregate fold (h*base + code) — pure Column algebra, one pass.
+    The Mersenne-31 modulus keeps every intermediate < 2^40, safely inside
+    long arithmetic under ANSI overflow checking.
+
+    Complements fingerprint_md5: the rolling form is incrementally
+    updatable (windowed fingerprints over chunk boundaries at scale), at
+    the cost of weaker collision resistance."""
+    norm = normalize_text(text)
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + c, F.lit(mod).cast("long")),
+    )

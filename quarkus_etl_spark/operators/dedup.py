@@ -414,3 +414,21 @@ def _jaccard_prefix(sets: DataFrame, id_col: str, threshold: float) -> DataFrame
         .select("id_a", "id_b", j.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Pair resolution: near-dup pairs -> surviving rows
+# --------------------------------------------------------------------------
+
+
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Resolve near-dup pairs into a deduplicated dataset: every id that
+    appears as the GREATER member of a pair is dropped, keeping the
+    lowest-id representative of each duplicate cluster (pairs carry
+    id_a < id_b, so min-side survivors are stable without iterative
+    connected components — for chains a<b<c both b and c name a smaller
+    partner and drop out). One broadcast anti-join."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(broadcast(losers), id_col, "left_anti")

@@ -162,3 +162,26 @@ def test_ngram_jaccard_strategies_agree(spark, sf_dir):
         for r in ngram_jaccard_pairs(d, "doc_id", "text", "lang", 0.7, strategy="prefix").collect()
     }
     assert ex == pf and len(ex) > 0
+
+
+def test_drop_near_duplicates_resolution(spark):
+    from quarkus_etl_spark.operators.dedup import drop_near_duplicates
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, t string")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 4)], "id_a long, id_b long"  # cluster {0,3,5}, {1,4}
+    )
+    kept = sorted(r["doc_id"] for r in drop_near_duplicates(df, pairs, "doc_id").collect())
+    assert kept == [0, 1, 2]
+
+
+def test_rolling_fingerprint_properties(spark):
+    from quarkus_etl_spark.functions.text import fingerprint_rolling
+
+    df = spark.createDataFrame(
+        [("same text",), ("same  text",), ("other text",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(fingerprint_rolling("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]  # whitespace-normalized
+    assert fps[0] != fps[2]
+    assert all(fp >= 0 for fp in fps)
