@@ -11,11 +11,19 @@ registry to the driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from quarkus_etl_spark.queries import all_oracles, all_query_callables
+# Make the package importable even when this file is loaded by path from a
+# different working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from quarkus_etl_spark.queries import all_oracles, all_query_callables  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

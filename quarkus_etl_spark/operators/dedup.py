@@ -317,12 +317,12 @@ def ngram_jaccard_pairs(
     # several times cheaper than over strings, and Jaccard only needs
     # identity, not content.
     hashed = F.array_distinct(F.transform(ngrams(toks, n), lambda g: F.xxhash64(g)))
+    # __len derives from the ALIASED __set column, not a second copy of the
+    # feature expression — a repeated expression tree here is recomputed per
+    # row once a `when` guard defeats subexpression elimination.
     sets = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("__blk"),
-        hashed.alias("__set"),
-        F.size(hashed).alias("__len"),
-    )
+        F.col(id_col), F.col(block_col).alias("__blk"), hashed.alias("__set")
+    ).withColumn("__len", F.size("__set"))
     if strategy == "exhaustive":
         return _jaccard_exhaustive(sets, id_col, threshold)
     if strategy == "prefix":

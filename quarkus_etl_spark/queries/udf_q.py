@@ -100,11 +100,29 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
-        group_stats,
+    # Project to the 4 referenced columns BEFORE the grouped-map stage:
+    # every column kept is Arrow-serialized into Python for every row, and
+    # the scan prune doesn't happen automatically through applyInPandas.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    # Salted two-phase execution — the scale pattern for grouped UDAFs:
+    # only 6 (flag, status) groups exist, which would serialize the Arrow
+    # work onto 6 cores (or one straggler executor at cluster scale). The
+    # pandas phase runs per (group, salt) partial — full parallelism — and
+    # a built-in aggregation combines partials (counts/sums/max all
+    # combine losslessly; sums are integer-valued doubles, exact in any
+    # order).
+    salted = li.withColumn("__salt", F.pmod(F.hash("l_quantity"), F.lit(32)))
+    partials = salted.groupBy("l_returnflag", "l_linestatus", "__salt").applyInPandas(
+        lambda pdf: group_stats(pdf.drop(columns="__salt")),
         schema="l_returnflag string, l_linestatus string, n_rows long, "
         "sum_qty double, max_price double",
+    )
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_qty").alias("sum_qty"),
+        F.max("max_price").alias("max_price"),
     )
 
 
