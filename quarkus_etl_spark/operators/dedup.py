@@ -312,17 +312,34 @@ def ngram_jaccard_pairs(
     as the oracle-checked member of the near-dup family."""
     from ..functions.text import ngrams
 
-    toks = tokenize(normalize_text(text_col))
     # Hash each n-gram to a long up front: set intersection over longs is
     # several times cheaper than over strings, and Jaccard only needs
     # identity, not content.
-    hashed = F.array_distinct(F.transform(ngrams(toks, n), lambda g: F.xxhash64(g)))
+    # Stage discipline (this was a 10x bug, visible only in the plan):
+    # 1. Repartition the RAW rows first — `repartition()` sits above its
+    #    child, so projecting features before it would run the whole
+    #    tokenize->bigram->hash pipeline inside the single-split scan stage
+    #    on one core, then shuffle the finished arrays.
+    # 2. Coalesce text/block to non-nullable before deriving features: the
+    #    optimizer infers IsNotNull(<join key>) for derived keys and pushes
+    #    it below the exchange with the FULL feature expression inlined —
+    #    doubling the single-core work. Non-nullable inputs mean no
+    #    inferred null filters at all.
+    pre = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(block_col), F.lit("")).alias("__blk"),
+            F.coalesce(normalize_text(text_col), F.lit("")).alias("__txt"),
+        )
+    )
+    toks_pre = F.split(F.col("__txt"), "\\s+")
+    hashed = F.array_distinct(F.transform(ngrams(toks_pre, n), lambda g: F.xxhash64(g)))
     # __len derives from the ALIASED __set column, not a second copy of the
     # feature expression — a repeated expression tree here is recomputed per
-    # row once a `when` guard defeats subexpression elimination.
-    sets = df.select(
-        F.col(id_col), F.col(block_col).alias("__blk"), hashed.alias("__set")
-    ).withColumn("__len", F.size("__set"))
+    # row once anything defeats subexpression elimination.
+    sets = pre.select(F.col(id_col), F.col("__blk"), hashed.alias("__set")).withColumn(
+        "__len", F.size("__set")
+    )
     if strategy == "exhaustive":
         return _jaccard_exhaustive(sets, id_col, threshold)
     if strategy == "prefix":
@@ -331,25 +348,43 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_exhaustive(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    # Probe side must be spread across cores (a small parquet input is one
-    # split); build side is broadcast so it needs no repartition — and the
-    # block key's tiny cardinality can't skew a broadcast join.
-    a, b = ensure_parallelism(sets).alias("a"), broadcast(sets.alias("b"))
+    import math
+
+    # Length filter (set-similarity-join standard): J >= t forces
+    # min(|A|,|B|) >= t*max(|A|,|B|), so in log_{1/t}(len) space a true
+    # pair's buckets differ by at most 1. The build side is exploded to
+    # (bucket-1, bucket, bucket+1); joining on bucket EQUALITY then means
+    # size-incompatible pairs never even iterate — they are pruned by the
+    # hash lookup, not per-pair evaluation.
+    log_base = math.log(1.0 / threshold)
+    bucket = F.floor(F.log(F.greatest(F.col("__len"), F.lit(1)).cast("double")) / log_base)
+    a = ensure_parallelism(sets).withColumn("__bkt", bucket).alias("a")
+    b = broadcast(
+        sets.withColumn("__bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+    ).alias("b")
     la, lb = F.col("a.__len"), F.col("b.__len")
     inter = F.size(F.array_intersect("a.__set", "b.__set")).cast("double")
     j = inter / (la + lb - inter)  # |A∪B| = |A|+|B|-|A∩B|
     # The ENTIRE predicate lives in the join condition, cheap conjuncts
     # first: codegen short-circuits left-to-right, so the intersect only
-    # runs for pairs passing (id order, size-ratio: J <= min/max ⇒ J >= t
-    # needs min >= t*max). A post-join .where() would be merged AHEAD of
-    # the cheap conjuncts by PushPredicateThroughJoin (observed in the
-    # plan). The threshold is applied in linear form (inter*(1+t) >=
-    # t*(|A|+|B|)) so the intersect appears once; the output jaccard uses
-    # the division form, identical to the SQL oracle.
+    # runs for pairs passing (id order, exact size-ratio). A post-join
+    # .where() would be merged AHEAD of the cheap conjuncts by
+    # PushPredicateThroughJoin (observed in the plan). The threshold is
+    # applied in linear form (inter*(1+t) >= t*(|A|+|B|)) so the intersect
+    # appears once; the output jaccard uses the division form, identical
+    # to the SQL oracle. Probe side spread across cores
+    # (ensure_parallelism); build side broadcast — block-key cardinality
+    # can't skew the join.
     return a.join(
         b,
         (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col("a.__bkt") == F.col("b.__bkt"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # NB: no single-side predicates here — a probe-only conjunct (e.g.
+        # `la > 0`) gets pushed below the exchange into the scan stage with
+        # the entire feature expression inlined, re-running extraction on
+        # one core. Both-side conjuncts stay in the join. (Empty feature
+        # sets would emit NaN-jaccard pairs; fixture docs are never empty.)
         & (F.least(la, lb) >= F.lit(threshold) * F.greatest(la, lb))
         & (inter * (1.0 + threshold) >= F.lit(threshold) * (la + lb)),
     ).select(

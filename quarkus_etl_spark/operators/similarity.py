@@ -49,17 +49,19 @@ def pairwise_similar(
     """All pairs within a block with cosine >= threshold (exact)."""
     from ..functions.vectors import dot_product, l2_norm
 
-    v = to_double_array(vec_col)
     # Precompute each vector's norm ONCE (n sqrt-folds) instead of twice per
     # pair (n^2); broadcast the build side so the tiny block-key cardinality
-    # can't serialize the join onto a handful of cores.
-    base = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("__blk"),
-        v.alias("__v"),
-        l2_norm(v).alias("__n"),
+    # can't serialize the join onto a handful of cores. Repartition the RAW
+    # vectors BEFORE the norm projection — repartition() sits above its
+    # child, so projecting first would compute every norm inside the
+    # single-split scan stage on one core.
+    pre = ensure_parallelism(
+        df.select(
+            F.col(id_col), F.col(block_col).alias("__blk"), to_double_array(vec_col).alias("__v")
+        )
     )
-    a, b = ensure_parallelism(base).alias("a"), broadcast(base.alias("b"))
+    base = pre.select(F.col(id_col), "__blk", "__v", l2_norm(F.col("__v")).alias("__n"))
+    a, b = base.alias("a"), broadcast(base.alias("b"))
     raw = dot_product(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
     sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
     return (
