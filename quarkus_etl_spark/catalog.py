@@ -62,10 +62,22 @@ def normalize_identifiers(df: DataFrame) -> DataFrame:
     return df.toDF(*upper)
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. `events` needs the nanos→micros conversion
     (see module docstring); everything else is a plain parquet scan that
-    keeps predicate pushdown / column pruning fully available."""
+    keeps predicate pushdown / column pruning fully available.
+
+    DataFrames are immutable lazy plans, so they are memoized per
+    (session, sf_dir, table): repeated queries skip the parquet-footer
+    schema read (a driver-side file-listing + footer parse per call that
+    adds up across an 80-query suite)."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -74,8 +86,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def register_views(
