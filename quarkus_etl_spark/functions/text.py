@@ -112,3 +112,25 @@ def fingerprint_rolling(text: Column | str, base: int = 257, mod: int = (1 << 31
         F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * base + c, F.lit(mod).cast("long")),
     )
+
+
+def ngram_hashes(tokens: Column, n: int = 2) -> Column:
+    """Hashes of word n-grams, skipping string materialization: for
+    identity-only consumers (Jaccard, MinHash, SimHash features) the n-gram
+    STRING is never needed, so hash the token tuple directly —
+    `zip_with(tokens[0:k], tokens[1:k], xxhash64)` for bigrams. The
+    expression tree is a fraction of `ngrams()`+concat+hash, which matters
+    both at runtime and in codegen compile time for the big dedup plans."""
+    if n == 2:
+        k = F.size(tokens) - 1
+        return F.zip_with(
+            F.slice(tokens, 1, F.greatest(k, F.lit(0))),
+            F.slice(tokens, 2, F.greatest(k, F.lit(0))),
+            lambda x, y: F.xxhash64(x, y),
+        )
+    # general n: hash the n successive tokens via try_element_at
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)))
+    full = F.transform(
+        idx, lambda i: F.xxhash64(*[F.try_element_at(tokens, i + j + 1) for j in range(n)])
+    )
+    return F.slice(full, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0)))

@@ -63,17 +63,22 @@ def feature_sets(
     false candidates).
     feature="char": classic character shingles of `shingle_size`.
     """
-    from ..functions.text import ngrams
+    from ..functions.text import ngram_hashes
 
-    norm = normalize_text(text_col)
+    pre = ensure_parallelism(
+        df.select(
+            F.col(id_col),
+            F.coalesce(normalize_text(text_col), F.lit("")).alias("__txt"),
+        )
+    )
+    toks = F.split(F.col("__txt"), "\\s+")
     if feature == "bigram":
-        raw = ngrams(tokenize(norm), 2)
+        hashes = ngram_hashes(toks, 2)
     elif feature == "char":
-        raw = char_shingles(norm, shingle_size)
+        hashes = F.transform(char_shingles(F.col("__txt"), shingle_size), lambda g: F.xxhash64(g))
     else:
         raise ValueError(f"unknown feature mode: {feature}")
-    feats = F.array_distinct(F.transform(raw, lambda g: F.xxhash64(g)))
-    return ensure_parallelism(df).select(F.col(id_col), feats.alias("__feat"))
+    return pre.select(F.col(id_col), F.array_distinct(hashes).alias("__feat"))
 
 
 def minhash_signatures(
@@ -198,22 +203,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     feature hashes (+1/-1); fingerprint assembles the positive bits. 64 bits
     (xxhash64) keeps random-document hamming distances near 32, so a
     radius-3 search stays selective even over a small shared vocabulary."""
-    from ..functions.text import ngrams
+    from ..functions.text import ngram_hashes
 
-    norm = normalize_text(text_col)
-    feats = F.array_union(
-        F.array_distinct(tokenize(norm)), F.array_distinct(ngrams(tokenize(norm), 2))
-    )
     one = F.lit(1).cast("long")
     # ZERO-shuffle: hash the feature set once per row, then each bit's
     # majority is a per-row filter-count over the hashed array — no explode,
-    # no 64-column aggregate, fully codegen'd.
+    # no 64-column aggregate, fully codegen'd. Features are hashed token +
+    # token-bigram longs (no n-gram strings ever materialize).
     # (shiftleft wraps to the sign bit at i=63, which is exactly the mask we
     # want; a 1<<63 literal would overflow the long.)
-    hashed = F.transform(feats, lambda x: F.xxhash64(x))
-    base = ensure_parallelism(df).select(
-        F.col(id_col), hashed.alias("__f"), F.size(hashed).alias("__n")
+    pre = ensure_parallelism(
+        df.select(
+            F.col(id_col), F.coalesce(normalize_text(text_col), F.lit("")).alias("__txt")
+        )
     )
+    toks = F.split(F.col("__txt"), "\\s+")
+    hashed = F.array_union(
+        F.array_distinct(F.transform(toks, lambda x: F.xxhash64(x))),
+        F.array_distinct(ngram_hashes(toks, 2)),
+    )
+    base = pre.select(F.col(id_col), hashed.alias("__f")).withColumn("__n", F.size("__f"))
     fingerprint = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
         mask = F.shiftleft(one, i)
@@ -310,7 +319,7 @@ def ngram_jaccard_pairs(
     discriminative even over a small shared vocabulary (unigram sets
     saturate). Deterministic and SQL-replicable (unlike LSH), so it serves
     as the oracle-checked member of the near-dup family."""
-    from ..functions.text import ngrams
+    from ..functions.text import ngram_hashes
 
     # Hash each n-gram to a long up front: set intersection over longs is
     # several times cheaper than over strings, and Jaccard only needs
@@ -333,7 +342,7 @@ def ngram_jaccard_pairs(
         )
     )
     toks_pre = F.split(F.col("__txt"), "\\s+")
-    hashed = F.array_distinct(F.transform(ngrams(toks_pre, n), lambda g: F.xxhash64(g)))
+    hashed = F.array_distinct(ngram_hashes(toks_pre, n))
     # __len derives from the ALIASED __set column, not a second copy of the
     # feature expression — a repeated expression tree here is recomputed per
     # row once anything defeats subexpression elimination.
