@@ -654,3 +654,65 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(revenue)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshaping: pivot / unpivot / sampling
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@register(
+    "q_pivot",
+    # no ELSE: empty cells stay NULL to match Spark's pivot semantics
+    oracle=f"""
+    SELECT c_nationkey,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS {s}"
+               for s in _SEGMENTS
+           )}
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: nation x market-segment account-balance matrix. Explicit
+    value list, so Spark skips the extra distinct-scan and the output
+    schema is deterministic."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(F.sum(dec2("c_acctbal")).cast("double"))
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'total' AS metric, o_totalprice AS amount FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'half' AS metric, o_totalprice / 2 AS amount FROM orders
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns to (key, metric, amount) rows."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_totalprice") / 2).alias("half"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"], values=["total", "half"],
+        variableColumnName="metric", valueColumnName="amount",
+    )
+
+
+@register("q_sample")  # engine-specific PRNG → rows-only check
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — deterministic per engine (Spark's
+    sampler differs from any SQL oracle's, so rows-only; the pytest suite
+    pins reproducibility)."""
+    return t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -131,3 +131,32 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

@@ -66,3 +66,11 @@ def test_generator_invariant_under_parallelism(spark):
     a = gen_addresses(spark, 300, seed=42)
     b = gen_addresses(spark, 300, seed=42).repartition(11)
     assert _rows(a) == _rows(b)
+
+
+def test_sample_reproducible(spark, sf_dir):
+    from quarkus_etl_spark.queries.relational import q_sample
+
+    a = _rows(q_sample(spark, sf_dir))
+    b = _rows(q_sample(spark, sf_dir))
+    assert a == b and 0 < len(a) < 6000

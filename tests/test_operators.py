@@ -185,3 +185,51 @@ def test_rolling_fingerprint_properties(spark):
     assert fps[0] == fps[1]  # whitespace-normalized
     assert fps[0] != fps[2]
     assert all(fp >= 0 for fp in fps)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against an independent reference implementation:
+    pandas.merge_asof (backward, inclusive) on randomized keyed event data.
+    Seeded, so deterministic in CI."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = sorted(
+        (rng.randint(1, 5), base + dt.timedelta(seconds=rng.randint(0, 10_000)))
+        for _ in range(120)
+    )
+    right_rows = sorted(
+        (rng.randint(1, 5), base + dt.timedelta(seconds=rng.randint(0, 10_000)))
+        for _ in range(80)
+    )
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts"])
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts"])
+    # make right (k, ts) unique so the asof pick is well-defined
+    rpdf = rpdf.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    rpdf["v"] = [float(i) for i in range(len(rpdf))]
+
+    expected = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    ).set_index("lid")["v"]
+
+    left = spark.createDataFrame(lpdf, "k long, ts timestamp_ntz, lid long")
+    right = spark.createDataFrame(rpdf, "k long, ts timestamp_ntz, v double")
+    got = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_value_cols=["v"]
+        ).collect()
+    }
+    assert len(got) == len(lpdf)
+    for lid, want in expected.items():
+        have = got[lid]
+        if pd.isna(want):
+            assert have is None, (lid, have, want)
+        else:
+            assert have == want, (lid, have, want)
