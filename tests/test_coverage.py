@@ -40,6 +40,7 @@ def test_registry_is_superset_with_oracles():
         "q_sim_ann_lsh",  # approximate recall
         "q_sim_ann_ivf",  # approximate recall
         "q_gen_addresses",  # engine-hash generator
+        "q_sample",  # engine-specific PRNG
     }
     assert rows_only <= allowed_rows_only, rows_only
 
