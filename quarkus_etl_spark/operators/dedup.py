@@ -4,13 +4,15 @@ q_dedup_*): exact, MinHash+LSH, SimHash, n-gram Jaccard.
 Scale design notes (the whole point at 100TB):
 - Exact dedup is ONE hash shuffle on the dedup key (window keep-first), not
   a global sort.
-- MinHash signatures are computed with a single explode + one groupBy (k
-  min-aggregations ride the same shuffle); LSH banding turns the O(n²)
-  candidate space into per-bucket self-joins. Candidates are then verified
-  with exact Jaccard so precision is 1.0 (recall bounded by the LSH S-curve).
-- SimHash is explode + one groupBy with 64 bit-majority aggregates; near-dup
-  pairs come from banding the fingerprint bytes (pigeonhole: hamming<=3 on
-  4 bands guarantees one equal band) and verifying with bit_count(xor).
+- MinHash signatures are ZERO-shuffle: per-row array_min(transform(...))
+  folds over hashed feature arrays; LSH banding turns the O(n²) candidate
+  space into bucket-grouped pair expansion (one DAG evaluation, oversized
+  buckets dropped). Candidates are then verified with exact Jaccard so
+  precision is 1.0 (recall bounded by the LSH S-curve).
+- SimHash is likewise per-row: 64 bit-majority filter-counts over the
+  hashed token+bigram array; near-dup pairs come from banding the
+  fingerprint into 16-bit bands (pigeonhole: hamming<=3 on 4 bands
+  guarantees one equal band) and verifying with bit_count(xor).
 - No Python UDFs anywhere — everything is codegen'd Column algebra.
 """
 

@@ -137,3 +137,37 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir):
         assert diff == 0
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: once the watermark has advanced past a window's
+    close, rows for that window arriving later are DROPPED from the
+    aggregation (the defined, bounded-state behavior the engine promises).
+    Two files processed as separate micro-batches: fresh data first, then a
+    very-late row."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    fresh = [(i, base + dt.timedelta(minutes=30 + i), 1, "click", 1.0, "{}") for i in range(20)]
+    late = [(99, base, 1, "click", 999.0, "{}")]  # 30 min older than fresh
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(fresh, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = tumbling_stream(
+        file_stream(spark, src, max_files_per_trigger=1), window="5 minutes", watermark="10 minutes"
+    )
+    q = stream.writeStream.format("memory").queryName("late_smoke").outputMode("append").start()
+    try:
+        q.processAllAvailable()  # watermark now ~ max(fresh) - 10min >> late ts
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = spark.table("late_smoke")
+        # the late row's window must not contain its value anywhere
+        assert got.where(F.col("sum_value") >= 999.0).count() == 0
+        late_window = got.where(F.col("window_start") <= base).where(
+            F.col("window_end") > base
+        )
+        assert late_window.where(F.col("cnt") > 0).where(F.col("sum_value") == 999.0).count() == 0
+    finally:
+        q.stop()
