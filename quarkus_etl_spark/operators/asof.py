@@ -15,7 +15,7 @@ right_ts broken by the largest tiebreak column. Matches DuckDB `ASOF JOIN`
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 

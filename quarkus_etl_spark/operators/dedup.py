@@ -18,12 +18,12 @@ Scale design notes (the whole point at 100TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.text import char_shingles, normalize_text, tokenize
+from ..functions.text import char_shingles, normalize_text
 from ..plans.tuning import ensure_parallelism
 
 

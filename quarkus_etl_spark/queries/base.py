@@ -18,8 +18,6 @@ the engine contract (SURVEY.md §7.4 "known-hard list"):
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 

@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, language_scores, normalize_text, quality_score, tokenize
-from ..functions.vectors import cosine_similarity, to_double_array
 from ..operators.asof import asof_join
 from ..operators.dedup import (
     dedup_exact,
