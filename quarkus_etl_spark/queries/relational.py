@@ -716,3 +716,75 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based `percentile`, not the
+    approximate sketch): both engines compute (1-g)*lower + g*upper over the
+    same sorted doubles, so values are bit-identical."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+_STATS_ORACLE = """
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           SQRT((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) /
+             (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_disc
+    FROM s
+"""
+
+
+@register("q_agg_stats", oracle=_STATS_ORACLE)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation, cross-engine deterministic: built-in
+    var_samp/corr accumulate floats in partition order (never reproducible
+    across engines OR partitionings), so the moments are computed as EXACT
+    decimal sums and the statistics assembled from them with one fixed
+    double expression — same discipline as dsum/davg, extended to second
+    moments."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y = dec2("l_quantity"), dec2("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+    return s.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        corr.alias("corr_qty_disc"),
+    )
