@@ -788,3 +788,24 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var).alias("stddev_qty"),
         corr.alias("corr_qty_disc"),
     )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           list_sort(list(c_custkey)) AS custkeys
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregation (collect_set/collect_list). Collection
+    order is partition-dependent, so both engines canonicalize with a sort
+    before comparison — the same rule any deterministic consumer of
+    collect_* must follow."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+    )
