@@ -62,7 +62,17 @@ def normalize_identifiers(df: DataFrame) -> DataFrame:
     return df.toDF(*upper)
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-JVM-application key — `id(spark)` can be recycled by the
+    allocator after a session is GC'd, which would serve plans bound to a
+    dead session."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - context being torn down
+        return str(id(spark))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,7 +84,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (session, sf_dir, table): repeated queries skip the parquet-footer
     schema read (a driver-side file-listing + footer parse per call that
     adds up across an 80-query suite)."""
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -44,13 +44,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_VIEWS_READY: set[tuple[int, str]] = set()
+_VIEWS_READY: set[tuple[str, str]] = set()
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixtures as temp views once per (session, sf_dir) so
     SQL-path queries (CTEs, subqueries, grouping sets) can run."""
-    key = (id(spark), sf_dir)
+    from ..catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
     if key in _VIEWS_READY:
         return
     for name in TABLES:
