@@ -94,9 +94,9 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_orderkey % 7 AS key_mod7,
            POWER(l_quantity, 2) AS qty_sq,
            ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
-           FLOOR(l_extendedprice) AS price_floor,
-           CEIL(l_extendedprice) AS price_ceil,
-           SIGN(l_discount - 0.05) AS disc_sign
+           CAST(FLOOR(l_extendedprice) AS DOUBLE) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS DOUBLE) AS price_ceil,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem
     """,
 )
@@ -110,8 +110,11 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 7).alias("key_mod7"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
         F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.floor("l_extendedprice").alias("price_floor"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
+        # Spark floor/ceil return BIGINT while DuckDB's return DOUBLE; both
+        # sides are pinned to DOUBLE so the typed value-hash agrees
+        # (round-1 hash FAIL: 100 vs 100.0).
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
     )
 

@@ -794,8 +794,9 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
-           list_sort(list(c_custkey)) AS custkeys
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+           array_to_string(list_transform(list_sort(list(c_custkey)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS custkeys
     FROM customer GROUP BY c_nationkey
     """,
 )
@@ -803,9 +804,16 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregation (collect_set/collect_list). Collection
     order is partition-dependent, so both engines canonicalize with a sort
     before comparison — the same rule any deterministic consumer of
-    collect_* must follow."""
+    collect_* must follow. The sorted arrays are serialized to a
+    comma-joined string on BOTH sides because the driver's value-hasher
+    cannot hash list cells (round-1 harness ERR); the array semantics
+    themselves stay pinned by tests/test_operators.py."""
     c = t(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
-        F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+        # Sort numerically FIRST, then stringify ("10" would sort before "2").
+        F.concat_ws(
+            ",",
+            F.transform(F.array_sort(F.collect_list("c_custkey")), lambda x: x.cast("string")),
+        ).alias("custkeys"),
     )

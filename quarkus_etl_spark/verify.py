@@ -9,6 +9,7 @@ quarkus_etl_spark.verify [sf_dir] [query ...]`.
 
 from __future__ import annotations
 
+import decimal
 import math
 from collections import Counter
 from dataclasses import dataclass, field
@@ -32,11 +33,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v: Any) -> Any:
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    Numeric/bool cells carry a TYPE TAG: the driver's value-hash is typed
+    (it distinguishes 100 from 100.0 and True from 1), while Python `==`
+    is not — which is exactly how the round-1 q_fn_math long-vs-double
+    skew passed locally but failed the driver. Tagging makes the local
+    gate at least as strict as the driver's."""
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, list):
         return tuple(_canon(x) for x in v)
     if isinstance(v, dict):
