@@ -61,9 +61,15 @@ def asof_join(
     )
     union = lhs.select(*lhs_cols, "__ts", "__side", "__r").unionByName(rhs_full)
 
+    # Order matters: at equal __ts every right row (__side=0) must sort
+    # BEFORE the left row (__side=1) so inclusive (right_ts == left_ts)
+    # matches stay visible; the tiebreak only orders right rows among
+    # themselves, so it comes AFTER __side (largest tiebreak sorts last and
+    # wins F.last). Inserting it before __side would float left rows (null
+    # __r) ahead of equal-ts right rows and silently drop those matches.
     order = [F.col("__ts").asc(), F.col("__side").asc()]
     if tiebreak is not None:
-        order.insert(1, F.col(f"__r.{tiebreak}").asc_nulls_first())
+        order.append(F.col(f"__r.{tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy(on)
         .orderBy(*order)

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..functions.text import char_shingles, normalize_text
@@ -154,17 +153,20 @@ def exact_jaccard(
     feats: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:
     """Attach exact feature-set Jaccard to candidate pairs (verification
-    step — precision 1.0). Feature sets are broadcast (id -> array<long>);
-    the pair relation keeps its join-output parallelism."""
+    step — precision 1.0). The feature-set side is the FULL corpus, so it
+    gets no broadcast hint: these are ordinary equi-joins on id where
+    Catalyst auto-broadcasts only when its size estimate says the build side
+    fits, and shuffles on id otherwise (candidates after LSH are sparse, so
+    the shuffle is proportional to the candidate count, not n^2)."""
     sets = feats.select(F.col(id_col), F.col("__feat").alias("__set"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     return (
         pairs.join(
-            broadcast(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a")),
+            sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"),
             "id_a",
         )
         .join(
-            broadcast(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "set_b")),
+            sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "set_b"),
             "id_b",
         )
         .select(
@@ -308,10 +310,12 @@ def ngram_jaccard_pairs(
     """Blocked pairwise word-n-gram-set Jaccard at `threshold` — exact
     either way; `strategy` picks the candidate-generation plan:
 
-    - "exhaustive": broadcast blocked self-join with size-ratio pruning and
-      short-circuited intersect. Wins when blocks are broadcastable and the
-      vocabulary is dense (synthetic fixtures: every feature is common, so
-      rarity-based pruning has nothing to grip).
+    - "exhaustive": blocked self-join with size-ratio pruning and
+      short-circuited intersect. Catalyst picks the join strategy by its
+      size estimate (auto-broadcast while the block table fits, shuffle join
+      on the block/bucket equi-keys beyond that). Wins when the vocabulary
+      is dense (synthetic fixtures: every feature is common, so rarity-based
+      pruning has nothing to grip).
     - "prefix": AllPairs/PPJoin prefix filtering — candidates only from
       pairs sharing one of each doc's globally-rarest features. Near-linear
       on realistic Zipf-distributed corpora at cluster scale, where the
@@ -369,9 +373,13 @@ def _jaccard_exhaustive(sets: DataFrame, id_col: str, threshold: float) -> DataF
     # hash lookup, not per-pair evaluation.
     log_base = math.log(1.0 / threshold)
     bucket = F.floor(F.log(F.greatest(F.col("__len"), F.lit(1)).cast("double")) / log_base)
+    # No broadcast hint: the build side is the whole block table. Catalyst
+    # auto-broadcasts it while its size estimate fits (the win at small SF)
+    # and falls back to a shuffle join on the (__blk, __bkt) equi-keys at
+    # scale, where AQE skew splitting keeps big blocks parallel.
     a = ensure_parallelism(sets).withColumn("__bkt", bucket).alias("a")
-    b = broadcast(
-        sets.withColumn("__bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1)))
+    b = sets.withColumn(
+        "__bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1))
     ).alias("b")
     la, lb = F.col("a.__len"), F.col("b.__len")
     inter = F.size(F.array_intersect("a.__set", "b.__set")).cast("double")
@@ -384,8 +392,8 @@ def _jaccard_exhaustive(sets: DataFrame, id_col: str, threshold: float) -> DataF
     # applied in linear form (inter*(1+t) >= t*(|A|+|B|)) so the intersect
     # appears once; the output jaccard uses the division form, identical
     # to the SQL oracle. Probe side spread across cores
-    # (ensure_parallelism); build side broadcast — block-key cardinality
-    # can't skew the join.
+    # (ensure_parallelism); join strategy left to Catalyst's size estimate
+    # (auto-broadcast small, shuffle + AQE skew split large).
     return a.join(
         b,
         (F.col("a.__blk") == F.col("b.__blk"))
@@ -446,11 +454,14 @@ def _jaccard_prefix(sets: DataFrame, id_col: str, threshold: float) -> DataFrame
     )
 
     # -- Exact verification on the surviving candidates --------------------
-    sa = broadcast(
-        sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"), F.col("__len").alias("la"))
+    # Plain equi-joins on id (no broadcast hint): candidates are sparse, the
+    # feature-set side is the full corpus — same sizing rationale as
+    # exact_jaccard above.
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"), F.col("__len").alias("la")
     )
-    sb = broadcast(
-        sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"), F.col("__len").alias("lb"))
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"), F.col("__len").alias("lb")
     )
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     j = inter / (F.col("la") + F.col("lb") - inter)  # |A∪B| = |A|+|B|-|A∩B|
@@ -475,6 +486,7 @@ def drop_near_duplicates(
     lowest-id representative of each duplicate cluster (pairs carry
     id_a < id_b, so min-side survivors are stable without iterative
     connected components — for chains a<b<c both b and c name a smaller
-    partner and drop out). One broadcast anti-join."""
+    partner and drop out). One anti-join on id; Catalyst broadcasts the
+    loser set only while its measured size fits."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(broadcast(losers), id_col, "left_anti")
+    return df.join(losers, id_col, "left_anti")

@@ -20,7 +20,6 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from ..functions.vectors import cosine_similarity, to_double_array
 from ..plans.tuning import ensure_parallelism
@@ -50,18 +49,23 @@ def pairwise_similar(
     from ..functions.vectors import dot_product, l2_norm
 
     # Precompute each vector's norm ONCE (n sqrt-folds) instead of twice per
-    # pair (n^2); broadcast the build side so the tiny block-key cardinality
-    # can't serialize the join onto a handful of cores. Repartition the RAW
-    # vectors BEFORE the norm projection — repartition() sits above its
-    # child, so projecting first would compute every norm inside the
-    # single-split scan stage on one core.
+    # pair (n^2). Repartition the RAW vectors BEFORE the norm projection —
+    # repartition() sits above its child, so projecting first would compute
+    # every norm inside the single-split scan stage on one core.
+    #
+    # No broadcast HINT on either side: the build side is the full dataset,
+    # which only fits executors at small scale. Catalyst's size estimate
+    # auto-broadcasts when it measurably fits (local/small-SF) and otherwise
+    # plans a shuffle join on the __blk equi-key, where AQE's skew-join
+    # splitting keeps low-cardinality blocks parallel. An unconditional hint
+    # here was round-1's scale-killer.
     pre = ensure_parallelism(
         df.select(
             F.col(id_col), F.col(block_col).alias("__blk"), to_double_array(vec_col).alias("__v")
         )
     )
     base = pre.select(F.col(id_col), "__blk", "__v", l2_norm(F.col("__v")).alias("__n"))
-    a, b = base.alias("a"), broadcast(base.alias("b"))
+    a, b = base.alias("a"), base.alias("b")
     raw = dot_product(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
     sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
     return (

@@ -140,6 +140,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
+# The probe vector is a query PARAMETER (vec_id=0's embedding), fetched with
+# a 1-row action; cache it per (session, sf_dir) like catalog does for
+# tables so repeated query builds don't re-run the lookup job.
+_PROBE_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    from ..catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _PROBE_CACHE:
+        e = t(spark, sf_dir, "embeddings")
+        _PROBE_CACHE[key] = [
+            float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]
+        ]
+    return _PROBE_CACHE[key]
+
 
 @register(
     "q_sim_topk",
@@ -155,8 +172,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 vs the vec_id=0 probe. Fold order matches
     DuckDB's list_cosine_similarity bit-for-bit (see functions.vectors)."""
     e = t(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    return brute_force_topk(e, "embedding", "vec_id", probe, k=10)
+    return brute_force_topk(e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10)
 
 
 @register(
@@ -182,8 +198,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH bucketing (+multi-probe) — the
     scale path: candidates shrink ~2^8 with seeded-deterministic planes."""
     e = t(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_topk(e, "embedding", "vec_id", probe, k=10, n_planes=8)
+    return lsh_topk(e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10, n_planes=8)
 
 
 # --------------------------------------------------------------------------
@@ -275,7 +290,6 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     toks = tokenize(F.lower(F.col("text")))
     scores = language_scores(toks)
-    s = {c._jc.toString().split("AS ")[-1].strip("`"): c for c in scores}
     sc = {lang: F.col(f"score_{lang}") for lang in STOPWORDS}
     pred = (
         F.when(
@@ -359,5 +373,6 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
 
     e = t(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(e, "embedding", "vec_id", probe, k=10, n_cells=16, nprobe=3)
+    return ivf_topk(
+        e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10, n_cells=16, nprobe=3
+    )

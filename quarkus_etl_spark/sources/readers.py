@@ -47,8 +47,7 @@ def read_json(
     return reader.options(**options).json(path)
 
 
-def read_jdbc(
-    spark: SparkSession,
+def jdbc_read_options(
     url: str,
     query: str | None = None,
     table: str | None = None,
@@ -59,28 +58,37 @@ def read_jdbc(
     num_partitions: int | None = None,
     fetchsize: int = 2000,
     **options: str,
+) -> dict[str, str]:
+    """Assemble the JDBC reader option map (pure — no live connection), so
+    the transport contract is testable in an image without a driver jar:
+    whole-query pushdown XOR table scan, fetchsize default 2000 (the
+    reference's cursor batch), range-partitioned parallel reads."""
+    if (query is None) == (table is None):
+        raise ValueError("exactly one of query= or table= is required")
+    opts: dict[str, str] = {"url": url, "fetchsize": str(fetchsize)}
+    if driver:
+        opts["driver"] = driver  # A14 engine-by-config
+    if query is not None:
+        opts["query"] = query
+    else:
+        opts["dbtable"] = table  # type: ignore[assignment]
+        if partition_column is not None:
+            opts.update(
+                partitionColumn=partition_column,
+                lowerBound=str(lower_bound),
+                upperBound=str(upper_bound),
+                numPartitions=str(num_partitions or 8),
+            )
+    opts.update(options)
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    **kwargs,
 ) -> DataFrame:
     """Whole-query JDBC pushdown (A1). With `partition_column` bounds, Spark
     issues `num_partitions` range-sliced queries in parallel — the scale
     path the reference's single cursor can't take."""
-    if (query is None) == (table is None):
-        raise ValueError("exactly one of query= or table= is required")
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("fetchsize", str(fetchsize))
-    )
-    if driver:
-        reader = reader.option("driver", driver)  # A14 engine-by-config
-    if query is not None:
-        reader = reader.option("query", query)
-    else:
-        reader = reader.option("dbtable", table)
-        if partition_column is not None:
-            reader = (
-                reader.option("partitionColumn", partition_column)
-                .option("lowerBound", str(lower_bound))
-                .option("upperBound", str(upper_bound))
-                .option("numPartitions", str(num_partitions or 8))
-            )
-    return reader.options(**options).load()
+    return spark.read.format("jdbc").options(**jdbc_read_options(url, **kwargs)).load()

@@ -35,30 +35,39 @@ def write_dataframe(df: DataFrame, target: WriteTarget) -> None:
     writer.save(target.path)
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    batchsize: int = REFERENCE_BATCH_SIZE,
+    driver: str | None = None,
+    **options: str,
+) -> dict[str, str]:
+    """Assemble the JDBC writer option map (pure — no live connection):
+    batchsize defaults to the reference's 2000-row prepared-statement batch
+    (EtlMain.kt:74)."""
+    opts: dict[str, str] = {"url": url, "dbtable": table, "batchsize": str(batchsize)}
+    if driver:
+        opts["driver"] = driver
+    opts.update(options)
+    return opts
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
     table: str,
     mode: str = "append",
-    batchsize: int = REFERENCE_BATCH_SIZE,
-    driver: str | None = None,
     num_partitions: int | None = None,
-    **options: str,
+    **kwargs,
 ) -> None:
     """JDBC batch sink with the reference's 2000-row default (A2/A3).
 
     `num_partitions` caps concurrent connections — the analog of the
     reference's pool max 5 (DatabaseBean.kt:59), but per-partition."""
     out = df.repartition(num_partitions) if num_partitions else df
-    writer = (
-        out.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batchsize))
-    )
-    if driver:
-        writer = writer.option("driver", driver)
-    writer.options(**options).mode(mode).save()
+    out.write.format("jdbc").options(**jdbc_write_options(url, table, **kwargs)).mode(
+        mode
+    ).save()
 
 
 def write_bucketed_table(

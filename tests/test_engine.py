@@ -142,3 +142,88 @@ def test_gen_addresses_deterministic_and_in_pools(spark):
     # different seed -> different content
     c = gen_addresses(spark, n=500, seed=7)
     assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+# --- A1-A3/A13-A14: JDBC transport contract ---------------------------------
+# No JDBC driver jar ships in this image, so the option ASSEMBLY (the part
+# of the transport the reference pins: whole-query pushdown, 2000-row
+# batches, partitioned parallel reads, engine-by-driver-config) is tested
+# structurally; the e2e below skips until a jar appears on the classpath.
+
+
+def test_jdbc_read_options_query_pushdown():
+    from quarkus_etl_spark.sources.readers import jdbc_read_options
+
+    opts = jdbc_read_options("jdbc:postgresql://h/db", query="SELECT * FROM t WHERE x > 5")
+    assert opts["url"] == "jdbc:postgresql://h/db"
+    assert opts["query"] == "SELECT * FROM t WHERE x > 5"  # whole-query pushdown (A1)
+    assert opts["fetchsize"] == "2000"  # reference cursor batch (EtlMain.kt:74)
+    assert "dbtable" not in opts
+
+
+def test_jdbc_read_options_partitioned_table_scan():
+    from quarkus_etl_spark.sources.readers import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:mysql://h/db",
+        table="orders",
+        driver="com.mysql.cj.jdbc.Driver",
+        partition_column="o_orderkey",
+        lower_bound=1,
+        upper_bound=1_000_000,
+        num_partitions=16,
+        fetchsize=5000,
+        sessionInitStatement="SET NAMES utf8",
+    )
+    assert opts["dbtable"] == "orders"
+    assert opts["driver"] == "com.mysql.cj.jdbc.Driver"  # A14 engine-by-config
+    assert (opts["partitionColumn"], opts["lowerBound"], opts["upperBound"]) == (
+        "o_orderkey", "1", "1000000",
+    )
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "5000"
+    assert opts["sessionInitStatement"] == "SET NAMES utf8"  # passthrough
+
+
+def test_jdbc_read_options_requires_exactly_one_source():
+    from quarkus_etl_spark.sources.readers import jdbc_read_options
+
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_read_options("jdbc:h2:mem:x")
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_read_options("jdbc:h2:mem:x", query="SELECT 1", table="t")
+
+
+def test_jdbc_write_options_reference_batch():
+    from quarkus_etl_spark.sources.writers import REFERENCE_BATCH_SIZE, jdbc_write_options
+
+    opts = jdbc_write_options("jdbc:postgresql://h/db", "out_t")
+    assert opts["batchsize"] == str(REFERENCE_BATCH_SIZE) == "2000"  # A2/A3
+    assert opts["dbtable"] == "out_t"
+    custom = jdbc_write_options(
+        "jdbc:h2:mem:x", "t", batchsize=500, driver="org.h2.Driver", isolationLevel="NONE"
+    )
+    assert custom["batchsize"] == "500"
+    assert custom["driver"] == "org.h2.Driver"
+    assert custom["isolationLevel"] == "NONE"
+
+
+def test_jdbc_roundtrip_e2e_when_driver_present(spark, tmp_path):
+    """Live JDBC write->read roundtrip (the reference's whole job,
+    EtlMain.kt:76-108). Skips while the image has no driver jar; lights up
+    the moment one appears on the Spark classpath."""
+    from quarkus_etl_spark.sources.readers import read_jdbc
+    from quarkus_etl_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:h2:{tmp_path}/e2e;MODE=PostgreSQL"
+    df = spark.range(10).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS dbl")
+    try:
+        write_jdbc(df, url, "roundtrip", mode="overwrite", driver="org.h2.Driver")
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        if "ClassNotFoundException" in msg or "No suitable driver" in msg:
+            pytest.skip("no JDBC driver jar on the classpath")
+        raise
+    back = read_jdbc(spark, url, table="roundtrip", driver="org.h2.Driver")
+    assert back.count() == 10
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}

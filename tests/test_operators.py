@@ -56,6 +56,36 @@ def test_asof_join_handpicked(spark):
     assert out["L3"] == (TS(2024, 1, 1, 9, 0), 5.0)  # <= is inclusive
 
 
+def test_asof_join_tiebreak_equal_ts(spark):
+    """Equal right_ts ties resolve to the LARGEST tiebreak, and an
+    equal-timestamp (right_ts == left_ts) right row still matches when a
+    tiebreak is supplied (round-1 advice: the tiebreak used to sort before
+    __side, floating left rows ahead of their inclusive matches)."""
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0), "L1"), (2, TS(2024, 1, 1, 9, 0), "L2")],
+        "k long, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 0), 7, 1.0),   # equal ts, low seq
+            (1, TS(2024, 1, 1, 10, 0), 9, 2.0),   # equal ts, high seq -> wins
+            (1, TS(2024, 1, 1, 8, 0), 99, 0.5),   # earlier, must lose to equal-ts
+            (2, TS(2024, 1, 1, 8, 0), 1, 3.0),
+            (2, TS(2024, 1, 1, 8, 0), 4, 4.0),    # same earlier ts, high seq -> wins
+        ],
+        "k long, ts timestamp_ntz, seq int, v double",
+    )
+    out = {
+        r["tag"]: (r["asof_v"], r["asof_seq"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["v", "seq"], tiebreak="seq",
+        ).collect()
+    }
+    assert out["L1"] == (2.0, 9)
+    assert out["L2"] == (4.0, 4)
+
+
 def test_asof_join_inner_drops_unmatched(spark):
     left = spark.createDataFrame(
         [(1, TS(2024, 1, 1, 8, 0), "early")], "k long, ts timestamp_ntz, tag string"

@@ -67,6 +67,45 @@ def test_python_free_hot_path(spark, sf_dir):
         assert "EvalPython" not in plan, f"Python in hot path:\n{plan}"
 
 
+def test_unbounded_build_sides_never_force_broadcast(spark, sf_dir):
+    """Round-1 scale fix: pairwise_similar / exact-Jaccard verification /
+    blocked n-gram Jaccard used to HINT a broadcast of the full dataset —
+    a guaranteed OOM at cluster scale. With auto-broadcast disabled
+    (simulating 'build side does not fit'), their plans must contain no
+    BroadcastExchange at all and still produce identical results."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.dedup import minhash_near_dup_pairs, ngram_jaccard_pairs
+    from quarkus_etl_spark.operators.similarity import pairwise_similar
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    builders = {
+        "pairwise_similar": lambda: pairwise_similar(
+            emb, "vec_id", "embedding", "label", threshold=0.4
+        ),
+        "ngram_exhaustive": lambda: ngram_jaccard_pairs(
+            docs, "doc_id", "text", "lang", threshold=0.7, strategy="exhaustive"
+        ),
+        "ngram_prefix": lambda: ngram_jaccard_pairs(
+            docs, "doc_id", "text", "lang", threshold=0.7, strategy="prefix"
+        ),
+        "minhash_lsh": lambda: minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.8),
+    }
+
+    baseline = {
+        name: {tuple(r) for r in b().collect()} for name, b in builders.items()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, b in builders.items():
+            df = b()
+            plan = plan_string(df)
+            assert "BroadcastExchange" not in plan, f"{name} forces broadcast:\n{plan}"
+            assert {tuple(r) for r in df.collect()} == baseline[name], name
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Bucketing both sides of a join on the key removes the Exchange from
     the join plan entirely — the 'shuffle paid once at write time' contract
