@@ -124,6 +124,81 @@ def resize_images(df: DataFrame, target_w: int, target_h: int, codec: str = "syn
     )
 
 
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, codec: str = "synthetic"
+) -> DataFrame:
+    """Frame sampling (1 video row -> n_frames frame rows) via mapInPandas —
+    the UDTF-shaped expansion a video pipeline needs before per-frame
+    feature extraction. Frames are evenly spaced over a nominal duration.
+    The synthetic backend derives each frame's bytes deterministically from
+    the payload body; a real backend would seek/decode with ffmpeg here.
+
+    Scale shape: the expansion is per-row and partition-preserving (no
+    shuffle); downstream per-frame work inherits the input partitioning, so
+    fan-out N never concentrates on one executor."""
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r} unavailable (stub environment)")
+
+    out_schema = "media_id long, frame_idx int, frame_ts_ms int, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                ok = raw[:3] == b"SYN" and len(raw) >= 8
+                body = raw[8:] if ok else b""
+                nominal_ms = 1000 * (1 + len(body) % 7)  # synthetic duration
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * nominal_ms // max(n_frames - 1, 1))
+                    # a real decoder would seek to frame_ts_ms; the stub
+                    # rolls the body bytes so frames differ deterministically
+                    out["frame"].append(body[i % max(len(body), 1):] + body[: i % max(len(body), 1)])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(sample, schema=out_schema)
+
+
+FEATURE_DIM = 16
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_cols: tuple[str, ...] = ("media_id",),
+) -> DataFrame:
+    """Feature extraction: binary payload -> fixed-dim float vector
+    (*id_cols, feature array<float>). The synthetic featurizer is an
+    L2-normalized 16-bin byte histogram — deterministic, so tests can pin
+    values; a real backend (CLIP/CNN forward pass) slots into the same
+    Arrow-batched mapInPandas seam with the same output schema, ready for
+    the similarity/dedup operators that consume array<float> columns.
+    `id_cols` pass through, so per-frame featurization keys on
+    (media_id, frame_idx)."""
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    id_fields = df.select(*id_cols).schema.fields
+    out_schema = StructType([*id_fields, StructField("feature", ArrayType(FloatType()))])
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float64")
+                norm = float(np.sqrt((hist * hist).sum()))
+                feats.append((hist / norm if norm else hist).astype("float32"))
+            out = {c: pdf[c] for c in id_cols}
+            out["feature"] = feats
+            yield pd.DataFrame(out)
+
+    return df.select(*id_cols, payload_col).mapInPandas(featurize, schema=out_schema)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-Column stats over binary payloads (no Python): byte length,
     header magic check — the cheap pre-filter before any decode fan-out."""

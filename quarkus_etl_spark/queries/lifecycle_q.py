@@ -140,6 +140,30 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_multimodal_frames")  # mapInPandas synthetic codec → rows-only
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video-pipeline shape end-to-end (north-star multimodal: decode /
+    frame-sample / feature-extract): synthetic media -> per-row frame
+    sampling (1 -> 4 rows, partition-preserving, no shuffle) -> per-frame
+    byte-histogram features keyed (media_id, frame_idx) -> scalar feature
+    summaries (pure Column fold). Deterministic under the synthetic codec —
+    pytest pins values; no SQL oracle because DuckDB can't reproduce the
+    binary codec."""
+    from ..operators.multimodal import extract_features, sample_frames, synthetic_media
+
+    frames = sample_frames(synthetic_media(spark, n=256), n_frames=4)
+    feats = extract_features(frames, payload_col="frame", id_cols=("media_id", "frame_idx"))
+    feat_dbl = F.transform("feature", lambda x: x.cast("double"))
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        F.round(F.aggregate(feat_dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+        F.round(
+            F.sqrt(F.aggregate(feat_dbl, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("feat_norm"),
+    )
+
+
 @register("q_sink_orc", oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders")
 def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + re-read round-trip (connector matrix: parquet/csv/json/orc

@@ -193,6 +193,33 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_similar(e, "vec_id", "embedding", "label", threshold=0.4)
 
 
+@register(
+    "q_dedup_embed",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup (north-star dedup family, 5th member):
+    exact blocked cosine pairs at >= 0.4 resolved to surviving rows —
+    every id that is the greater member of a near-dup pair drops, keeping
+    the lowest-id representative per cluster. Deterministic (the cosine
+    fold matches DuckDB list_cosine_similarity bit-for-bit), so unlike the
+    MinHash/SimHash members this one is fully oracle-checked end-to-end."""
+    from ..operators.dedup import drop_near_duplicates
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=0.4)
+    return drop_near_duplicates(e.select("vec_id", "label"), pairs, "vec_id")
+
+
 @register("q_sim_ann_lsh")  # approximate recall → rows-only
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH bucketing (+multi-probe) — the

@@ -16,6 +16,7 @@ from quarkus_etl_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from quarkus_etl_spark.operators.multimodal import (
+    sample_frames,
     decode_media,
     media_stats,
     resize_images,
@@ -175,6 +176,50 @@ def test_multimodal_real_codec_is_stubbed(spark):
         decode_media(media, codec="pil")
     with pytest.raises(NotImplementedError):
         resize_images(media, 10, 10, codec="ffmpeg")
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, codec="ffmpeg")
+
+
+def test_multimodal_frame_sampling(spark):
+    """1 -> n_frames expansion, deterministic frames, monotone timestamps."""
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 120
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    for mid, fr in per.items():
+        fr.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in fr] == [0, 1, 2, 3]
+        ts = [r["frame_ts_ms"] for r in fr]
+        assert ts == sorted(ts) and ts[0] == 0
+        # frame 0 is the raw body; all frames are rotations of it
+        body = bytes(fr[0]["frame"])
+        assert all(sorted(bytes(r["frame"])) == sorted(body) for r in fr)
+    # deterministic across runs
+    again = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
+             for r in sample_frames(media, n_frames=4).collect()}
+    assert {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in rows} == again
+
+
+def test_multimodal_feature_extraction(spark):
+    """Features are L2-normalized 16-bin histograms keyed by the id cols."""
+    import math
+
+    from quarkus_etl_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    media = synthetic_media(spark, 25)
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert len(feats) == 25
+    for v in feats.values():
+        assert len(v) == FEATURE_DIM
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-5)
+    # composite id pass-through (per-frame featurization)
+    frames = sample_frames(media, n_frames=2)
+    per_frame = extract_features(frames, payload_col="frame", id_cols=("media_id", "frame_idx"))
+    assert per_frame.columns == ["media_id", "frame_idx", "feature"]
+    assert per_frame.count() == 50
 
 
 def test_ngram_jaccard_strategies_agree(spark, sf_dir):
