@@ -1,0 +1,105 @@
+"""Exact distributed percentiles via value histograms.
+
+Spark's built-in exact `percentile` aggregate materializes EVERY value of a
+group inside the aggregation buffer — with low-cardinality group keys (the
+common analytics case) one task holds a whole group's values, which stops
+scaling long before 100 TB. The scale-correct exact plan for discrete-domain
+columns (money-like 2-dp doubles, integer quantities) is a histogram:
+
+1. stack the requested value columns and groupBy (key, col, value) count —
+   map-side combine shrinks the shuffle to |distinct values| per column,
+   not |rows|, and all columns ride ONE shuffle;
+2. cumulative counts over a window ordered by value per (key, col) — over
+   the DISTINCT values only (bounded by the value domain, not data size);
+3. per-(key, col) totals ride the SAME window exchange (an unordered frame
+   over the same partitioning adds no exchange and no extra sort);
+4. rank arithmetic + interpolation — pure column algebra with
+   quantile_cont's exact ulp pattern (lo*(CRN-RN) + hi*(RN-FRN)).
+
+Only the first exchange ever moves row-proportional data, and map-side
+partial aggregation shrinks it to the distinct values before it moves; the
+window and final-aggregate exchanges carry the (domain-bounded) histogram.
+
+For genuinely continuous/unbounded domains the distinct count approaches the
+row count and the sketch path (`approx_percentile`) is the right tool — see
+q_agg_percentile_approx.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_percentiles_multi(
+    df: DataFrame,
+    keys: list[str],
+    specs: dict[str, dict[str, float]],
+) -> DataFrame:
+    """One row per key carrying every requested percentile.
+
+    `specs` maps value_col -> {output alias -> percentile p in [0, 1]}.
+    Exact interpolated (quantile_cont) values, computed from value
+    histograms so no task ever buffers a group's raw rows."""
+    from ..plans.tuning import ensure_parallelism
+
+    cols = list(specs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    # Spread the (projected) raw rows before the stack: the histogram's
+    # map-side partial aggregation is the only row-proportional work in the
+    # plan, and an under-split input would serialize it onto a few cores.
+    stacked = ensure_parallelism(df.select(*keys, *cols)).select(
+        *keys, F.expr(f"stack({len(cols)}, {stack_expr}) AS (__col, __v)")
+    ).where(F.col("__v").isNotNull())
+
+    hist = stacked.groupBy(*keys, "__col", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(*keys, "__col").orderBy("__v")
+    wn = Window.partitionBy(*keys, "__col")
+    # Both frames share one exchange + one sort: wn's required clustering
+    # (keys, __col) is what w already hash-partitions on.
+    joined = (
+        hist.withColumn("__end", F.sum("__c").over(w))
+        .withColumn("__start", F.col("__end") - F.col("__c"))
+        .withColumn("__n", F.sum("__c").over(wn))
+    )
+
+    aggs = []
+    for c, targets in specs.items():
+        for alias, p in targets.items():
+            on_col = F.col("__col") == c
+            r = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+            il = F.floor(r).cast("long")
+            ih = F.ceil(r).cast("long")
+            # index ranges [__start, __end) partition the rank space per
+            # (key, col), so exactly one histogram row covers il (and one
+            # covers ih); max(when(...)) extracts it.
+            lo = F.max(
+                F.when(on_col & (F.col("__start") <= il) & (il < F.col("__end")), F.col("__v"))
+            )
+            hi = F.max(
+                F.when(on_col & (F.col("__start") <= ih) & (ih < F.col("__end")), F.col("__v"))
+            )
+            # quantile_cont's exact arithmetic: lo*(CRN-RN) + hi*(RN-FRN),
+            # with the integral-rank case returned directly (the formula
+            # would give 0 there). The ulp pattern matters: the
+            # algebraically equal lo + (hi-lo)*g differs in the last ulp.
+            rr = F.max(F.when(on_col, r))
+            fl = F.max(F.when(on_col, F.floor(r)))
+            ce = F.max(F.when(on_col, F.ceil(r)))
+            aggs.append(
+                F.when(F.max(F.when(on_col, il)) == F.max(F.when(on_col, ih)), lo)
+                .otherwise(lo * (ce - rr) + hi * (rr - fl))
+                .alias(alias)
+            )
+    return joined.groupBy(*keys).agg(*aggs)
+
+
+def exact_percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Single-column convenience wrapper over exact_percentiles_multi."""
+    return exact_percentiles_multi(df, keys, {value_col: targets})

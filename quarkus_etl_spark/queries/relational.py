@@ -729,14 +729,35 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (sort-based `percentile`, not the
-    approximate sketch): both engines compute (1-g)*lower + g*upper over the
-    same sorted doubles, so values are bit-identical."""
+    """Exact interpolated percentiles (quantile_cont semantics), computed
+    from value histograms (operators/percentile.py) instead of Spark's
+    `percentile` aggregate — whose buffer holds every raw value of a group
+    and therefore cannot scale with low-cardinality keys like l_returnflag.
+    The histogram plan shuffles |distinct values| per key, not |rows|, and
+    produces the same bit-exact (1-g)*lower + g*upper doubles."""
+    from ..operators.percentile import exact_percentiles_multi
+
+    li = t(spark, sf_dir, "lineitem")
+    return exact_percentiles_multi(
+        li,
+        ["l_returnflag"],
+        {
+            "l_quantity": {"median_qty": 0.5},
+            "l_extendedprice": {"p25_price": 0.25, "p90_price": 0.9},
+        },
+    )
+
+
+@register("q_agg_percentile_approx")  # engine-specific sketch → rows-only
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for continuous/unbounded domains where even the
+    distinct-value histogram is large: approx_percentile (KLL-style, bounded
+    memory, one pass). No oracle — the sketch's values are engine-specific;
+    rows-only like the HLL query."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
-        F.percentile("l_extendedprice", F.lit(0.25)).alias("p25_price"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("median_price"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
     )
 
 

@@ -41,6 +41,8 @@ def test_registry_is_superset_with_oracles():
         "q_sim_ann_ivf",  # approximate recall
         "q_gen_addresses",  # engine-hash generator
         "q_sample",  # engine-specific PRNG
+        "q_agg_percentile_approx",  # KLL-style sketch
+        "q_multimodal_frames",  # deterministic stub decode (no codecs in image)
     }
     assert rows_only <= allowed_rows_only, rows_only
 

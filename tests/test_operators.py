@@ -308,3 +308,31 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             assert have is None, (lid, have, want)
         else:
             assert have == want, (lid, have, want)
+
+
+def test_exact_percentiles_edges(spark):
+    """Histogram percentiles match statistics.quantiles-style quantile_cont
+    on hand-checked edges: integral ranks, p=0/1, duplicated values,
+    single-row groups."""
+    from quarkus_etl_spark.operators.percentile import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("a", 10.0), ("b", 7.5)],
+        "k string, v double",
+    )
+    out = {
+        r["k"]: r
+        for r in exact_percentiles(
+            df, ["k"], "v", {"p0": 0.0, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p100": 1.0}
+        ).collect()
+    }
+    # group a sorted: [1, 2, 2, 4, 10]; r = p*(n-1) over n=5
+    assert out["a"]["p0"] == 1.0          # r=0 integral
+    assert out["a"]["p25"] == 2.0         # r=1 integral (duplicate value)
+    assert out["a"]["p50"] == 2.0         # r=2 integral
+    assert out["a"]["p75"] == 4.0         # r=3 integral -> vals[3]
+    assert out["a"]["p100"] == 10.0       # top rank, hi absent
+    assert out["b"]["p50"] == 7.5         # single-row group
+    # fractional rank: p=0.6 -> r=2.4 -> 2*(3-2.4) + 4*(2.4-2) = 2.8
+    frac = exact_percentiles(df, ["k"], "v", {"p60": 0.6}).where(F.col("k") == "a").first()
+    assert abs(frac["p60"] - 2.8) < 1e-12
