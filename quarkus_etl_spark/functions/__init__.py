@@ -11,4 +11,11 @@ from .text import (  # noqa: F401
     quality_score,
     tokenize,
 )
-from .vectors import cosine_similarity, dot_product, l2_norm, to_double_array  # noqa: F401
+from .vectors import (  # noqa: F401
+    const_vec,
+    cosine_similarity,
+    cosine_to_const,
+    dot_product,
+    l2_norm,
+    to_double_array,
+)

@@ -43,3 +43,33 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     self-similarity to 1.0000000000000002, which DuckDB clips."""
     raw = dot_product(a, b) / (l2_norm(a) * l2_norm(b))
     return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+
+
+def const_vec(vec: list[float]) -> Column:
+    """A constant vector as ONE Literal node (array<double>).
+
+    Building it as `F.array(F.lit(x), ...)` creates dim+1 expression nodes
+    per use — with 16 centroids x 64 dims that's thousands of nodes, and
+    Catalyst analysis + whole-stage codegen compile time (a per-QUERY fixed
+    cost, pure overhead for short interactive queries) grows with tree
+    size. A single Literal carries the same ArrayData at O(1) tree size."""
+    return F.lit([float(x) for x in vec])
+
+
+def py_l2_norm(vec: list[float]) -> float:
+    """Driver-side ||v||, bit-identical to `l2_norm` on the same values:
+    Python `sum` and the Catalyst fold both accumulate left-to-right over
+    IEEE doubles, and both sqrts are correctly rounded."""
+    import math
+
+    return math.sqrt(sum(float(x) * float(x) for x in vec))
+
+
+def cosine_to_const(a: Column, vec: list[float], a_norm: Column | None = None) -> Column:
+    """cosine_similarity against a constant vector, with the constant's
+    norm folded at plan-build time (per-row work halves: one zip_with fold
+    + the row norm instead of three folds). Pass `a_norm` to reuse an
+    already-computed row norm across many constants (IVF scoring)."""
+    na = l2_norm(a) if a_norm is None else a_norm
+    raw = dot_product(a, const_vec(vec)) / (na * F.lit(py_l2_norm(vec)))
+    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))

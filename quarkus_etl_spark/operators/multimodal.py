@@ -47,8 +47,12 @@ def make_synthetic_payload(media_id: int, kind: int, w: int, h: int) -> bytes:
     return b"SYN" + struct.pack(">BHH", kind, w, h) + body
 
 
-def synthetic_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic media table for tests/benches: id -> payload+meta."""
+def synthetic_media(spark, n: int = 100, partitions: int | None = None) -> DataFrame:
+    """Deterministic media table for tests/benches: id -> payload+meta.
+
+    `partitions` caps the task count: every mapInPandas partition costs a
+    Python worker, so a tiny media table spread over defaultParallelism
+    partitions pays ~3x worker spawns per row batch for nothing."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,7 +74,8 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
             }
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    rng = spark.range(n, numPartitions=partitions) if partitions else spark.range(n)
+    return rng.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def decode_media(df: DataFrame, codec: str = "synthetic") -> DataFrame:
@@ -197,6 +202,51 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return df.select(*id_cols, payload_col).mapInPandas(featurize, schema=out_schema)
+
+
+def video_features(
+    df: DataFrame, n_frames: int = 4, codec: str = "synthetic"
+) -> DataFrame:
+    """Fused frame-sample + featurize: ONE Arrow stage from video payload to
+    (media_id, frame_idx, frame_ts_ms, feature).
+
+    `sample_frames` |> `extract_features` is the composable form, but each
+    mapInPandas is its own Python-worker stage, and the intermediate frame
+    BYTES cross the Arrow boundary twice. A production video pipeline
+    decodes and featurizes in the same process pass precisely to avoid
+    re-serializing frames; this operator is that pass — same per-frame
+    results as the two-stage composition (pytest pins parity), one worker
+    chain, frames never leave Python."""
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r} unavailable (stub environment)")
+
+    import numpy as np
+
+    out_schema = (
+        "media_id long, frame_idx int, frame_ts_ms int, feature array<float>"
+    )
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "feature": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                ok = raw[:3] == b"SYN" and len(raw) >= 8
+                body = raw[8:] if ok else b""
+                nominal_ms = 1000 * (1 + len(body) % 7)
+                for i in range(n_frames):
+                    roll = i % max(len(body), 1)
+                    frame = body[roll:] + body[:roll]
+                    arr = np.frombuffer(frame, dtype=np.uint8)
+                    hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float64")
+                    norm = float(np.sqrt((hist * hist).sum()))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * nominal_ms // max(n_frames - 1, 1))
+                    out["feature"].append((hist / norm if norm else hist).astype("float32"))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(fused, schema=out_schema)
 
 
 def media_stats(df: DataFrame) -> DataFrame:

@@ -18,15 +18,11 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, to_double_array
+from ..functions.vectors import const_vec, cosine_to_const, to_double_array
 from ..plans.tuning import ensure_parallelism
-
-
-def _probe_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
 
 
 def brute_force_topk(
@@ -34,7 +30,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine vs `probe`, deterministic tiebreak on id."""
     v = to_double_array(vec_col)
-    sim = cosine_similarity(v, _probe_lit(probe))
+    sim = cosine_to_const(v, probe)
     return (
         ensure_parallelism(df).select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -98,7 +94,7 @@ def add_lsh_bucket(
     bucket = None
     for i, p in enumerate(planes):
         dot = F.aggregate(
-            F.zip_with(v, _probe_lit(p), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            F.zip_with(v, const_vec(p), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
         bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("int")
         bucket = bit if bucket is None else bucket + bit
@@ -134,7 +130,7 @@ def lsh_topk(
     bucketed = add_lsh_bucket(df, vec_col, planes)
     cands = bucketed.where(F.col("bucket").isin(probe_buckets))
     v = to_double_array(vec_col)
-    sim = cosine_similarity(v, _probe_lit(probe))
+    sim = cosine_to_const(v, probe)
     return (
         cands.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -168,10 +164,19 @@ def add_ivf_cell(
     """Assign each vector to its max-cosine centroid — pure Column algebra:
     build the score array, take array_position of its max. Ties resolve to
     the lowest cell id (array_position finds the first occurrence)."""
+    from ..functions.vectors import l2_norm
+
     v = to_double_array(vec_col)
-    scores = F.array(*[cosine_similarity(v, _probe_lit(c)) for c in centroids])
+    # The row norm is shared by every centroid score: compute it once per
+    # row (a named column, not a repeated subtree) so scoring n_cells
+    # centroids costs n_cells dot-folds + ONE norm-fold, and the expression
+    # tree stays linear in n_cells (fast analysis/codegen).
+    nv = l2_norm(v)
+    scores = F.array(*[cosine_to_const(v, c, a_norm=F.col("__nv")) for c in centroids])
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return df.withColumn(out_col, cell)
+    return (
+        df.withColumn("__nv", nv).withColumn(out_col, cell).drop("__nv")
+    )
 
 
 def _probe_cells(probe: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
@@ -204,7 +209,7 @@ def ivf_topk(
     cells = _probe_cells(probe, cents, nprobe)
     bucketed = add_ivf_cell(ensure_parallelism(df), vec_col, cents)
     cands = bucketed.where(F.col("cell").isin(cells))
-    sim = cosine_similarity(to_double_array(vec_col), _probe_lit(probe))
+    sim = cosine_to_const(to_double_array(vec_col), probe)
     return (
         cands.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())

@@ -1,0 +1,119 @@
+"""Time-series operators: sessionization, time bucketing, gap-fill, and
+bucketed interval (range) joins.
+
+The reference engine's query surface is plain SQL over an RDBMS (reference
+EtlMain.kt:103-108), so these go beyond it — they are the time-series半
+operators a training-data / event-analytics pipeline needs, expressed
+Spark-first:
+
+- `sessionize`: ONE hash shuffle by the session keys; the gap detector
+  (lag) and the session counter (running sum) share a single window
+  partitioning + sort, so Catalyst plans one Exchange + one Sort total.
+- `time_bucket`: pure column algebra (integer div on epoch micros) —
+  bucket assignment never shuffles and survives whole-stage codegen.
+- `gapfill`: the dense calendar is generated from a 1-row bounds
+  aggregate (`sequence` + `explode`), then joined to the *aggregated*
+  buckets — row-proportional data is touched exactly once, upstream.
+- `interval_join`: the scale-safe range join. A naive theta join
+  (`r.ts BETWEEN l.ts - W AND l.ts`) degenerates to a per-key cross
+  product; bucketing time into width-W cells and replicating the RIGHT
+  side into (cell, cell+1) turns it into an equi-join on (key, cell) with
+  a cheap range refine — work is bounded by events-per-window, not
+  events-per-key², and AQE can split skewed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+US = 1_000_000  # microseconds per second
+
+
+def time_bucket(ts_col: str, width_s: int) -> Column:
+    """Floor a timestamp column to a width_s-second grid (epoch-aligned).
+
+    Integer `div` on epoch microseconds — exact for any width, unlike a
+    double division; stays inside whole-stage codegen."""
+    w = width_s * US
+    return F.expr(f"timestamp_micros((unix_micros({ts_col}) div {w}) * {w})")
+
+
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_s: int,
+    tiebreak: list[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign an ordinal session id per key: a new session starts when the
+    gap to the previous event exceeds gap_s seconds.
+
+    Both window passes (lag for the gap, running sum for the counter) use
+    the same partitioning and sort, so the whole operator costs one
+    shuffle + one sort regardless of data size. Ordering carries a caller
+    tiebreak so equal timestamps are deterministic."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > gap_s * US), F.lit(1)).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(is_new).over(running))
+
+
+def gapfill(
+    agg: DataFrame,
+    bucket_col: str,
+    step: str,
+    dims: list[str],
+    fills: dict[str, Column],
+) -> DataFrame:
+    """Densify a bucketed aggregate: emit one row per (grid bucket × dim
+    combination), filling absent cells from `fills` (col -> default).
+
+    `step` is a Spark interval body, e.g. "15 MINUTES". The grid comes
+    from a single-row min/max aggregate — safe at any scale — and the
+    join runs against data that aggregation already shrank."""
+    bounds = agg.agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))).alias(bucket_col)
+    )
+    dense = grid.crossJoin(agg.select(*dims).distinct()) if dims else grid
+    out = dense.join(agg, [bucket_col, *dims], "left")
+    keep = [bucket_col, *dims]
+    filled = [F.coalesce(F.col(c), d).alias(c) for c, d in fills.items()]
+    return out.select(*keep, *filled)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join right rows whose timestamp falls in [left_ts - window_s,
+    left_ts) for the same key — the attribution/feature-window join.
+
+    Plan shape: bucket both sides into width-window_s cells; a right row
+    in cell b can only match left rows in cells {b, b+1}, so the right
+    side is replicated exactly 2x into those cells and the join becomes an
+    EQUI-join on (keys…, cell) with the range predicate as a refine. The
+    shuffle moves 2|R| + |L| rows partitioned by (key, cell) — bounded and
+    skew-splittable — where the theta form would nested-loop per key.
+    Right columns must not collide with left's (pre-alias them)."""
+    w_us = window_s * US
+    lb = F.expr(f"unix_micros({left_ts}) div {w_us}")
+    rb = F.expr(f"unix_micros({right_ts}) div {w_us}")
+    lhs = left.withColumn("__cell", lb)
+    rhs = right.withColumn("__cell", F.explode(F.array(rb, rb + F.lit(1))))
+    refine = (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {window_s} SECONDS")) & (
+        F.col(right_ts) < F.col(left_ts)
+    )
+    cond = [lhs[k] == rhs[k] for k in keys] + [lhs["__cell"] == rhs["__cell"], refine]
+    joined = lhs.join(rhs, cond, how)
+    return joined.drop(rhs.__cell).drop("__cell").drop(*[rhs[k] for k in keys])

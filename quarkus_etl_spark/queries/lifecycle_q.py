@@ -149,10 +149,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries (pure Column fold). Deterministic under the synthetic codec —
     pytest pins values; no SQL oracle because DuckDB can't reproduce the
     binary codec."""
-    from ..operators.multimodal import extract_features, sample_frames, synthetic_media
+    from ..operators.multimodal import synthetic_media, video_features
 
-    frames = sample_frames(synthetic_media(spark, n=256), n_frames=4)
-    feats = extract_features(frames, payload_col="frame", id_cols=("media_id", "frame_idx"))
+    # Fused decode->sample->featurize (one Python stage; see
+    # operators/multimodal.py::video_features) over 8 partitions — a
+    # 256-row media table spread across defaultParallelism would spawn ~3x
+    # the Python workers to process 8 rows each.
+    feats = video_features(synthetic_media(spark, n=256, partitions=8), n_frames=4)
     feat_dbl = F.transform("feature", lambda x: x.cast("double"))
     return feats.select(
         "media_id",

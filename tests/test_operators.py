@@ -336,3 +336,32 @@ def test_exact_percentiles_edges(spark):
     # fractional rank: p=0.6 -> r=2.4 -> 2*(3-2.4) + 4*(2.4-2) = 2.8
     frac = exact_percentiles(df, ["k"], "v", {"p60": 0.6}).where(F.col("k") == "a").first()
     assert abs(frac["p60"] - 2.8) < 1e-12
+
+
+def test_video_features_fused_matches_two_stage(spark):
+    """The fused sample+featurize operator returns exactly what the
+    composable sample_frames |> extract_features pipeline returns."""
+    from quarkus_etl_spark.operators.multimodal import (
+        extract_features,
+        video_features,
+    )
+
+    media = synthetic_media(spark, 20)
+    fused = {
+        (r["media_id"], r["frame_idx"]): (r["frame_ts_ms"], list(r["feature"]))
+        for r in video_features(media, n_frames=4).collect()
+    }
+    frames = sample_frames(media, n_frames=4)
+    ts = {
+        (r["media_id"], r["frame_idx"]): r["frame_ts_ms"] for r in frames.collect()
+    }
+    staged = {
+        (r["media_id"], r["frame_idx"]): list(r["feature"])
+        for r in extract_features(
+            frames, payload_col="frame", id_cols=("media_id", "frame_idx")
+        ).collect()
+    }
+    assert set(fused) == set(staged) and len(fused) == 80
+    for key, (fts, fvec) in fused.items():
+        assert fts == ts[key]
+        assert fvec == staged[key]
