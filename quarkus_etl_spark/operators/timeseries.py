@@ -2,7 +2,7 @@
 bucketed interval (range) joins.
 
 The reference engine's query surface is plain SQL over an RDBMS (reference
-EtlMain.kt:103-108), so these go beyond it — they are the time-series半
+EtlMain.kt:103-108), so these go beyond it — they are the time-series
 operators a training-data / event-analytics pipeline needs, expressed
 Spark-first:
 
@@ -31,13 +31,27 @@ from pyspark.sql.window import Window
 US = 1_000_000  # microseconds per second
 
 
+def _epoch_us_sql(ts_col: str) -> str:
+    """Epoch-microseconds SQL for a timestamp column that may be NTZ (the
+    catalog stores event time as TIMESTAMP_NTZ to mirror portable/oracle
+    semantics). `unix_micros` needs an instant; the session runs UTC, so
+    the NTZ->TIMESTAMP cast is value-preserving."""
+    return f"unix_micros(cast({ts_col} as timestamp))"
+
+
+def _epoch_us(c) -> "Column":
+    return F.unix_micros((F.col(c) if isinstance(c, str) else c).cast("timestamp"))
+
+
 def time_bucket(ts_col: str, width_s: int) -> Column:
     """Floor a timestamp column to a width_s-second grid (epoch-aligned).
 
     Integer `div` on epoch microseconds — exact for any width, unlike a
     double division; stays inside whole-stage codegen."""
     w = width_s * US
-    return F.expr(f"timestamp_micros((unix_micros({ts_col}) div {w}) * {w})")
+    return F.expr(
+        f"cast(timestamp_micros(({_epoch_us_sql(ts_col)} div {w}) * {w}) as timestamp_ntz)"
+    )
 
 
 def sessionize(
@@ -57,7 +71,7 @@ def sessionize(
     tiebreak so equal timestamps are deterministic."""
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    gap_us = _epoch_us(ts_col) - _epoch_us(F.lag(ts_col).over(w))
     is_new = F.when(gap_us.isNull() | (gap_us > gap_s * US), F.lit(1)).otherwise(F.lit(0))
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col, F.sum(is_new).over(running))
@@ -107,8 +121,8 @@ def interval_join(
     skew-splittable — where the theta form would nested-loop per key.
     Right columns must not collide with left's (pre-alias them)."""
     w_us = window_s * US
-    lb = F.expr(f"unix_micros({left_ts}) div {w_us}")
-    rb = F.expr(f"unix_micros({right_ts}) div {w_us}")
+    lb = F.expr(f"{_epoch_us_sql(left_ts)} div {w_us}")
+    rb = F.expr(f"{_epoch_us_sql(right_ts)} div {w_us}")
     lhs = left.withColumn("__cell", lb)
     rhs = right.withColumn("__cell", F.explode(F.array(rb, rb + F.lit(1))))
     refine = (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {window_s} SECONDS")) & (

@@ -16,6 +16,7 @@ _MODULES = (
     "streaming_q",
     "lifecycle_q",
     "northstar_q",
+    "timeseries_q",
 )
 
 _loaded = False

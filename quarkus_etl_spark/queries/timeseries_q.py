@@ -1,0 +1,275 @@
+"""Time-series / event-analytics queries (beyond the reference's SQL
+surface; operators in operators/timeseries.py): sessionization, hierarchical
+time-bucket rollup, gap-fill, interval (attribution) join, range-frame
+moving aggregates, and portable hash sampling.
+
+Cross-engine determinism notes:
+- Gap arithmetic runs on epoch MICROSECONDS (`unix_micros` / `epoch_us`) —
+  the fixtures carry sub-second timestamps, so second-resolution casts
+  would merge distinct instants.
+- Money sums ride DECIMAL(18,2) and cast back to double (base.dsum), so
+  partial-aggregation order never shows in the hash.
+- DuckDB `sum(BIGINT/INTEGER)` returns HUGEINT; every oracle casts those
+  back to BIGINT to match Spark's long.
+- DuckDB `date_trunc('day', ts)` returns DATE (Spark: TIMESTAMP) — oracles
+  cast back to TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import dec2, dsum, register, t
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM seq
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min inactivity gap splits a user's events
+    into sessions; one summary row per session. The operator costs exactly
+    one shuffle (hash by user) + one sort — the lag gap-detector and the
+    running session counter share a single window spec — and the session
+    summary groupBy reuses that clustering. Tiebreak on event_id makes
+    equal-timestamp ordering deterministic."""
+    from ..operators.timeseries import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_s=1800, tiebreak=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+@register(
+    "q_time_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS total_dec
+        FROM events GROUP BY 1, 2
+    ), daily AS (
+        SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket, event_type,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               sum(total_dec) AS total_dec
+        FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS level, bucket, event_type, n_events,
+           CAST(total_dec AS DOUBLE) AS total_value FROM hourly
+    UNION ALL
+    SELECT 'day' AS level, bucket, event_type, n_events,
+           CAST(total_dec AS DOUBLE) AS total_value FROM daily
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hourly aggregates, then DAILY
+    REAGGREGATED FROM THE HOURLY (the continuous-aggregate pattern — the
+    raw table is touched once; each coarser resolution reduces the finer
+    one, which is how a 100 TB hypertable maintains month/year rollups
+    without rescanning events). Decimal partials keep the reaggregation
+    exact, so daily == direct-from-raw bit-for-bit."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).alias("total_dec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_dec").alias("total_dec"),
+    )
+    out_cols = [
+        "level",
+        "bucket",
+        "event_type",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    ]
+    return (
+        hourly.withColumn("level", F.lit("hour")).select(*out_cols)
+        .unionAll(daily.withColumn("level", F.lit("day")).select(*out_cols))
+    )
+
+
+@register(
+    "q_time_gapfill",
+    oracle="""
+    WITH c AS (
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT unnest(generate_series((SELECT min(bucket) FROM c),
+                                      (SELECT max(bucket) FROM c),
+                                      INTERVAL 15 MINUTE)) AS bucket
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.bucket, ty.event_type,
+           COALESCE(c.n_events, 0) AS n_events,
+           COALESCE(c.total_value, 0.0) AS total_value
+    FROM grid g
+    CROSS JOIN types ty
+    LEFT JOIN c ON c.bucket = g.bucket AND c.event_type = ty.event_type
+    """,
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 15-minute series per event type: every (grid bucket x
+    type) cell appears, absent cells zero-filled — what a dashboard or a
+    downstream ML feature join needs from a sparse event stream. The dense
+    calendar derives from a 1-row bounds aggregate; all joins run on
+    already-aggregated data (see operators/timeseries.py::gapfill)."""
+    from ..operators.timeseries import gapfill, time_bucket
+
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        time_bucket("ts", 900).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+    return gapfill(
+        counts,
+        "bucket",
+        "15 MINUTES",
+        dims=["event_type"],
+        fills={"n_events": F.lit(0), "total_value": F.lit(0.0)},
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, value FROM events WHERE event_type IN ('view', 'click'))
+    SELECT p.event_id, p.user_id, p.ts,
+           count(v.ts) AS n_touches,
+           CAST(COALESCE(sum(CAST(v.value AS DECIMAL(18,2))), 0.00) AS DOUBLE)
+               AS touch_value
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join: for each purchase, the view/click touches
+    by the same user in the preceding hour. The SQL form is a theta join
+    (per-key cross product); the operator runs it as a bucketed EQUI-join
+    on (user, time-cell) with 2x replication of the touch side — shuffle
+    volume 2|R|+|L|, skew-splittable by AQE
+    (operators/timeseries.py::interval_join)."""
+    from ..operators.timeseries import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("value").alias("t_value"),
+    )
+    joined = interval_join(
+        purchases.withColumnRenamed("user_id", "p_user"),
+        touches.withColumnRenamed("t_user", "p_user"),
+        keys=["p_user"],
+        left_ts="ts",
+        right_ts="t_ts",
+        window_s=3600,
+        how="left",
+    )
+    return joined.groupBy("event_id", F.col("p_user").alias("user_id"), "ts").agg(
+        F.count("t_ts").alias("n_touches"),
+        F.coalesce(F.sum(dec2("t_value")), F.lit(0).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("touch_value"),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_7d,
+           count(*) OVER w AS n_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer: a RANGE frame over the order
+    DATE (value-based, so same-day orders are peers and the result is
+    order-independent — a ROWS frame would be nondeterministic under ties).
+    One shuffle by customer; the frame scan is linear per partition."""
+    o = t(spark, sf_dir, "orders")
+    # o_orderdate is a midnight-pure TIMESTAMP_NTZ; day-number ordering
+    # gives the same frame membership as the oracle's interval RANGE.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)),
+                 1, 2) < '1a'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE deterministic sampling: keep a row iff the md5 of its
+    primary key starts below 0x1a (~10.2%). Unlike q_sample (engine PRNG,
+    rows-only check), the md5-of-key predicate computes identically in any
+    engine — the pattern to use when a sample must be reproducible across
+    systems (e.g. carving a held-out eval split from a 100 TB corpus and
+    re-deriving it in another stack). Embarrassingly parallel: no shuffle,
+    filter runs at scan."""
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.where(
+        F.substring(F.md5(F.encode(key, "UTF-8")), 1, 2) < "1a"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")

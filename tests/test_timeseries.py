@@ -1,0 +1,109 @@
+"""Time-series operator tests: sessionize gap edges, interval_join parity
+with the naive theta join, gapfill completeness, time_bucket alignment."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from quarkus_etl_spark.operators.timeseries import (
+    gapfill,
+    interval_join,
+    sessionize,
+    time_bucket,
+)
+
+
+def ts(minute: float, hour: int = 12) -> dt.datetime:
+    whole = int(minute)
+    micros = int(round((minute - whole) * 60 * 1_000_000))
+    return dt.datetime(2024, 3, 1, hour, 0) + dt.timedelta(minutes=whole, microseconds=micros)
+
+
+@pytest.fixture(scope="module")
+def eventlog(spark):
+    rows = [
+        # user 1: two sessions (gap of exactly 30min does NOT split; >30 does)
+        (1, 1, ts(0), 1.0),
+        (2, 1, ts(30), 1.0),     # gap == 1800s -> same session
+        (3, 1, ts(61), 1.0),     # gap 31min -> new session
+        # user 2: equal timestamps ordered by the tiebreak, single session
+        (4, 2, ts(5), 1.0),
+        (5, 2, ts(5), 1.0),
+        # user 3: lone event
+        (6, 3, ts(50), 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+
+
+def test_sessionize_gap_semantics(eventlog):
+    out = sessionize(eventlog, ["user_id"], "ts", gap_s=1800, tiebreak=["event_id"])
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got[1] == 1 and got[2] == 1      # 30min gap inclusive
+    assert got[3] == 2                      # 31min gap opens session 2
+    assert got[4] == 1 and got[5] == 1      # ties share a session
+    assert got[6] == 1                      # first event always session 1
+
+
+def test_sessionize_single_shuffle(eventlog):
+    plan = sessionize(
+        eventlog, ["user_id"], "ts", gap_s=1800, tiebreak=["event_id"]
+    )._sc is not None and sessionize(
+        eventlog, ["user_id"], "ts", gap_s=1800, tiebreak=["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Bucketed interval_join == naive theta join on a randomized log."""
+    import random
+
+    rng = random.Random(7)
+    left = [(i, i % 5, ts(rng.uniform(0, 600))) for i in range(80)]
+    right = [(1000 + i, i % 5, ts(rng.uniform(0, 600)), float(i)) for i in range(300)]
+    ldf = spark.createDataFrame(left, "lid long, k long, lts timestamp_ntz")
+    rdf = spark.createDataFrame(right, "rid long, k long, rts timestamp_ntz, v double")
+
+    w_s = 900  # 15 min window
+    fast = interval_join(ldf, rdf, ["k"], "lts", "rts", window_s=w_s, how="inner")
+    got = {(r["lid"], r["rid"]) for r in fast.collect()}
+
+    naive = ldf.join(
+        rdf.withColumnRenamed("k", "rk"),
+        (F.col("k") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts") - F.expr(f"INTERVAL {w_s} SECONDS"))
+        & (F.col("rts") < F.col("lts")),
+    )
+    want = {(r["lid"], r["rid"]) for r in naive.collect()}
+    assert got == want and len(want) > 100
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    ldf = spark.createDataFrame([(1, 1, ts(0))], "lid long, k long, lts timestamp_ntz")
+    rdf = spark.createDataFrame(
+        [(9, 1, ts(300), 2.0)], "rid long, k long, rts timestamp_ntz, v double"
+    )  # right AFTER left -> no match
+    out = interval_join(ldf, rdf, ["k"], "lts", "rts", window_s=900, how="left").collect()
+    assert len(out) == 1 and out[0]["rid"] is None
+
+
+def test_time_bucket_and_gapfill(spark):
+    df = spark.createDataFrame(
+        [(1, ts(1), "a"), (2, ts(16), "a"), (3, ts(46), "a"), (4, ts(1), "b")],
+        "id long, ts timestamp_ntz, grp string",
+    )
+    agg = df.groupBy(time_bucket("ts", 900).alias("bucket"), "grp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = gapfill(agg, "bucket", "15 MINUTES", ["grp"], {"n": F.lit(0)})
+    rows = dense.collect()
+    # grid: 12:00 -> 12:45 = 4 buckets x 2 groups = 8 cells
+    assert len(rows) == 8
+    got = {(r["bucket"].minute, r["grp"]): r["n"] for r in rows}
+    assert got[(0, "a")] == 1 and got[(15, "a")] == 1 and got[(45, "a")] == 1
+    assert got[(30, "a")] == 0              # the gap, zero-filled
+    assert got[(0, "b")] == 1 and got[(15, "b")] == 0
