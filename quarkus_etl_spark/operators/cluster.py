@@ -1,0 +1,93 @@
+"""Connected components over candidate-pair graphs — the clustering step of
+a dedup pipeline (near-dup PAIRS -> duplicate GROUPS -> one keeper per
+group).
+
+Spark-first iterative design (no GraphFrames dependency):
+
+- labels start as each node's own id; every round each node takes the min
+  label over itself and its neighbors (one shuffle join + groupBy), then a
+  pointer-jump round (label := label(label)) doubles propagation distance,
+  giving O(log diameter) convergence on chain-shaped clusters instead of
+  O(diameter).
+- every round ends in `localCheckpoint` — iterative plans otherwise grow a
+  lineage Catalyst re-analyzes each round (planning cost explodes by ~10
+  rounds) and re-executes from the source on failure.
+- convergence is detected with a count of changed labels (one extra action
+  per round, on the already-checkpointed frame).
+
+At 100 TB the same loop holds: each round is a self-equi-join shuffle on
+node id (AQE-splittable), state is one (node, label) row per node, and
+round count is logarithmic in the largest cluster's diameter — dedup
+clusters are near-cliques, so 2-4 rounds in practice. This is the
+hash-to-min algorithm; GraphFrames' large-star/small-star is the same idea
+with a different edge rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`; component is
+    the smallest node id reachable via pair edges (deterministic)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
+
+    for _ in range(max_iter):
+        # Round 1: neighbor min — comp(u) := min(comp(u), min comp(v) over edges)
+        neigh = (
+            edges.join(labels.select(F.col("u").alias("v"), F.col("comp").alias("vc")), "v")
+            .groupBy("u")
+            .agg(F.min("vc").alias("nc"))
+        )
+        stepped = labels.join(neigh, "u", "left").select(
+            "u", F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp")
+        )
+        # Round 2: pointer jump — comp(u) := comp(comp(u)). Labels are node
+        # ids, so the label table maps a label to ITS label; one extra join
+        # halves the remaining propagation rounds.
+        jumped = stepped.join(
+            stepped.select(F.col("u").alias("comp"), F.col("comp").alias("jc")),
+            "comp",
+            "left",
+        ).select("u", F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))).alias("comp"))
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every clustered row except its component's min-id canonical:
+    the end-to-end near-dedup contract (pairs in, deduplicated table out).
+    Rows never appearing in `pairs` are kept untouched."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -136,6 +136,79 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
 
 
+# Shared CTE text: the q_dedup_ngram pair graph, then connected components
+# via transitive closure (the recursive CTE is DuckDB's way to express what
+# the Spark side computes iteratively — hash-to-min label propagation,
+# operators/cluster.py). An oracle for an ITERATIVE algorithm: rare, so
+# worth the long SQL.
+_CLUSTER_CTES = """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i+1])) AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ), comp AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+"""
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=_CLUSTER_CTES + "SELECT doc_id, cluster_id FROM comp",
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate GROUPS: connected components over the
+    oracle-checked bigram-Jaccard pair graph; cluster id = min doc_id in
+    the component (deterministic on both engines)."""
+    from ..operators.cluster import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=_CLUSTER_CTES
+    + """
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dedup contract: keep each cluster's min-doc_id
+    canonical, drop the other members, pass untouched rows through — what
+    a training-data pipeline actually ships downstream."""
+    from ..operators.cluster import dedup_keep_canonical
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    return dedup_keep_canonical(
+        d.select("doc_id", "lang", "n_chars"), pairs, "doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -14,5 +14,6 @@ from .streams import (  # noqa: F401
     run_stream_to_memory,
     sessionized_stream,
     stream_etl_job,
+    stream_stream_interval_join,
     tumbling_stream,
 )

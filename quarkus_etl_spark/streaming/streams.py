@@ -178,3 +178,30 @@ def running_user_totals(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within (left_ts - window,
+    left_ts] for the same key — the streaming form of the batch
+    interval/attribution join (operators/timeseries.py::interval_join).
+
+    Both inputs MUST be watermarked: the time-range condition plus the two
+    watermarks is what lets the engine expire buffered rows (state stays
+    bounded by watermark + window). Without the range bound Spark would
+    have to keep every right row forever to honor future left arrivals."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] > lw[left_ts] - F.expr(f"INTERVAL {window}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

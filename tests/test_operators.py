@@ -365,3 +365,33 @@ def test_video_features_fused_matches_two_stage(spark):
     for key, (fts, fvec) in fused.items():
         assert fts == ts[key]
         assert fvec == staged[key]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 12-node chain (worst-case diameter), a triangle, and a lone pair
+    all collapse to min-id components; pointer jumping converges the chain
+    well inside the iteration cap."""
+    from quarkus_etl_spark.operators.cluster import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)]        # 100-...-111
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pair = [(50, 51)]
+    pairs = spark.createDataFrame(chain + tri + pair, "id_a long, id_b long")
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert all(comp[n] == 100 for n in range(100, 112))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[50] == comp[51] == 50
+    assert len(comp) == 12 + 3 + 2
+
+
+def test_dedup_keep_canonical(spark):
+    from quarkus_etl_spark.operators.cluster import dedup_keep_canonical
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(1, 8)], "id long, s string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    kept = sorted(r["id"] for r in dedup_keep_canonical(df, pairs, "id").collect())
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 untouched
+    assert kept == [1, 4, 5, 7]

@@ -171,3 +171,42 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert late_window.where(F.col("cnt") > 0).where(F.col("sum_value") == 999.0).count() == 0
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Purchases stream ⋈ views stream within a 1-hour lookback equals the
+    same interval join run in batch over the same files."""
+    from quarkus_etl_spark.streaming import stream_stream_interval_join
+
+    def split(df):
+        p = (
+            df.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        )
+        v = (
+            df.where(F.col("event_type") == "view")
+            .select(F.col("user_id"), F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts"))
+        )
+        return p, v
+
+    sp, sv = split(file_stream(spark, events_dir))
+    joined = stream_stream_interval_join(
+        sp, sv, key="user_id", left_ts="p_ts", right_ts="v_ts", window="1 hour"
+    )
+    q = run_stream_to_memory(joined.select("p_id", "v_id"), "ssj_smoke")
+    try:
+        got = {(r["p_id"], r["v_id"]) for r in spark.table("ssj_smoke").collect()}
+    finally:
+        q.stop()
+
+    bp, bv = split(
+        load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    batch = bp.join(
+        bv,
+        (bp["user_id"] == bv["user_id"])
+        & (bv["v_ts"] > bp["p_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (bv["v_ts"] <= bp["p_ts"]),
+    )
+    want = {(r["p_id"], r["v_id"]) for r in batch.select("p_id", "v_id").collect()}
+    assert got == want and len(want) > 0
