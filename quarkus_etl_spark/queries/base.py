@@ -119,11 +119,21 @@ _PREVIOUSLY_GRADED = frozenset({
 
 
 def _graded_last(d: dict) -> dict:
-    """Not-yet-driver-graded queries first (registration order preserved
-    within each group)."""
-    head = {k: v for k, v in d.items() if k not in _PREVIOUSLY_GRADED}
-    tail = {k: v for k, v in d.items() if k in _PREVIOUSLY_GRADED}
-    return {**head, **tail}
+    """Grading-priority order, registration order preserved within each
+    group: (1) not-yet-graded queries WITH an oracle — the driver window
+    turns each into a conclusive hash verdict; (2) not-yet-graded rows-only
+    queries — their window slot only yields the weaker ran+rows record;
+    (3) queries with a conclusive prior-round verdict."""
+
+    def prio(name: str) -> int:
+        if name in _PREVIOUSLY_GRADED:
+            return 2
+        return 0 if name in ORACLES else 1
+
+    out: dict = {}
+    for p in (0, 1, 2):
+        out.update({k: v for k, v in d.items() if prio(k) == p})
+    return out
 
 
 def all_query_callables() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

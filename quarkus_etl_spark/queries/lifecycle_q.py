@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..config import EtlJob
 from ..jobs import JobRunner
 from ..operators.generator import gen_addresses
-from .base import ensure_views, register, t
+from .base import dec2, ensure_views, register, t
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
@@ -179,3 +179,86 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.write.mode("overwrite").format("orc").save(path)
     return spark.read.format("orc").load(path)
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.25 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NULL THEN 0 ELSE 1 END AS version
+    FROM orders o LEFT JOIN upd u USING (o_orderkey)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-run primitive: a CDC change batch (a deterministic ~6%
+    key slice repriced by exactly 1.25, decimal-exact) merged into the base
+    snapshot with last-writer-wins (operators/cdc.py::merge_upsert — one
+    window shuffle, no join; the oracle states the same result as a join).
+    The reference can only re-copy the full snapshot (EtlMain.kt:103-108);
+    this is what replaces that at 100 TB."""
+    from ..operators.cdc import merge_upsert
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = o.where(
+        F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 1)
+        == "0"
+    ).select(
+        "o_orderkey",
+        (dec2("o_totalprice") * F.lit("1.25").cast("decimal(3,2)"))
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    return merge_upsert(o, upd, ["o_orderkey"], version_col="version")
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH h AS (SELECT o_orderkey, substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS hx,
+                      o_totalprice
+               FROM orders),
+    newt AS (
+        SELECT o_orderkey,
+               CASE WHEN hx = '0'
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.25 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM h WHERE hx <> '1'
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS change,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM orders o LEFT JOIN newt n USING (o_orderkey)
+    WHERE n.o_orderkey IS NULL OR n.o_totalprice <> o.o_totalprice
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-verification primitive: keyed full-outer diff between the
+    base snapshot and a synthetically evolved copy (~6% repriced, ~6%
+    deleted, via disjoint md5 key slices) classifying changed/removed rows
+    (operators/cdc.py::table_diff). The added branch exists in the
+    operator; this fixture evolution can't mint new keys."""
+    from ..operators.cdc import table_diff
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hx = F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 1)
+    evolved = (
+        o.withColumn("__hx", hx)
+        .where(F.col("__hx") != "1")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("__hx") == "0",
+                (dec2("o_totalprice") * F.lit("1.25").cast("decimal(3,2)")).cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return table_diff(o, evolved, ["o_orderkey"], ["o_totalprice"])

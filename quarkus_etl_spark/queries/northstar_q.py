@@ -476,3 +476,56 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10, n_cells=16, nprobe=3
     )
+
+
+@register(
+    "q_corpus_curate",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+               + (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                  / GREATEST(LENGTH(text), 1)) * 0.4
+               + (CASE WHEN LENGTH(text) * 1.0 /
+                            GREATEST(LEN(string_split_regex(trim(text), '\\s+')), 1)
+                            BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, lang, text, quality,
+               md5(array_to_string(list_sort(list_distinct(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), ' ')) AS bow_key
+        FROM scored WHERE quality >= 0.67
+    ), deduped AS (
+        SELECT doc_id, lang, quality, text,
+               ROW_NUMBER() OVER (PARTITION BY bow_key ORDER BY doc_id ASC) AS rn
+        FROM kept
+    )
+    SELECT doc_id, lang, quality,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+    FROM deduped WHERE rn = 1
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star operators CHAINED as one curation pipeline — what a
+    training-data run actually executes: quality-score filter (>= 0.67,
+    drops the bottom quartile) -> exact dedup on the canonical bag-of-words
+    key (keep min doc_id) -> LLM token budget per surviving doc. Every
+    stage is the already-oracle-checked building block; the composite plan
+    is filter -> one dedup shuffle -> project, with the quality filter
+    pushed below the shuffle so dropped docs never move."""
+    from ..operators.dedup import dedup_exact
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "text", quality_score("text").alias("quality")
+    ).where(F.col("quality") >= 0.67)
+    bow = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(normalize_text("text")))))
+    )
+    keyed = scored.withColumn("bow_key", bow)
+    kept = dedup_exact(keyed, ["bow_key"], "doc_id")
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    return kept.select("doc_id", "lang", "quality", F.size(bpe).alias("bpe_tokens"))

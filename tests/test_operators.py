@@ -395,3 +395,26 @@ def test_dedup_keep_canonical(spark):
     kept = sorted(r["id"] for r in dedup_keep_canonical(df, pairs, "id").collect())
     # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; 4 and 7 untouched
     assert kept == [1, 4, 5, 7]
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    from quarkus_etl_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    upd = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k long, v double")
+    got = {r["k"]: (r["v"], r["__version"]) for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert got == {1: (10.0, 0), 2: (99.0, 1), 3: (30.0, 0), 4: (40.0, 1)}
+
+
+def test_table_diff_classifies(spark):
+    from quarkus_etl_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (5, 50.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, None), (4, 40.0)], "k long, v double"
+    )
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    # 1 unchanged (absent), 3 null==null unchanged (absent)
+    assert got == {2: "changed", 4: "added", 5: "removed"}
