@@ -63,14 +63,14 @@ def connected_components(
             "comp",
             "left",
         ).select("u", F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))).alias("comp"))
-        new_labels = jumped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence rides the same materialization: carry the previous
+        # label through the round and count differences on the checkpointed
+        # frame — no extra old-vs-new join job.
+        new_labels = jumped.join(
+            labels.select("u", F.col("comp").alias("__prev")), "u"
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("comp") != F.col("__prev")).count()
+        labels = new_labels.select("u", "comp")
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), F.col("comp").alias("component"))

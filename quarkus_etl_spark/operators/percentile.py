@@ -64,13 +64,30 @@ def exact_percentiles_multi(
         .withColumn("__n", F.sum("__c").over(wn))
     )
 
+    # Hoist each target's rank arithmetic (r = p*(n-1), floor/ceil) into
+    # named columns computed ONCE per histogram row: the aggregate
+    # expressions below then reference plain attributes instead of
+    # re-inlining the FLOOR(p*(n-1)) subtree ~10x per target — the
+    # conditional-agg tree shrinks several-fold, which is most of this
+    # operator's plan-compile (cold-query) cost.
+    rank_cols = []
+    for c, targets in specs.items():
+        for alias, p in targets.items():
+            r = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+            rank_cols += [
+                r.alias(f"__r_{alias}"),
+                F.floor(r).alias(f"__fl_{alias}"),
+                F.ceil(r).alias(f"__ce_{alias}"),
+            ]
+    joined = joined.select("*", *rank_cols)
+
     aggs = []
     for c, targets in specs.items():
         for alias, p in targets.items():
             on_col = F.col("__col") == c
-            r = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
-            il = F.floor(r).cast("long")
-            ih = F.ceil(r).cast("long")
+            rr_c = F.col(f"__r_{alias}")
+            il = F.col(f"__fl_{alias}")
+            ih = F.col(f"__ce_{alias}")
             # index ranges [__start, __end) partition the rank space per
             # (key, col), so exactly one histogram row covers il (and one
             # covers ih); max(when(...)) extracts it.
@@ -84,9 +101,9 @@ def exact_percentiles_multi(
             # with the integral-rank case returned directly (the formula
             # would give 0 there). The ulp pattern matters: the
             # algebraically equal lo + (hi-lo)*g differs in the last ulp.
-            rr = F.max(F.when(on_col, r))
-            fl = F.max(F.when(on_col, F.floor(r)))
-            ce = F.max(F.when(on_col, F.ceil(r)))
+            rr = F.max(F.when(on_col, rr_c))
+            fl = F.max(F.when(on_col, il.cast("double")))
+            ce = F.max(F.when(on_col, ih.cast("double")))
             aggs.append(
                 F.when(F.max(F.when(on_col, il)) == F.max(F.when(on_col, ih)), lo)
                 .otherwise(lo * (ce - rr) + hi * (rr - fl))

@@ -139,3 +139,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join must plan as an equi-join (hash or
+    sort-merge on (key, cell)) — never a per-key nested loop / cartesian,
+    which is what the raw theta form degenerates to."""
+    from quarkus_etl_spark.queries.timeseries_q import q_join_interval
+
+    plan = plan_string(q_join_interval(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + a partition-column filter = the scan
+    lists ONE partition directory (PartitionFilters), not the table — the
+    at-rest lever that lets a 100 TB events table serve a single-type query
+    without touching the rest."""
+    from quarkus_etl_spark.catalog import load_table
+
+    path = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    df = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200], plan
+    assert df.count() > 0
