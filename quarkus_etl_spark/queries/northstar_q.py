@@ -529,3 +529,44 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
     )
     return kept.select("doc_id", "lang", "quality", F.size(bpe).alias("bpe_tokens"))
+
+
+@register(
+    "q_emb_centroid",
+    oracle="""
+    SELECT label,
+           CAST(pos1 - 1 AS BIGINT) AS pos,
+           CAST(sum(CAST(floor(x * 1000000000000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+               / 1000000000000000.0 / count(*) AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS pos1
+        FROM embeddings
+    )
+    GROUP BY label, pos1
+    """,
+)
+def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the vector aggregation behind k-means
+    / IVF training and class prototypes), in long format (label, pos,
+    centroid). Cross-engine float discipline: elements are quantized to a
+    1e-15 fixed-point grid (floor — no rounding-mode ambiguity; double
+    multiply + floor are IEEE-identical everywhere), summed EXACTLY as
+    decimal integers (order-independent, no bigint overflow at any scale),
+    and de-scaled in one deterministic double division chain. A plain
+    double sum is partial-aggregation-order dependent; a DECIMAL(38,18)
+    cast differs between engines in the 19th-digit rounding mode — the
+    fixed-point form is the portable exact aggregation.
+    Plan: posexplode (no shuffle) -> one hash aggregation on (label, pos):
+    shuffle volume = |labels| x dim, not |rows| x dim."""
+    e = t(spark, sf_dir, "embeddings")
+    from ..functions.vectors import to_double_array
+
+    exploded = ensure_parallelism(e.select("label", to_double_array("embedding").alias("v"))).select(
+        "label", F.posexplode("v").alias("pos", "x")
+    )
+    q = F.floor(F.col("x") * F.lit(1e15)).cast("decimal(28,0)")
+    return exploded.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
+        (F.sum(q).cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("centroid")
+    )
