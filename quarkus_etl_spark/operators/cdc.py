@@ -34,7 +34,9 @@ def merge_upsert(
 ) -> DataFrame:
     """Last-writer-wins merge: rows from `updates` replace same-key rows in
     `base`; unmatched rows pass through. Columns must align (same schema
-    minus `version_col`, which this function adds: base=0, updates=1)."""
+    minus `version_col`, which this function adds: base=0, updates=1).
+    CDC contract: `updates` carries at most one row per key (compact the
+    batch first) — equal-version duplicates would tie arbitrarily."""
     tagged = base.withColumn(version_col, F.lit(0)).unionAll(
         updates.withColumn(version_col, F.lit(1))
     )

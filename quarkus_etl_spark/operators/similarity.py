@@ -144,18 +144,45 @@ def lsh_topk(
 
 
 def ivf_centroids(
-    df: DataFrame, vec_col: str, id_col: str, n_cells: int
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int, refine_iters: int = 0
 ) -> list[list[float]]:
-    """Deterministic centroid seed: the first `n_cells` vectors by id (a
-    k-means iteration could refine these; for ANN cell routing the seeds
-    already partition the space usefully). One tiny driver collect."""
+    """Deterministic centroid seed: the first `n_cells` vectors by id,
+    optionally refined with `refine_iters` Lloyd (k-means) steps. One tiny
+    n_cells-row driver collect per iteration.
+
+    Each refinement step is fully distributed and deterministic: cell
+    assignment is the same pure-Column scoring `add_ivf_cell` uses at query
+    time, and the new centroid means ride the portable fixed-point
+    aggregation (floor to a 1e-15 grid -> exact integer sums; see
+    q_emb_centroid) — shuffle volume |cells| x dim per step. Empty cells
+    keep their previous centroid. Balanced cells mean balanced scan work
+    per probe, which is what refinement buys the index at scale."""
     rows = (
         df.orderBy(F.col(id_col).asc())
         .limit(n_cells)
         .select(to_double_array(vec_col).alias("v"))
         .collect()
     )
-    return [list(r["v"]) for r in rows]
+    cents = [list(r["v"]) for r in rows]
+    for _ in range(refine_iters):
+        assigned = add_ivf_cell(df, vec_col, cents, out_col="__cell")
+        exploded = assigned.select(
+            "__cell", F.posexplode(to_double_array(vec_col)).alias("pos", "x")
+        )
+        q = F.floor(F.col("x") * F.lit(1e15)).cast("decimal(28,0)")
+        means = (
+            exploded.groupBy("__cell", "pos")
+            .agg((F.sum(q).cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("m"))
+            .groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("__cell", F.col("pm.m").alias("mean"))
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r["__cell"]] = [float(x) for x in r["mean"]]
+        cents = new_cents
+    return cents
 
 
 def add_ivf_cell(
@@ -200,12 +227,13 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 3,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN: route the probe to its `nprobe` nearest cells and scan only
     those (~nprobe/n_cells of the data). The cell assignment is a pure
     column expression, so at scale the index is just a partition/cluster-by
     column on the stored table — no shuffle at query time."""
-    cents = ivf_centroids(df, vec_col, id_col, n_cells)
+    cents = ivf_centroids(df, vec_col, id_col, n_cells, refine_iters=refine_iters)
     cells = _probe_cells(probe, cents, nprobe)
     bucketed = add_ivf_cell(ensure_parallelism(df), vec_col, cents)
     cands = bucketed.where(F.col("cell").isin(cells))

@@ -418,3 +418,41 @@ def test_table_diff_classifies(spark):
     got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"], ["v"]).collect()}
     # 1 unchanged (absent), 3 null==null unchanged (absent)
     assert got == {2: "changed", 4: "added", 5: "removed"}
+
+
+def test_ivf_kmeans_refinement_improves_balance_and_recall(spark, sf_dir):
+    """Lloyd refinement must not hurt recall@10 vs brute force and should
+    (weakly) improve cell balance; refined centroids are deterministic."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.similarity import (
+        add_ivf_cell,
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    def spread(cents):
+        sizes = [
+            r["c"]
+            for r in add_ivf_cell(e, "embedding", cents)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("c")).collect()
+        ]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    seed = ivf_centroids(e, "embedding", "vec_id", 8)
+    refined = ivf_centroids(e, "embedding", "vec_id", 8, refine_iters=2)
+    assert refined != seed
+    assert spread(refined) <= spread(seed) * 1.25  # no balance collapse
+    assert refined == ivf_centroids(e, "embedding", "vec_id", 8, refine_iters=2)
+
+    truth = [r["vec_id"] for r in brute_force_topk(e, "embedding", "vec_id", probe, 10).collect()]
+    got = [
+        r["vec_id"]
+        for r in ivf_topk(e, "embedding", "vec_id", probe, 10, n_cells=8, nprobe=3,
+                          refine_iters=2).collect()
+    ]
+    assert 0 in got  # the probe finds itself
+    assert len(set(truth) & set(got)) >= 5

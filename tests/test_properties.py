@@ -1,0 +1,106 @@
+"""Randomized property tests: operators vs pure-Python references on
+seeded random inputs (repo convention: seeded loops, not hypothesis —
+each Spark action is ~0.1s, so a few seeds with hundreds of rows beat
+many tiny examples)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from quarkus_etl_spark.operators.percentile import exact_percentiles
+from quarkus_etl_spark.operators.timeseries import sessionize
+
+EPOCH = dt.datetime(2024, 3, 1)
+
+
+def _py_sessions(events, gap_s):
+    """Reference sessionizer: events = [(id, key, ts)] -> {id: session}."""
+    out = {}
+    by_key: dict = {}
+    for eid, key, ts in sorted(events, key=lambda e: (e[1], e[2], e[0])):
+        by_key.setdefault(key, []).append((eid, ts))
+    for key, evs in by_key.items():
+        sess, prev = 0, None
+        for eid, ts in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                sess += 1
+            out[eid] = sess
+            prev = ts
+    return out
+
+
+def test_sessionize_matches_python_reference(spark):
+    rng = random.Random(11)
+    events = [
+        (
+            i,
+            rng.randrange(6),
+            EPOCH + dt.timedelta(seconds=rng.randrange(0, 48 * 3600)),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(events, "eid long, key long, ts timestamp_ntz")
+    for gap_s in (600, 3600):
+        got = {
+            r["eid"]: r["session_id"]
+            for r in sessionize(df, ["key"], "ts", gap_s, tiebreak=["eid"]).collect()
+        }
+        assert got == _py_sessions(events, gap_s), f"gap={gap_s}"
+
+
+def _py_quantile_cont(values, p):
+    """quantile_cont reference with the operator's exact ulp pattern."""
+    v = sorted(values)
+    r = p * (len(v) - 1)
+    lo, hi = v[math.floor(r)], v[math.ceil(r)]
+    if math.floor(r) == math.ceil(r):
+        return lo
+    return lo * (math.ceil(r) - r) + hi * (r - math.floor(r))
+
+
+def test_exact_percentiles_match_python_reference(spark):
+    rng = random.Random(7)
+    # heavy duplication (2-dp grid) — the histogram path's target domain
+    rows = [(f"g{i % 3}", round(rng.uniform(0, 50), 2)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    targets = {"p10": 0.1, "p50": 0.5, "p99": 0.99}
+    got = {
+        r["k"]: r for r in exact_percentiles(df, ["k"], "v", targets).collect()
+    }
+    by_k: dict = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        for alias, p in targets.items():
+            assert got[k][alias] == _py_quantile_cont(vals, p), (k, alias)
+
+
+def test_merge_upsert_batching_is_associative(spark):
+    """Replaying two CDC batches one-by-one equals merging the stacked
+    batches in one pass (versions ordered) — the property that lets a
+    backlog replay run as a single window."""
+    from quarkus_etl_spark.operators.cdc import merge_upsert
+
+    rng = random.Random(3)
+    base = [(k, float(k)) for k in range(50)]
+    # key-unique per batch (merge_upsert's CDC contract: one row per key
+    # per change batch; equal-version duplicates would tie arbitrarily)
+    b1 = list({rng.randrange(60): 100.0 + i for i in range(30)}.items())
+    b2 = list({rng.randrange(60): 200.0 + i for i in range(30)}.items())
+    sdf = lambda rows: spark.createDataFrame(rows, "k long, v double")  # noqa: E731
+
+    step1 = merge_upsert(sdf(base), sdf(b1), ["k"]).drop("__version")
+    seq = merge_upsert(step1, sdf(b2), ["k"]).drop("__version")
+
+    last: dict = {}
+    for k, v in b1 + b2:
+        # within a batch merge_upsert keeps ONE row per key (row_number);
+        # the reference mirrors last-write-in-batch by dict overwrite
+        last[k] = v
+    want = {k: last.get(k, dict(base).get(k)) for k in set(dict(base)) | set(last)}
+    got = {r["k"]: r["v"] for r in seq.collect()}
+    assert got == want
