@@ -36,6 +36,10 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] runs driver + all executor threads in ONE JVM; the 1g
+        # spark.driver.memory default GC-thrashes long before the machine
+        # is full. Only effective when this factory starts the JVM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
