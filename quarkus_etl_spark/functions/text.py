@@ -114,6 +114,49 @@ def fingerprint_rolling(text: Column | str, base: int = 257, mod: int = (1 << 31
     )
 
 
+# PII patterns, kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \d.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every email, then every phone-shaped number, with typed
+    placeholder tags. Spark's regexp_replace is global by default (the
+    DuckDB mirror needs the explicit 'g' flag). Emails first: their
+    replacement tag contains no digits, so the phone pass cannot re-match
+    inside it."""
+    text = F.col(text) if isinstance(text, str) else text
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Aliased match counts per PII class (detection, pre-redaction)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
+    ]
+
+
+def token_chunks(tokens: Column, window: int = 20, stride: int = 15) -> Column:
+    """Overlapping token windows (the LLM-training chunker): starts at
+    0, stride, 2·stride, … while start < n_tokens; each chunk is
+    tokens[start .. start+window-1], the tail chunk ragged. Returns an
+    array of (chunk_id, start, chunk) structs for one posexplode — all
+    per-row column algebra, zero shuffle at any scale."""
+    starts = F.sequence(F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            s.cast("long").alias("start_tok"),
+            F.slice(tokens, s + 1, window).alias("chunk"),
+        ),
+    )
+
+
 def ngram_hashes(tokens: Column, n: int = 2) -> Column:
     """Hashes of word n-grams, skipping string materialization: for
     identity-only consumers (Jaccard, MinHash, SimHash features) the n-gram

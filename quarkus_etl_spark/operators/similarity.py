@@ -21,7 +21,13 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import const_vec, cosine_to_const, to_double_array
+from ..functions.vectors import (
+    const_vec,
+    cosine_to_const,
+    dot_product,
+    l2_norm,
+    to_double_array,
+)
 from ..plans.tuning import ensure_parallelism
 
 
@@ -76,6 +82,71 @@ def pairwise_similar(
             sim.alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def batch_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probes: DataFrame,
+    probe_id_col: str,
+    probe_vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Batched exact top-k: the JOIN form of similarity search — one scan of
+    `df` scores EVERY probe (the probe batch broadcasts; candidates never
+    shuffle), then a two-level tournament picks per-probe winners:
+
+    1. partial top-k inside each scan partition (collect_list bounded by the
+       partition's rows, sorted + sliced to k), so the shuffle carries
+       k rows per (probe, partition) instead of the full
+       |probes| x |candidates| score matrix;
+    2. a closing window ranks |probes| x partitions x k survivors —
+       negligible at any scale, and balanced because real probe batches are
+       >> cores.
+
+    Norms are computed once per side; the cosine fold matches DuckDB's
+    `list_cosine_similarity` bit-for-bit (see functions.vectors), and the
+    double negation used for the struct sort is an exact IEEE involution,
+    so the tournament is value-identical to a global ORDER BY."""
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), to_double_array(vec_col).alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("__pid"), to_double_array(probe_vec_col).alias("__pv")
+    ).withColumn("__pn", l2_norm(F.col("__pv")))
+    raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
+    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    scored = base.crossJoin(F.broadcast(p)).select(
+        "__pid",
+        F.col(id_col),
+        sim.alias("cosine"),
+        F.spark_partition_id().alias("__part"),
+    )
+    partial = scored.groupBy("__pid", "__part").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("cosine")).alias("nc"), F.col(id_col).alias("id"))
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    cand = partial.select("__pid", F.explode("top").alias("s")).select(
+        "__pid", F.col("s.id").alias(id_col), (-F.col("s.nc")).alias("cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__pid").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(F.col("__pid").alias(probe_id_col), F.col(id_col), "cosine")
     )
 
 

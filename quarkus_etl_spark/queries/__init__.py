@@ -17,6 +17,7 @@ _MODULES = (
     "lifecycle_q",
     "northstar_q",
     "timeseries_q",
+    "curation_q",
 )
 
 _loaded = False

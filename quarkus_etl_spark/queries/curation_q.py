@@ -1,0 +1,222 @@
+"""Training-corpus curation queries (north-star family, wave 2): document
+chunking, PII detection/redaction, intra-document repetition scoring, and
+batched similarity search.
+
+Reference parity note: the reference engine (EtlMain.kt:103-108) delegates
+text transforms to its RDBMS; these queries are the Spark-native equivalents
+of what a corpus pipeline runs between ingest and training — every one is
+pure Column algebra (zero UDFs, zero shuffles except where the semantics
+require one) and every one is DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    EMAIL_RE,
+    PHONE_RE,
+    ngrams,
+    normalize_text,
+    pii_counts,
+    redact_pii,
+    token_chunks,
+    tokenize,
+)
+from ..plans.tuning import ensure_parallelism
+from .base import register, t
+
+# The same normalization pipeline, spelled in DuckDB.
+_SQL_TOKS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+# --------------------------------------------------------------------------
+# Document chunking: overlapping token windows (window=20, stride=15)
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 20, 15
+
+
+@register(
+    "q_text_chunk",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ), st AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(0, len(tk) - 1, {_CHUNK_S})) AS start
+        FROM toks
+    )
+    SELECT doc_id,
+           start // {_CHUNK_S} AS chunk_id,
+           start AS start_tok,
+           len(list_slice(tk, start + 1, start + {_CHUNK_W})) AS chunk_tokens,
+           md5(array_to_string(list_slice(tk, start + 1, start + {_CHUNK_W}), ' '))
+               AS chunk_md5
+    FROM st
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker: each document becomes ceil(n/stride)
+    overlapping chunks of <= 20 tokens (stride 15). The chunk array is
+    built per-row (token_chunks — zero shuffle), one posexplode fans out;
+    at 100 TB this is a map-only stage whose output partitioning inherits
+    the scan's. Chunks are reported as md5 + token count so the grader's
+    row stays narrow."""
+    d = t(spark, sf_dir, "documents")
+    base = ensure_parallelism(d).select(
+        "doc_id", token_chunks(tokenize(normalize_text("text")), _CHUNK_W, _CHUNK_S).alias("ch")
+    )
+    ex = base.select("doc_id", F.explode("ch").alias("s"))
+    return ex.select(
+        "doc_id",
+        F.col("s.chunk_id").alias("chunk_id"),
+        F.col("s.start_tok").alias("start_tok"),
+        F.size("s.chunk").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("s.chunk"))).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction
+# --------------------------------------------------------------------------
+
+# The fixture corpus is a digit-free word salad, so PII is planted
+# deterministically from doc_id (one email + one phone per document) —
+# the regex surface is exercised for real, and the oracle plants the
+# identical augmentation.
+_SQL_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or call 555-01' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.'"
+)
+
+
+def _augmented_text() -> F.Column:
+    return F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+        F.lit("."),
+    )
+
+
+@register(
+    "q_text_pii",
+    oracle=rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(aug, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(aug, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM (SELECT doc_id, {_SQL_AUG} AS aug FROM documents)
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — detection counts per class plus the redacted text's
+    fingerprint. Pure regexp Column algebra: a map-only stage that at scale
+    fuses into the scan (no shuffle, no UDF); the pattern set is the
+    standard email/phone pair, extensible by adding (regex, tag) pairs to
+    functions.text."""
+    d = t(spark, sf_dir, "documents")
+    aug = d.select("doc_id", _augmented_text().alias("aug"))
+    return aug.select(
+        "doc_id",
+        *pii_counts("aug"),
+        F.md5(redact_pii("aug")).alias("redacted_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (quality signal a la Gopher's repetition filters)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_text_repetition",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ), g AS (
+        SELECT doc_id, tk,
+               list_transform(generate_series(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i+1]) AS bg
+        FROM toks
+    )
+    SELECT doc_id,
+           1.0 - len(list_distinct(bg)) / len(bg) AS dup_bigram_frac,
+           list_aggregate(list_transform(list_distinct(tk),
+                                         w -> len(list_filter(tk, x -> x = w))),
+                          'max') / len(tk) AS top_token_frac,
+           (1.0 - len(list_distinct(bg)) / len(bg)) >= 0.30
+               OR list_aggregate(list_transform(list_distinct(tk),
+                                                w -> len(list_filter(tk, x -> x = w))),
+                                 'max') / len(tk) >= 0.15 AS repetitive
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: fraction of duplicated word bigrams + most-common
+    token mass, thresholded to a filter flag. Both signals are per-row
+    column algebra (the token histogram is a transform-over-distinct fold,
+    O(n·distinct) per row — bounded by document length), so the operator is
+    map-only: no explode, no shuffle, at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokenize(normalize_text("text"))
+    base = ensure_parallelism(d).select("doc_id", tk.alias("tk"), ngrams(tk, 2).alias("bg"))
+    counts = F.transform(
+        F.array_distinct("tk"), lambda w: F.size(F.filter(F.col("tk"), lambda x: x == w))
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg")
+    top_frac = F.array_max(counts) / F.size("tk")
+    return base.select(
+        "doc_id",
+        dup_frac.alias("dup_bigram_frac"),
+        top_frac.alias("top_token_frac"),
+        ((dup_frac >= 0.30) | (top_frac >= 0.15)).alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batched similarity search: top-3 neighbors for a probe BATCH in one pass
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_batch",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 8),
+    c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+    scored AS (
+        SELECT p.probe_id, c.vec_id,
+               list_cosine_similarity(c.e, p.pe) AS cosine
+        FROM p CROSS JOIN c
+    )
+    SELECT probe_id, vec_id, cosine FROM (
+        SELECT probe_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_sim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for each of 8 probe vectors in ONE candidate scan —
+    the similarity-search-as-join form every retrieval pipeline batches
+    into. The tournament plan (operators.similarity.batch_topk) keeps the
+    shuffle at k rows per (probe, partition) instead of |probes| x |rows|."""
+    from ..operators.similarity import batch_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cands = e.where(F.col("vec_id") >= 8)
+    return batch_topk(
+        cands, "embedding", "vec_id", probes, "probe_id", "probe_vec", k=3
+    )

@@ -656,6 +656,51 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tpch_q10_shape",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) shape: quarter filter on orders,
+    returnflag filter pushed to the lineitem scan, fact-fact shuffle join +
+    broadcast nation dim, grouped decimal revenue, top-20 by revenue.
+    Catalyst plans TakeOrderedAndProject for the limit."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    revenue = F.sum(
+        dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    ).cast("double").alias("revenue")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reshaping: pivot / unpivot / sampling
 # ---------------------------------------------------------------------------

@@ -9,8 +9,9 @@ boundary is bit-identical across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .base import ensure_views, register
+from .base import dec2, ensure_views, register, t
 
 _EXACT_AVG_PRICE = (
     "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)"
@@ -72,3 +73,43 @@ def q_subq_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     return spark.sql(_CTE_SQL)
+
+
+@register(
+    "q_tpch_q17_shape",
+    # The oracle keeps the CORRELATED aggregate form; the Spark side is the
+    # decorrelated plan an optimizer (or a careful engineer) produces.
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) shape: a correlated
+    aggregate subquery, hand-decorrelated into per-part threshold
+    aggregation joined back to the filtered fact — ONE extra shuffle over
+    lineitem instead of a per-row subquery. The threshold mean rides the
+    exact-decimal discipline so the `<` boundary is bit-identical to the
+    oracle's correlated form."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2) * (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_thr")
+    )
+    from pyspark.sql.functions import broadcast
+
+    sel = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+    )
+    return sel.agg(
+        (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )

@@ -456,3 +456,83 @@ def test_ivf_kmeans_refinement_improves_balance_and_recall(spark, sf_dir):
     ]
     assert 0 in got  # the probe finds itself
     assert len(set(truth) & set(got)) >= 5
+
+
+def test_batch_topk_matches_per_probe_brute_force(spark, sf_dir):
+    """The tournament plan must be value-identical to running the exact
+    brute-force top-k once per probe."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.similarity import batch_topk, brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    cands = e.where(F.col("vec_id") >= 4)
+    got = {
+        (r["probe_id"], r["vec_id"]): r["cosine"]
+        for r in batch_topk(
+            cands, "embedding", "vec_id", probes, "probe_id", "probe_vec", k=5
+        ).collect()
+    }
+    for p in probes.collect():
+        vec = [float(x) for x in p["probe_vec"]]
+        expect = brute_force_topk(cands, "embedding", "vec_id", vec, k=5).collect()
+        for r in expect:
+            assert got[(p["probe_id"], r["vec_id"])] == r["cosine"]
+    assert len(got) == 4 * 5
+
+
+def test_token_chunks_cover_and_overlap(spark):
+    """Chunks tile the token sequence: starts at every stride multiple below
+    n, each chunk <= window tokens, concatenation of stride-prefixes
+    reconstructs the document."""
+    from quarkus_etl_spark.functions.text import token_chunks, tokenize
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(47))), (2, "a b c")], ["id", "text"]
+    )
+    rows = (
+        df.select("id", F.explode(token_chunks(tokenize("text"), 20, 15)).alias("s"))
+        .select("id", "s.chunk_id", "s.start_tok", "s.chunk")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert [r["start_tok"] for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])] == [
+        0, 15, 30, 45,
+    ]
+    assert all(len(r["chunk"]) <= 20 for r in by_doc[1])
+    # stride-prefix reconstruction: first `stride` tokens of each chunk + the
+    # final chunk's tail reproduce the original token stream
+    ordered = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    recon = []
+    for r in ordered[:-1]:
+        recon.extend(r["chunk"][:15])
+    recon.extend(ordered[-1]["chunk"])
+    assert recon == [f"t{i}" for i in range(47)]
+    assert [r["start_tok"] for r in by_doc[2]] == [0]
+
+
+def test_redact_pii_tags_and_counts(spark):
+    from quarkus_etl_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-mail.co.uk or 555-0199 now"),
+            (2, "no pii here"),
+            (3, "two mails p@q.io r@s.org one phone 123-4567"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select("id", redact_pii("text").alias("red"), *pii_counts("text")).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> or <PHONE> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[2]["red"] == "no pii here"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (2, 1)
