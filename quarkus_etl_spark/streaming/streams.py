@@ -180,6 +180,73 @@ def running_user_totals(
     )
 
 
+def user_stats_tws(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user running count / mean / variance (Welford) on Spark 4's
+    `transformWithStateInPandas` — the arbitrary-state successor to
+    applyInPandasWithState: typed named state variables on a processor
+    handle instead of one opaque tuple, explicit timers, and an initial-
+    state hook. Demonstrated here with one ValueState; the operator shape
+    is what per-key online ML state (feature EMAs, drift detectors) builds
+    on at scale.
+
+    Requires the RocksDB state-store provider
+    (spark.sql.streaming.stateStore.providerClass) — the HDFS-backed
+    default does not support the new state API — and `protobuf` in the
+    Python env (the tws runner's state-server protocol; absent from this
+    image, so the e2e test import-gates on it). Welford's update is
+    single-pass and numerically stable, so per-key state is three numbers
+    regardless of stream length; the watermark + Update mode bound what a
+    micro-batch reprocesses."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WelfordProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", "n long, mean double, m2 double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._stats.get()
+            n, mean, m2 = prev if prev is not None else (0, 0.0, 0.0)
+            for pdf in rows:
+                for v in pdf["value"]:
+                    n += 1
+                    d = float(v) - mean
+                    mean += d / n
+                    m2 += d * (float(v) - mean)
+            self._stats.update((n, mean, m2))
+            var = m2 / (n - 1) if n > 1 else 0.0
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "mean_value": [mean],
+                    "var_value": [var],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=WelfordProcessor(),
+            outputStructType="user_id long, n_events long, mean_value double, var_value double",
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

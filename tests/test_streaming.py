@@ -210,3 +210,76 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     )
     want = {(r["p_id"], r["v_id"]) for r in batch.select("p_id", "v_id").collect()}
     assert got == want and len(want) > 0
+
+
+def test_user_stats_tws_builds_plan_and_schema(spark, events_dir):
+    """transformWithStateInPandas plan construction is JVM-side and must
+    work regardless of the Python state-server deps: the unresolved
+    streaming DataFrame carries the declared output schema."""
+    from quarkus_etl_spark.streaming.streams import user_stats_tws
+
+    stream = user_stats_tws(file_stream(spark, events_dir))
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "user_id", "n_events", "mean_value", "var_value",
+    ]
+
+
+def test_user_stats_tws_matches_batch(spark, sf_dir, events_dir):
+    """transformWithStateInPandas (RocksDB state store): the final emitted
+    per-user stats must equal the batch count/mean/variance.
+
+    The tws Python runner speaks a protobuf state protocol; this image
+    ships no `google.protobuf`, so the end-to-end leg lights up the moment
+    the dependency appears (same explicit-gate pattern as the multimodal
+    codec stubs)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from quarkus_etl_spark.streaming.streams import user_stats_tws
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_stats_tws(file_stream(spark, events_dir, max_files_per_trigger=2))
+        q = run_stream_to_memory(stream, "tws_smoke", output_mode="update")
+        try:
+            got = spark.table("tws_smoke")
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            final = (
+                got.withColumn("rn", F.row_number().over(w))
+                .where("rn = 1")
+                .select(
+                    "user_id",
+                    "n_events",
+                    F.round("mean_value", 6).alias("mv"),
+                    F.round("var_value", 6).alias("vv"),
+                )
+            )
+            batch = (
+                load_table(spark, sf_dir, "events")
+                .groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.avg("value"), 6).alias("mv"),
+                    F.round(F.var_samp("value"), 6).alias("vv"),
+                )
+            )
+            diff = final.exceptAll(batch).count() + batch.exceptAll(final).count()
+            assert diff == 0
+        finally:
+            q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
