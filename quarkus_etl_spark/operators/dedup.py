@@ -377,7 +377,9 @@ def _jaccard_exhaustive(sets: DataFrame, id_col: str, threshold: float) -> DataF
     # auto-broadcasts it while its size estimate fits (the win at small SF)
     # and falls back to a shuffle join on the (__blk, __bkt) equi-keys at
     # scale, where AQE skew splitting keeps big blocks parallel.
-    a = ensure_parallelism(sets).withColumn("__bkt", bucket).alias("a")
+    # `sets` is already spread by the caller's ensure_parallelism on the
+    # raw rows — a second guard here would both re-probe and re-shuffle.
+    a = sets.withColumn("__bkt", bucket).alias("a")
     b = sets.withColumn(
         "__bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1))
     ).alias("b")
