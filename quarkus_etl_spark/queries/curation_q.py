@@ -220,3 +220,80 @@ def q_sim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_topk(
         cands, "embedding", "vec_id", probes, "probe_id", "probe_vec", k=3
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (per-class keep rates)
+# --------------------------------------------------------------------------
+
+# hex-prefix thresholds out of 256: view 5%, click 10%, error 25%,
+# signup 50%, purchase keep-all ('zz' compares above every hex digit).
+_STRATA = (("view", "0d"), ("click", "1a"), ("error", "40"), ("signup", "80"))
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+          CASE event_type
+               {" ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _STRATA)}
+               ELSE 'zz' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class deterministic downsampling — the class-rebalancing stage of
+    a training pipeline (keep 5% of views but every purchase). Same
+    portable md5-of-key predicate as q_sample_hash, with the threshold a
+    per-stratum CASE: reproducible in any engine, embarrassingly parallel,
+    filter runs at the scan. Changing rates later re-selects a SUPERSET /
+    subset of the same rows (hash order is stable), which is what makes
+    hash sampling auditable at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    thr = F.lit("zz")
+    for k, v in reversed(_STRATA):
+        thr = F.when(F.col("event_type") == k, F.lit(v)).otherwise(thr)
+    keyhash = F.substring(F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8")), 1, 2)
+    return ev.where(keyhash < thr).select("event_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join (operators/skew.py) — value-parity with the plain join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_avg
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, d.type_avg
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side skew: event_type has 5 values, so a plain shuffle join
+    lands 600 M rows/key-group at the 100 TB scale on 5 reducers. The
+    salted join spreads each type over 16 reducers (salt from the event's
+    primary key) and replicates the 5-row dim x16 — value-identical to the
+    plain join, pinned by the oracle."""
+    from ..operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "type_avg"
+        )
+    )
+    return salted_join(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        on=["event_type"],
+        salt_src=["event_id"],
+        how="inner",
+        n_salts=16,
+    ).select("event_id", "event_type", "value", "type_avg")

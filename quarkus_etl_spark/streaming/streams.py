@@ -180,6 +180,19 @@ def running_user_totals(
     )
 
 
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the static dim
+    (re-resolved per batch, so slowly-changing dims refresh on file
+    updates). Broadcast keeps the stream side shuffle-free — the standard
+    enrichment topology; stateless, so no watermark is required."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
 def user_stats_tws(
     events: DataFrame,
     watermark: str = "10 minutes",

@@ -536,3 +536,40 @@ def test_redact_pii_tags_and_counts(spark):
     assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
     assert out[3]["red"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
     assert (out[3]["n_emails"], out[3]["n_phones"]) == (2, 1)
+
+
+def test_salted_join_parity_and_spread(spark, sf_dir):
+    """salted_join must be value-identical to the plain join (inner and
+    left), reject right/full joins, and actually carry the salt in the
+    join keys."""
+    import pytest
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    plain = ev.join(dim, "event_type")
+    salted = salted_join(ev, dim, on=["event_type"], salt_src=["event_id"], n_salts=8)
+    assert salted.columns == plain.columns
+    assert (
+        salted.exceptAll(plain.select(*salted.columns)).count()
+        + plain.select(*salted.columns).exceptAll(salted).count()
+        == 0
+    )
+    # left join keeps unmatched left rows exactly once
+    dim_missing = dim.where(F.col("event_type") != "click")
+    l_plain = ev.join(dim_missing, "event_type", "left")
+    l_salted = salted_join(
+        ev, dim_missing, on=["event_type"], salt_src=["event_id"], how="left", n_salts=8
+    )
+    assert (
+        l_salted.exceptAll(l_plain.select(*l_salted.columns)).count()
+        + l_plain.select(*l_salted.columns).exceptAll(l_salted).count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, on=["event_type"], salt_src=["event_id"], how="full")
+    # the physical join keys include the salt (spread is real, not cosmetic)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan

@@ -283,3 +283,27 @@ def test_user_stats_tws_matches_batch(spark, sf_dir, events_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
+    from quarkus_etl_spark.streaming.streams import stream_static_enrich
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_cnt"))
+    )
+    stream = stream_static_enrich(
+        file_stream(spark, events_dir), dim, on=["event_type"]
+    )
+    q = run_stream_to_memory(stream, "enrich_smoke")
+    try:
+        got = spark.table("enrich_smoke")
+        assert got.count() == load_table(spark, sf_dir, "events").count()
+        # every row carries its type's count
+        bad = got.join(dim.withColumnRenamed("type_cnt", "expect"), "event_type").where(
+            F.col("type_cnt") != F.col("expect")
+        )
+        assert bad.count() == 0
+    finally:
+        q.stop()
