@@ -242,3 +242,40 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getItem("k").cast("long").alias("k_int"),
     )
+
+
+@register(
+    "q_fn_struct",
+    # The oracle computes the same values WITHOUT a struct — Spark-side
+    # nested construction + field access must round-trip to exactly these
+    # (same contract shape as q_fn_map).
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust,
+           o_totalprice AS price,
+           o_orderpriority AS prio,
+           CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
+    FROM orders
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, nesting, and field access: pack columns into a
+    nested struct, then project fields back out — the round-trip every
+    semi-structured pipeline (and every sink writing nested parquet)
+    depends on."""
+    o = t(spark, sf_dir, "orders")
+    nested = F.struct(
+        F.col("o_custkey").alias("cust"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("detail"),
+    )
+    packed = o.select("o_orderkey", nested.alias("s"))
+    return packed.select(
+        "o_orderkey",
+        F.col("s.cust").alias("cust"),
+        F.col("s.detail.price").alias("price"),
+        F.col("s.detail.prio").alias("prio"),
+        F.when(F.col("s.detail.price") > 100000, "big").otherwise("small").alias("bucket"),
+    )

@@ -160,3 +160,44 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "q_win_distribution",
+    # percent_rank/cume_dist return exact small-denominator rationals; the
+    # same integer division happens in both engines, so doubles match.
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) /
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE)
+               AS share
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions + ratio-to-report: each order's
+    percentile standing and revenue share within its customer. The share
+    divides exact decimals (one deterministic decimal division per row),
+    so partial-aggregation order cannot skew the quotient."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wp = Window.partitionBy("o_custkey")
+    # double-of-exact-decimal on both sides of ONE double division: decimal
+    # division scale rules differ between engines, double division does not.
+    share = dec2("o_totalprice").cast("double") / F.sum(dec2("o_totalprice")).over(wp).cast(
+        "double"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        share.alias("share"),
+    )
