@@ -60,7 +60,13 @@ def main() -> None:
     # never touches the timed inputs.
     tiny = "/root/testdata/sf0.001"
     if os.path.isdir(tiny) and os.path.abspath(tiny) != os.path.abspath(sf_dir):
-        for warm_name in ("q_dedup_near", "q_dedup_simhash", "q_dedup_ngram", "q_sim_pairs"):
+        for warm_name in (
+            "q_dedup_near",
+            "q_dedup_simhash",
+            "q_dedup_ngram",
+            "q_sim_pairs",
+            "q_dedup_cluster",  # also compiles the connected-components round shapes
+        ):
             try:
                 materialize(queries[warm_name](spark, tiny))
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
