@@ -297,3 +297,118 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
         n_salts=16,
     ).select("event_id", "event_type", "value", "type_avg")
+
+
+# --------------------------------------------------------------------------
+# Chunk-granularity dedup: chunk -> fingerprint -> keep-first across corpus
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ), st AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(0, len(tk) - 1, {_CHUNK_S})) AS start
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, start // {_CHUNK_S} AS chunk_id,
+               md5(array_to_string(list_slice(tk, start + 1, start + {_CHUNK_W}), ' '))
+                   AS chunk_md5
+        FROM st
+    ), keep AS (
+        SELECT doc_id, chunk_id, chunk_md5,
+               ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                                  ORDER BY doc_id ASC, chunk_id ASC) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_chunks
+    FROM keep GROUP BY doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup — the training-data pattern that
+    catches boilerplate SHARED ACROSS documents that doc-level dedup
+    misses: chunk every doc (map-only), fingerprint each chunk, keep the
+    first occurrence corpus-wide (one hash shuffle on the fingerprint),
+    report per-doc survival. Composition of two already-oracled operators
+    (token_chunks + keep-first window)."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    base = ensure_parallelism(d).select(
+        "doc_id", token_chunks(tokenize(normalize_text("text")), _CHUNK_W, _CHUNK_S).alias("ch")
+    )
+    chunks = base.select("doc_id", F.explode("ch").alias("s")).select(
+        "doc_id",
+        F.col("s.chunk_id").alias("chunk_id"),
+        F.md5(F.concat_ws(" ", F.col("s.chunk"))).alias("chunk_md5"),
+    )
+    w = Window.partitionBy("chunk_md5").orderBy(
+        F.col("doc_id").asc(), F.col("chunk_id").asc()
+    )
+    keep = chunks.withColumn("rn", F.row_number().over(w))
+    return keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("kept_chunks"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: corpus document frequencies joined back to per-doc term counts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_text_tfidf",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), tf AS (
+        SELECT doc_id, t.w AS term, COUNT(*) AS tf
+        FROM toks, unnest(tk) AS t(w)
+        GROUP BY doc_id, t.w
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0 AS idf,
+           tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.tf >= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed, sklearn-style idf = ln((1+N)/(1+df)) + 1): the
+    two-pass corpus statistic behind keyword extraction and sparse
+    retrieval. Plan: one explode -> (doc, term) count shuffle; document
+    frequencies aggregate FROM the tf table (no second corpus scan);
+    the tiny df/N sides broadcast back onto tf. The tf >= 3 cut keeps the
+    grader's row count focused and mirrors real min-count pruning.
+    Determinism: idf is one ln + arithmetic on exact integers — identical
+    doubles on both engines."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar, cached table; a literal in the plan
+    toks = ensure_parallelism(d).select(
+        "doc_id", F.explode(tokenize(normalize_text("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(1.0) + F.lit(n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    return (
+        tf.where(F.col("tf") >= 3)
+        .join(F.broadcast(df_t), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            idf.alias("idf"),
+            (F.col("tf") * idf).alias("tfidf"),
+        )
+    )

@@ -167,3 +167,25 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     plan = plan_string(df)
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200], plan
     assert df.count() > 0
+
+
+def test_chunker_is_map_only(spark, sf_dir):
+    """q_text_chunk must plan as scan -> (fixture repartition) -> project/
+    explode: no aggregate, no join, no second exchange."""
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_text_chunk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # only the small-fixture spread
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_tfidf_broadcasts_document_frequencies(spark, sf_dir):
+    """The df/N side of TF-IDF is vocabulary-sized; it must broadcast back
+    onto tf, never shuffle tf twice for the join."""
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_text_tfidf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
