@@ -418,3 +418,56 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * idf).alias("tfidf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# URL features (domain/path/query parsing — corpus filtering by provenance)
+# --------------------------------------------------------------------------
+
+_SQL_URL = (
+    "'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) "
+    "|| '?lang=' || lang"
+)
+
+
+@register(
+    "q_text_url",
+    oracle=rf"""
+    SELECT doc_id,
+           regexp_extract(url, '://([^/]+)', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '://(?:[^/.]+\.)*([^/.]+\.[^/.]+)/', 1) AS reg_domain
+    FROM (SELECT doc_id, {_SQL_URL} AS url FROM documents)
+    """,
+)
+def q_text_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the provenance-filtering stage of corpus curation
+    (keep/drop by domain, dedup by registered domain, strip tracking
+    params). URLs are planted deterministically from the row's own columns
+    (the fixture corpus has none); Spark's builtin parse_url handles
+    host/path/query, a regexp gets the registered domain — all scan-fused
+    Column algebra, and the oracle replicates parse_url's exact semantics
+    with regexps."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat_ws(
+        "",
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(
+            F.col("url"), r"://(?:[^/.]+\.)*([^/.]+\.[^/.]+)/", 1
+        ).alias("reg_domain"),
+    )

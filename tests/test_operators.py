@@ -573,3 +573,28 @@ def test_salted_join_parity_and_spread(spark, sf_dir):
     # the physical join keys include the salt (spread is real, not cosmetic)
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_ivf_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The stored IVF index must (a) answer via partition PRUNING — the
+    probe's cells appear in the scan's PartitionFilters — and (b) return
+    exactly what the in-memory ivf_topk returns for the same centroids."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.similarity import (
+        ivf_query_indexed,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivf_index")
+    cents = ivf_write_index(e, "embedding", "vec_id", path, n_cells=8, refine_iters=1)
+    got = ivf_query_indexed(
+        spark, path, "embedding", "vec_id", probe, cents, k=10, nprobe=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
+    mem = ivf_topk(e, "embedding", "vec_id", probe, k=10, n_cells=8, nprobe=2, refine_iters=1)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
