@@ -249,6 +249,61 @@ def video_features(
     return df.select("media_id", "payload").mapInPandas(fused, schema=out_schema)
 
 
+def audio_windows(
+    df: DataFrame, window_ms: int = 250, codec: str = "synthetic"
+) -> DataFrame:
+    """Audio window segmentation + per-window features: 1 audio row ->
+    ceil(duration/window) rows of (media_id, win_idx, win_start_ms, rms,
+    zero_crossings, n_samples) — the audio analog of `sample_frames`
+    (VAD, diarization, and audio-embedding pipelines all start with this
+    cut). The synthetic backend treats body bytes as uint8 samples at the
+    header's declared rate; a real backend would pydub/torchaudio-decode
+    in the same Arrow seam. Per-row expansion, partition-preserving, no
+    shuffle — identical scale shape to the video path."""
+    if codec not in SUPPORTED_CODECS:
+        raise NotImplementedError(f"codec {codec!r} unavailable (stub environment)")
+
+    import numpy as np
+
+    out_schema = (
+        "media_id long, win_idx int, win_start_ms int, rms double, "
+        "zero_crossings int, n_samples int"
+    )
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "win_idx": [], "win_start_ms": [],
+                "rms": [], "zero_crossings": [], "n_samples": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                ok = raw[:3] == b"SYN" and len(raw) >= 8
+                if not ok:
+                    continue
+                _kind, rate_khz, _ch = struct.unpack(">BHH", raw[3:8])
+                body = np.frombuffer(raw[8:], dtype=np.uint8)
+                sr = max(int(rate_khz) * 1000, 1000)
+                spw = max(sr * window_ms // 1000, 1)
+                # synthetic bodies are short; every byte is one sample
+                for w_idx in range(0, max((len(body) + spw - 1) // spw, 1)):
+                    seg = body[w_idx * spw : (w_idx + 1) * spw]
+                    if len(seg) == 0:
+                        seg = np.zeros(1, dtype=np.uint8)
+                    centered = seg.astype("float64") - 128.0
+                    rms = float(np.sqrt((centered * centered).mean()))
+                    zc = int(((centered[:-1] * centered[1:]) < 0).sum()) if len(seg) > 1 else 0
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w_idx)
+                    out["win_start_ms"].append(w_idx * window_ms)
+                    out["rms"].append(rms)
+                    out["zero_crossings"].append(zc)
+                    out["n_samples"].append(int(len(seg)))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(windows, schema=out_schema)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-Column stats over binary payloads (no Python): byte length,
     header magic check — the cheap pre-filter before any decode fan-out."""

@@ -598,3 +598,46 @@ def test_ivf_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
     mem = ivf_topk(e, "embedding", "vec_id", probe, k=10, n_cells=8, nprobe=2, refine_iters=1)
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_audio_windows_segmentation(spark):
+    """Audio windowing: per-row expansion with deterministic features —
+    values match an independent numpy computation of the same cut."""
+    import numpy as np
+    import struct as _struct
+
+    from quarkus_etl_spark.operators.multimodal import (
+        audio_windows,
+        make_synthetic_payload,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30, partitions=4).where(
+        F.col("meta.kind") == "audio"
+    )
+    rows = audio_windows(media, window_ms=250).collect()
+    assert rows
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(got) == set(src)
+    for mid, raw in src.items():
+        _k, rate_khz, _c = _struct.unpack(">BHH", raw[3:8])
+        body = np.frombuffer(raw[8:], dtype=np.uint8)
+        spw = max(rate_khz * 1000 * 250 // 1000, 1)
+        expect_n = max((len(body) + spw - 1) // spw, 1)
+        wins = sorted(got[mid], key=lambda r: r["win_idx"])
+        assert len(wins) == expect_n
+        seg = body[:spw].astype("float64") - 128.0
+        assert abs(wins[0]["rms"] - float(np.sqrt((seg * seg).mean()))) < 1e-12
+        assert wins[0]["win_start_ms"] == 0
+
+
+def test_audio_windows_rejects_real_codec(spark):
+    import pytest
+
+    from quarkus_etl_spark.operators.multimodal import audio_windows, synthetic_media
+
+    with pytest.raises(NotImplementedError):
+        audio_windows(synthetic_media(spark, n=5), codec="pydub")
