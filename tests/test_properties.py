@@ -104,3 +104,53 @@ def test_merge_upsert_batching_is_associative(spark):
     want = {k: last.get(k, dict(base).get(k)) for k in set(dict(base)) | set(last)}
     got = {r["k"]: r["v"] for r in seq.collect()}
     assert got == want
+
+
+def _py_chunks(tokens, window, stride):
+    if not tokens:
+        tokens = [""]  # split of "" yields [""] in both engines
+    starts = list(range(0, len(tokens), stride)) or [0]
+    return [(i, s, tokens[s : s + window]) for i, s in enumerate(starts)]
+
+
+def test_token_chunks_matches_python_reference(spark):
+    from quarkus_etl_spark.functions.text import token_chunks, tokenize
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "longtokenword"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 120))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for window, stride in ((20, 15), (8, 8), (5, 3)):
+        got: dict = {}
+        out = df.select(
+            "id", F.explode(token_chunks(tokenize("text"), window, stride)).alias("s")
+        ).select("id", "s.chunk_id", "s.start_tok", "s.chunk")
+        for r in out.collect():
+            got.setdefault(r["id"], []).append(
+                (r["chunk_id"], r["start_tok"], list(r["chunk"]))
+            )
+        for rid, text in rows:
+            expect = _py_chunks(text.split(" "), window, stride)
+            assert sorted(got[rid]) == [(i, s, c) for i, s, c in expect], (
+                window, stride, rid,
+            )
+
+
+def test_stratified_hash_sampling_is_monotone_in_rate(spark, sf_dir):
+    """Raising a stratum's keep-threshold must re-select a SUPERSET of the
+    same rows (the auditability property the docstring claims), and the
+    realized rate must be within a few points of the nominal one."""
+    from quarkus_etl_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.substring(F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8")), 1, 2)
+    picked = {}
+    for thr, nominal in (("1a", 26 / 256), ("40", 64 / 256), ("80", 128 / 256)):
+        ids = {r["event_id"] for r in ev.where(key < thr).select("event_id").collect()}
+        picked[thr] = ids
+        realized = len(ids) / ev.count()
+        assert abs(realized - nominal) < 0.05, (thr, realized)
+    assert picked["1a"] <= picked["40"] <= picked["80"]
