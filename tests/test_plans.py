@@ -189,3 +189,24 @@ def test_tfidf_broadcasts_document_frequencies(spark, sf_dir):
     df = all_query_callables()["q_text_tfidf"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q10_plans_top_k_and_broadcast_dim(spark, sf_dir):
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_tpch_q10_shape"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q17_decorrelates_without_cartesian(spark, sf_dir):
+    """The hand-decorrelated Q17 must stay an equi-join tree: no
+    BroadcastNestedLoopJoin/CartesianProduct anywhere (what a naive
+    correlated rewrite degenerates to)."""
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_tpch_q17_shape"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
