@@ -180,6 +180,59 @@ def running_user_totals(
     )
 
 
+def incremental_rollup(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> StreamingQuery:
+    """Incrementally-maintained materialized aggregate — the streaming form
+    of q_time_rollup: watermarked windowed counts/sums run in UPDATE mode,
+    and every micro-batch's changed windows are merged into a parquet
+    table with the CDC last-writer-wins merge (operators/cdc.py) keyed on
+    (window_start, event_type). The table converges to exactly what the
+    batch aggregate over all input would produce (pytest pins it).
+
+    This is the standard lambda-architecture collapse: one streaming query
+    maintains the serving table; readers see complete, non-duplicated
+    windows without re-scanning history. State is bounded by the
+    watermark; the merge touches only changed keys per batch. (A real
+    lakehouse would use a transactional MERGE sink; the parquet
+    rewrite-on-merge here keeps the demo dependency-free, and the merge
+    operator itself is the scale-correct one-shuffle window dedup.)"""
+    import os  # noqa: PLC0415
+
+    from ..operators.cdc import merge_upsert  # noqa: PLC0415
+
+    agg = tumbling_stream(stream_df, window=window, watermark=watermark, ts_col=ts_col)
+    keys = ["window_start", "event_type"]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compact = batch_df.dropDuplicates(keys)  # one row per key per batch
+        if os.path.isdir(table_path):
+            base = spark.read.parquet(table_path)
+            merged = merge_upsert(base, compact, keys).drop("__version")
+        else:
+            merged = compact
+        tmp = table_path.rstrip("/") + ".__staging__"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil  # noqa: PLC0415
+
+        if os.path.isdir(table_path):
+            shutil.rmtree(table_path)
+        os.rename(tmp, table_path)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_static_enrich(
     stream_df: DataFrame,
     dim_df: DataFrame,

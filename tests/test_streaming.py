@@ -307,3 +307,58 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
         assert bad.count() == 0
     finally:
         q.stop()
+
+
+def test_incremental_rollup_converges_to_batch(spark, sf_dir, events_dir, tmp_path):
+    """The incrementally-merged table must equal the batch windowed
+    aggregate over the same input once the stream drains."""
+    from quarkus_etl_spark.streaming.streams import incremental_rollup
+
+    # Time-ordered arrival: range-partition by ts so micro-batch i holds the
+    # i-th time slice (the shared events_dir interleaves times randomly
+    # across files, and update-mode watermarking correctly DROPS rows far
+    # behind the watermark — that drop is tested elsewhere).
+    src = str(tmp_path / "ordered_events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    import time as _time
+
+    bounds = ev.select(
+        F.expr("percentile_approx(cast(ts as double), array(0.25, 0.5, 0.75), 1000)")
+    ).first()[0]
+    lo = None
+    for b in [*bounds, None]:
+        ts_d = F.col("ts").cast("double")
+        sl = ev
+        if lo is not None:
+            sl = sl.where(ts_d >= lo)
+        if b is not None:
+            sl = sl.where(ts_d < b)
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes -> FileStreamSource batches in time order
+        lo = b
+    table = str(tmp_path / "rollup_table")
+    q = incremental_rollup(
+        file_stream(spark, src, max_files_per_trigger=1),
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(table).select(
+        "window_start", "event_type", "cnt", F.round("sum_value", 2).alias("sv")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "cnt", "sv")
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
