@@ -471,3 +471,101 @@ def q_text_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("url"), r"://(?:[^/.]+\.)*([^/.]+\.[^/.]+)/", 1
         ).alias("reg_domain"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus pipeline: filter -> redact -> dedup -> chunk
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, {_SQL_TOKS} AS tk FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, text, tk,
+               LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+               + (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                  / GREATEST(LENGTH(text), 1)) * 0.4
+               + (CASE WHEN LENGTH(text) * 1.0 /
+                            GREATEST(LEN(string_split_regex(trim(text), '\s+')), 1)
+                            BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2 AS quality,
+               list_aggregate(list_transform(list_distinct(tk),
+                                             w -> len(list_filter(tk, x -> x = w))),
+                              'max') * 1.0 / len(tk) AS top_frac
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, lang,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g') AS clean,
+               tk,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(array_to_string(list_sort(list_distinct(tk)), ' '))
+                   ORDER BY doc_id ASC) AS rn
+        FROM scored
+        WHERE quality >= 0.67 AND top_frac < 0.15
+    ), st AS (
+        SELECT doc_id, lang, clean,
+               string_split(trim(regexp_replace(lower(clean), '\s+', ' ', 'g')), ' ') AS ck,
+               unnest(generate_series(
+                   0,
+                   len(string_split(trim(regexp_replace(lower(clean), '\s+', ' ', 'g')), ' ')) - 1,
+                   {_CHUNK_S})) AS start
+        FROM kept WHERE rn = 1
+    )
+    SELECT doc_id, lang,
+           start // {_CHUNK_S} AS chunk_id,
+           len(list_slice(ck, start + 1, start + {_CHUNK_W})) AS chunk_tokens,
+           md5(array_to_string(list_slice(ck, start + 1, start + {_CHUNK_W}), ' '))
+               AS chunk_md5
+    FROM st
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as ONE plan — what a 100 TB training-data
+    run actually ships: quality + repetition filters (both pushed to the
+    scan; dropped docs never shuffle) -> PII redaction (map-only) -> exact
+    dedup on the bag-of-words key (THE one shuffle) -> sliding-window
+    chunking of the surviving, redacted text (map-only fan-out). Every
+    stage is an already-oracle-checked operator; this query pins their
+    composition.
+
+    Plan shape: scan -> filter -> project -> one hash-shuffle window ->
+    explode. Nothing quadratic, nothing Python, one row-proportional
+    exchange."""
+    from quarkus_etl_spark.functions.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    tk = tokenize(normalize_text("text"))
+    counts = F.transform(
+        F.array_distinct("tk"), lambda w: F.size(F.filter(F.col("tk"), lambda x: x == w))
+    )
+    scored = ensure_parallelism(d).select(
+        "doc_id", "lang", "text", tk.alias("tk"), quality_score("text").alias("q")
+    ).withColumn("top_frac", F.array_max(counts) / F.size("tk"))
+    kept = scored.where((F.col("q") >= 0.67) & (F.col("top_frac") < 0.15))
+    bow = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tk")))))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(bow).orderBy(F.col("doc_id").asc())
+    unique = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", redact_pii("text").alias("clean"))
+    )
+    chunks = unique.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            token_chunks(tokenize(normalize_text("clean")), _CHUNK_W, _CHUNK_S)
+        ).alias("s"),
+    )
+    return chunks.select(
+        "doc_id",
+        "lang",
+        F.col("s.chunk_id").alias("chunk_id"),
+        F.size("s.chunk").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("s.chunk"))).alias("chunk_md5"),
+    )
