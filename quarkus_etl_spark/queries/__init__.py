@@ -18,6 +18,7 @@ _MODULES = (
     "northstar_q",
     "timeseries_q",
     "curation_q",
+    "analytics_q",
 )
 
 _loaded = False

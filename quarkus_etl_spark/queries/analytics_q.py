@@ -1,0 +1,193 @@
+"""Event-analytics queries: ordered funnel conversion, cohort retention,
+and OHLC time bars. The reference delegates this whole family to its source
+RDBMS's SQL surface (reference EtlMain.kt:103-108 passes the extract string
+verbatim); here each is a native Spark plan engineered for one (or zero)
+extra shuffles at 100 TB.
+
+Cross-engine determinism notes:
+- Funnel step times chain strict `>` comparisons on the raw microsecond
+  timestamps — no same-instant ambiguity can change a count.
+- OHLC open/close are picked with min_by/max_by over a FIXED-WIDTH padded
+  string ordering key (epoch_us ‖ event_id) because DuckDB's arg_min/arg_max
+  accept scalar sort keys only — string order equals numeric order at fixed
+  width, and the composite key makes equal-timestamp picks deterministic.
+- Day offsets are cast to INT on both sides (DuckDB date_diff returns
+  BIGINT, Spark datediff returns INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import dsum, register, t
+
+# Strict ordered funnel over the events fixture: view -> click -> purchase.
+_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ), per_user AS (
+        SELECT DISTINCT user_id, t1, t2, t3 FROM w3
+    )
+    SELECT count(*) AS n_users,
+           count(t1) AS n_step1_view,
+           count(t2) AS n_step2_click,
+           count(t3) AS n_step3_purchase
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (view -> click -> purchase): per user, step N's
+    timestamp is the earliest qualifying event strictly after step N-1's.
+
+    Plan: the three conditional mins share one whole-partition window spec
+    (partitionBy user_id, no ordering), so the chain costs exactly ONE hash
+    shuffle and zero sorts; the per-user distinct reuses that clustering and
+    the final count is a tiny global agg. At 100 TB this is the canonical
+    one-pass funnel — no self-joins, no per-step rescans of the event log."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == _STEPS[0], F.col("ts"))).over(w)
+    staged = ev.select("user_id", "event_type", "ts").withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == _STEPS[1]) & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when((F.col("event_type") == _STEPS[2]) & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    per_user = staged.withColumn("t3", t3).select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_step1_view"),
+        F.count("t2").alias("n_step2_click"),
+        F.count("t3").alias("n_step3_purchase"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH seen AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    )
+    SELECT CAST(date_trunc('day', first_ts) AS DATE) AS cohort_day,
+           CAST(date_diff('day', CAST(date_trunc('day', first_ts) AS DATE),
+                                 CAST(date_trunc('day', ts) AS DATE)) AS INTEGER)
+               AS day_offset,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM seen
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, activity
+    counted at each day offset from the cohort day.
+
+    Plan: the cohort day comes from a whole-partition window min (ONE hash
+    shuffle on user_id, no sort, no join-back — the classic two-scan
+    `first_events JOIN events` formulation is a second shuffle this avoids);
+    the (cohort, offset) rollup is a partial-aggregated groupBy. Cohort
+    cardinality is bounded by the calendar, so the final agg is tiny at any
+    data scale."""
+    ev = t(spark, sf_dir, "events")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    seen = ev.select("user_id", "ts").withColumn(
+        "cohort_day", F.to_date(F.date_trunc("day", first_ts))
+    )
+    return (
+        seen.withColumn(
+            "day_offset",
+            F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("cohort_day")),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# Packed BIGINT ordering key for the open/close picks. A string key would be
+# lexicographically correct but its immutable buffer demotes Spark's
+# aggregate to SortAggregate (per-map-task sort); a long keeps it a true
+# HashAggregate. Layout: in-bucket microsecond offset (< 3.6e9, 32 bits for
+# an hour bucket) << 31 | event_id's low 31 bits — 63 bits total, no ANSI
+# overflow. Ties need two events in the same MICROSECOND whose ids also
+# collide mod 2^31; ids below 2^31 (any realistic per-source id space) make
+# the key exact.
+_TIE_MOD = 2_147_483_648  # 2^31
+
+_SQL_ORD = (
+    "(epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 2147483648"
+    " + (event_id % 2147483648)"
+)
+
+
+def _ord_key() -> F.Column:
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    ep_hour = F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+    return (ep - ep_hour) * F.lit(_TIE_MOD) + F.pmod(F.col("event_id"), F.lit(_TIE_MOD))
+
+
+@register(
+    "q_time_ohlc",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           arg_min(value, {_SQL_ORD}) AS open_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           arg_max(value, {_SQL_ORD}) AS close_v,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are the first/last value
+    by (ts, event_id), high/low the extremes, volume the exact decimal sum.
+
+    Plan: pure hash aggregation — min_by/max_by over the packed long key
+    carry (value, key) pairs through Spark's partial+final aggregation, so
+    the bars build map-side with NO sort anywhere and one shuffle keyed by
+    (hour, type). That is the shape a 100 TB tick store needs: per-group
+    state is O(1) regardless of group size, unlike a first_value window
+    (sorts every partition) or a string-keyed min_by (demotes to
+    SortAggregate)."""
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "event_type",
+        "value",
+        _ord_key().alias("ord_key"),
+    )
+    return keyed.groupBy("bucket", "event_type").agg(
+        F.min_by("value", "ord_key").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "ord_key").alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "volume"),
+    )

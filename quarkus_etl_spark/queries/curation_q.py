@@ -569,3 +569,68 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s.chunk").alias("chunk_tokens"),
         F.md5(F.concat_ws(" ", F.col("s.chunk"))).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram collision against a held-out probe set
+# --------------------------------------------------------------------------
+
+_DECON_N = 5  # word n-gram width; real pipelines use 8-13, fixture docs are short
+
+
+@register(
+    "q_decontaminate",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - {_DECON_N - 1}, 0)),
+                   i -> array_to_string(list_slice(tk, i, i + {_DECON_N - 1}), ' ')
+               )) AS gs
+        FROM toks
+    ), bench AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0
+    ), corpus AS (
+        SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, count(*) AS n_shared
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    {_DECON_N}-gram with a held-out benchmark set (here: doc_id % 97 == 0
+    plays the benchmark; real pipelines load eval suites). Output is one row
+    per contaminated document with its distinct-collision count.
+
+    Scale design: the BENCHMARK side is the broadcast build — eval suites
+    are bounded (millions of n-grams, not corpus-sized), which is exactly
+    when a broadcast hash join is the right plan at 100 TB: the corpus side
+    streams map-only through the gram explode + broadcast probe with zero
+    shuffle before the per-doc count (itself keyed by doc_id, AQE-sized).
+    Past broadcast limits the same plan degrades to a bloom-filter
+    pre-probe + shuffle join; the fixture benchmark is small by
+    construction so the broadcast IS the scale-correct choice here."""
+    d = t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", tokenize(normalize_text("text")).alias("tk")
+    )
+    grams = toks.select(
+        "doc_id", F.array_distinct(ngrams(F.col("tk"), _DECON_N)).alias("gs")
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("gs").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

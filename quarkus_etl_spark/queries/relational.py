@@ -701,6 +701,61 @@ def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tpch_q18_shape",
+    oracle="""
+    WITH order_qty AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(qty_dec AS DOUBLE) AS total_qty
+    FROM order_qty
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) shape. The classic SQL writes the
+    quantity sum twice (HAVING subquery + outer GROUP BY, rescanning
+    lineitem); here the per-order aggregate is computed ONCE and reused —
+    one lineitem shuffle keyed by l_orderkey, an already-co-keyed join to
+    orders (AQE merges the exchanges), a second join to customer, and a
+    TakeOrderedAndProject top-100 with full-key tiebreak
+    (o_totalprice DESC, o_orderdate, o_orderkey). At 100 TB the surviving
+    HAVING rows are a sliver of lineitem, so the orders join's build side
+    is small and AQE turns it into a broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 250)
+    )
+    return (
+        oq.join(o, oq.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reshaping: pivot / unpivot / sampling
 # ---------------------------------------------------------------------------

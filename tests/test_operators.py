@@ -641,3 +641,56 @@ def test_audio_windows_rejects_real_codec(spark):
 
     with pytest.raises(NotImplementedError):
         audio_windows(synthetic_media(spark, n=5), codec="pydub")
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    """Strict ordered funnel: each step's user count can only shrink."""
+    from quarkus_etl_spark.queries.analytics_q import q_funnel
+
+    row = q_funnel(spark, sf_dir).collect()[0]
+    assert row.n_users >= row.n_step1_view >= row.n_step2_click >= row.n_step3_purchase
+    assert row.n_step1_view > 0  # fixture has view events for every active user
+
+
+def test_ohlc_invariants_and_no_window_sort(spark, sf_dir):
+    """OHLC bars: low <= open/close <= high on every bar, and the plan is a
+    pure hash aggregate (min_by/max_by) — no Window node, no sort shuffle."""
+    from quarkus_etl_spark.queries.analytics_q import q_time_ohlc
+
+    df = q_time_ohlc(spark, sf_dir)
+    bad = df.where(
+        (F.col("low_v") > F.col("open_v"))
+        | (F.col("low_v") > F.col("close_v"))
+        | (F.col("high_v") < F.col("open_v"))
+        | (F.col("high_v") < F.col("close_v"))
+    ).count()
+    assert bad == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in plan
+
+
+def test_retention_cohort_day0_covers_all_users(spark, sf_dir):
+    """Every user appears in their own cohort at offset 0, and offsets are
+    never negative (cohort day is the min)."""
+    from quarkus_etl_spark.queries.analytics_q import q_retention_cohort
+
+    df = q_retention_cohort(spark, sf_dir)
+    assert df.where(F.col("day_offset") < 0).count() == 0
+    day0_users = (
+        df.where(F.col("day_offset") == 0).agg(F.sum("n_users")).collect()[0][0]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    assert day0_users == ev.select("user_id").distinct().count()
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark n-gram set is the broadcast build side (bounded probe
+    set vs unbounded corpus — the scale-correct orientation)."""
+    from quarkus_etl_spark.queries.curation_q import q_decontaminate
+
+    df = q_decontaminate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # flagged docs must actually share grams: counts strictly positive
+    assert df.where(F.col("n_shared") <= 0).count() == 0
