@@ -66,6 +66,9 @@ def main() -> None:
             "q_dedup_ngram",
             "q_sim_pairs",
             "q_dedup_cluster",  # also compiles the connected-components round shapes
+            "q_decontaminate",  # wide gram-projection codegen
+            "q_sim_ann_ivf",
+            "q_sim_ann_lsh",
         ):
             try:
                 materialize(queries[warm_name](spark, tiny))

@@ -53,18 +53,17 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
 def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
     """Word n-grams from a token array: join of tokens[i..i+n-1].
 
-    Branch-free short-input handling: build grams over every start
-    position with `try_element_at` (null past the end, never an ANSI
-    index error; concat_ws drops nulls), then slice off the ragged tail —
-    arrays with < n tokens slice to empty. A `when`-guarded variant is
-    ~2.4x slower (the conditional defeats codegen fusion of the array
-    pipeline), which matters because dedup feature extraction sits under
-    broadcast joins that evaluate it on both sides."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)))
-    grams_full = F.transform(
-        idx,
-        lambda i: F.concat_ws(sep, *[F.try_element_at(tokens, i + j + 1) for j in range(n)]),
-    )
+    Branch-free short-input handling: `slice` past the array end is just a
+    shorter (or empty) slice — never an ANSI index error — and the final
+    outer slice trims the ragged tail, so arrays with < n tokens yield [].
+    The lambda body is a single slice+array_join (not n element lookups):
+    higher-order-function lambdas evaluate INTERPRETED (CodegenFallback),
+    and when the n-gram array feeds `explode` the whole expression sits in
+    the Generate node where a fat lambda costs 5-20x (measured at n=5).
+    A `when`-guarded variant is ~2.4x slower again (the conditional defeats
+    fusion of the array pipeline)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    grams_full = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), sep))
     return F.slice(grams_full, 1, F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
 
 

@@ -578,6 +578,24 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 5  # word n-gram width; real pipelines use 8-13, fixture docs are short
 
 
+def _gram_rows(toks: DataFrame) -> DataFrame:
+    """(doc_id, gram) rows via INDEX explode: the generator input is a cheap
+    `sequence()`, and each gram is one slice+array_join in the codegen'd
+    projection above the Generate. Exploding the n-gram ARRAY instead puts
+    the lambda-bearing expression inside the Generate node, where it
+    evaluates interpreted — measured 10-40x slower at n=5 (see
+    functions/text.py::ngrams). Duplicate grams within a doc are kept;
+    consumers dedup in their aggregate."""
+    nmax = F.greatest(F.size("tk") - (_DECON_N - 1), F.lit(1))
+    return (
+        toks.select("doc_id", "tk", F.explode(F.sequence(F.lit(1), nmax)).alias("i"))
+        .where(F.col("i") <= F.size("tk") - (_DECON_N - 1))
+        .select(
+            "doc_id", F.array_join(F.slice("tk", F.col("i"), _DECON_N), " ").alias("gram")
+        )
+    )
+
+
 @register(
     "q_decontaminate",
     oracle=rf"""
@@ -585,17 +603,17 @@ _DECON_N = 5  # word n-gram width; real pipelines use 8-13, fixture docs are sho
         SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
     ), grams AS (
         SELECT doc_id,
-               list_distinct(list_transform(
+               unnest(list_transform(
                    generate_series(1, greatest(len(tk) - {_DECON_N - 1}, 0)),
                    i -> array_to_string(list_slice(tk, i, i + {_DECON_N - 1}), ' ')
-               )) AS gs
+               )) AS gram
         FROM toks
     ), bench AS (
-        SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 97 = 0
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
     ), corpus AS (
-        SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 97 <> 0
+        SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0
     )
-    SELECT c.doc_id, count(*) AS n_shared
+    SELECT c.doc_id, count(DISTINCT c.gram) AS n_shared
     FROM corpus c JOIN bench b USING (gram)
     GROUP BY c.doc_id
     """,
@@ -609,28 +627,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the BENCHMARK side is the broadcast build — eval suites
     are bounded (millions of n-grams, not corpus-sized), which is exactly
     when a broadcast hash join is the right plan at 100 TB: the corpus side
-    streams map-only through the gram explode + broadcast probe with zero
-    shuffle before the per-doc count (itself keyed by doc_id, AQE-sized).
-    Past broadcast limits the same plan degrades to a bloom-filter
-    pre-probe + shuffle join; the fixture benchmark is small by
-    construction so the broadcast IS the scale-correct choice here."""
+    streams map-only through the index-explode gram projection + broadcast
+    probe with zero shuffle before the per-doc distinct count (itself keyed
+    by doc_id, AQE-sized; countDistinct dedups in-aggregate so no per-array
+    distinct pass is needed upstream). Past broadcast limits the same plan
+    degrades to a bloom-filter pre-probe + shuffle join; the fixture
+    benchmark is small by construction so the broadcast IS the
+    scale-correct choice here."""
     d = t(spark, sf_dir, "documents")
     toks = ensure_parallelism(d).select(
         "doc_id", tokenize(normalize_text("text")).alias("tk")
     )
-    grams = toks.select(
-        "doc_id", F.array_distinct(ngrams(F.col("tk"), _DECON_N)).alias("gs")
-    )
-    bench = (
-        grams.where(F.col("doc_id") % 97 == 0)
-        .select(F.explode("gs").alias("gram"))
-        .distinct()
-    )
-    corpus = grams.where(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode("gs").alias("gram")
-    )
+    grams = _gram_rows(toks)
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") % 97 != 0)
     return (
         corpus.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.countDistinct("gram").alias("n_shared"))
     )
