@@ -7,10 +7,11 @@ extra shuffles at 100 TB.
 Cross-engine determinism notes:
 - Funnel step times chain strict `>` comparisons on the raw microsecond
   timestamps — no same-instant ambiguity can change a count.
-- OHLC open/close are picked with min_by/max_by over a FIXED-WIDTH padded
-  string ordering key (epoch_us ‖ event_id) because DuckDB's arg_min/arg_max
-  accept scalar sort keys only — string order equals numeric order at fixed
-  width, and the composite key makes equal-timestamp picks deterministic.
+- OHLC open/close are picked with min_by/max_by over a packed BIGINT
+  ordering key (in-bucket micros << 31 | event_id low bits) because DuckDB's
+  arg_min/arg_max accept scalar sort keys only and a string key would demote
+  Spark's aggregate to SortAggregate; the composite key makes
+  equal-timestamp picks deterministic.
 - Day offsets are cast to INT on both sides (DuckDB date_diff returns
   BIGINT, Spark datediff returns INT).
 """
@@ -190,4 +191,74 @@ def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ord_key").alias("close_v"),
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "volume"),
+    )
+
+
+@register(
+    "q_funnel_window",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                                AND ts <= t1 + INTERVAL 1 HOUR THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                                AND ts <= t2 + INTERVAL 24 HOURS THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ), per_user AS (
+        SELECT DISTINCT user_id, t1, t2, t3 FROM w3
+    )
+    SELECT count(*) AS n_users,
+           count(t1) AS n_step1_view,
+           count(t2) AS n_step2_click_1h,
+           count(t3) AS n_step3_purchase_24h,
+           CASE WHEN count(t1) > 0
+                THEN CAST(count(t3) AS DOUBLE) / count(t1) END AS conv_rate
+    FROM per_user
+    """,
+)
+def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: click must land within 1 hour of the first
+    view, purchase within 24 hours of that click — the standard
+    product-analytics form (an unbounded funnel overcounts users who
+    convert weeks later). Same one-shuffle plan as q_funnel: the window
+    bounds are plain timestamp comparisons against the previous step's
+    whole-partition min, so the three chained conditional mins still share
+    a single hash exchange with zero sorts."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == _STEPS[0], F.col("ts"))).over(w)
+    staged = ev.select("user_id", "event_type", "ts").withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == _STEPS[1])
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == _STEPS[2])
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = staged.withColumn("t3", t3).select("user_id", "t1", "t2", "t3").distinct()
+    n1, n3 = F.count("t1"), F.count("t3")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        n1.alias("n_step1_view"),
+        F.count("t2").alias("n_step2_click_1h"),
+        n3.alias("n_step3_purchase_24h"),
+        F.when(n1 > 0, n3.cast("double") / n1).alias("conv_rate"),
     )
