@@ -9,6 +9,7 @@ from .base import ORACLES, QUERIES, all_oracles, all_query_callables  # noqa: F4
 
 _MODULES = (
     "relational",
+    "tpch_q",
     "functions_q",
     "windows_q",
     "subqueries_q",
