@@ -573,3 +573,228 @@ def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q6_shape",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) shape: the canonical pure
+    scan-filter-aggregate — every predicate (date window, discount band,
+    quantity cap) must reach the parquet scan as a pushed filter and the
+    read schema must prune to the four referenced columns; a single global
+    exact-decimal sum follows. At 100 TB this is the query whose whole cost
+    IS the scan, so pushdown/pruning quality decides everything."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ntz("1996-01-01"))
+        & (F.col("l_shipdate") < _ntz("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q2_shape",
+    oracle="""
+    WITH eu_li AS (
+      SELECT l_partkey, l_extendedprice, s_name, s_acctbal, n_name
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    min_p AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM eu_li GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, min_price
+    FROM part
+    JOIN eu_li ON p_partkey = eu_li.l_partkey
+    JOIN min_p ON min_p.l_partkey = eu_li.l_partkey
+               AND eu_li.l_extendedprice = min_p.min_price
+    WHERE p_size >= 40 AND p_type = 'LARGE'
+    """,
+)
+def q_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier) shape: correlated scalar-subquery
+    minimum decorrelated into a per-key aggregate self-joined back on
+    (key, value == min) — the classic groupwise-minimum plan. The fixture
+    has no partsupp, so lineitem plays the part-supplier association and
+    l_extendedprice the supply cost; region restriction EUROPE applies to
+    both the outer and the minimum's scope, exactly like Q2's nested
+    region filter. Both join branches hash-partition on l_partkey, so the
+    agg and the join-back share one exchange (ReusedExchange at runtime);
+    the filtered part dim is broadcast. Exact double equality is safe:
+    both engines compare the identical parquet-sourced IEEE values."""
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            broadcast(
+                t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_li = (
+        t(spark, sf_dir, "lineitem")
+        .join(broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_extendedprice", "s_name", "s_acctbal", "n_name")
+    )
+    min_p = (
+        eu_li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "mp_partkey")
+    )
+    p = broadcast(
+        t(spark, sf_dir, "part").where(
+            (F.col("p_size") >= 40) & (F.col("p_type") == "LARGE")
+        )
+    )
+    return (
+        eu_li.join(
+            min_p,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "min_price")
+    )
+
+
+@register(
+    "q_tpch_q11_shape",
+    oracle="""
+    WITH g AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS val_dec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+    FROM g, (SELECT 1.05 * (CAST(SUM(val_dec) AS DOUBLE) / COUNT(*)) AS thr FROM g) s
+    WHERE CAST(val_dec AS DOUBLE) > thr
+    """,
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) shape: per-part inventory
+    value filtered by a scalar-subquery threshold over the SAME aggregate.
+    The threshold (1.05x the mean part value, scale-invariant unlike Q11's
+    fixed fraction) is derived from the grouped aggregate itself, not a
+    second scan: both branches build the identical groupBy(l_partkey)
+    exchange, so Spark reuses the shuffle (ReusedExchange) and lineitem is
+    read once. Value arithmetic is exact decimal end-to-end; only the final
+    compare is double, with an identical expression tree in the oracle."""
+    g = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            broadcast(
+                t(spark, sf_dir, "supplier")
+                .join(
+                    broadcast(t(spark, sf_dir, "nation")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+                .join(
+                    broadcast(
+                        t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice") * dec2("l_quantity")).alias("val_dec"))
+    )
+    thr = g.agg(
+        (F.lit(1.05) * (F.sum("val_dec").cast("double") / F.count(F.lit(1)))).alias(
+            "thr"
+        )
+    )
+    return (
+        g.crossJoin(broadcast(thr))
+        .where(F.col("val_dec").cast("double") > F.col("thr"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q_tpch_q20_shape",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40
+      )
+    """,
+)
+def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) shape: doubly-nested IN
+    subqueries decorrelated into chained semi-joins — suppliers who moved
+    >40 units of any 'red' part in 1996, restricted to AMERICA nations.
+    part-name IN becomes a broadcast semi-join under the date-filtered
+    lineitem scan; the grouped HAVING feeds a semi-join into supplier, so
+    the unbounded fact table collapses to (suppkey) before touching the
+    dim side. Quantity sums are exact decimal so the threshold compare
+    can't straddle a float ulp across engines."""
+    red = t(spark, sf_dir, "part").where(F.col("p_name").like("red %")).select(
+        "p_partkey"
+    )
+    qual = (
+        t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= _ntz("1996-01-01"))
+            & (F.col("l_shipdate") < _ntz("1997-01-01"))
+        )
+        .join(broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    am_nation = t(spark, sf_dir, "nation").join(
+        broadcast(t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+        "left_semi",
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(
+            broadcast(am_nation.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
