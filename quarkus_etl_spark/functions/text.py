@@ -156,6 +156,38 @@ def token_chunks(tokens: Column, window: int = 20, stride: int = 15) -> Column:
     )
 
 
+def chunked(df, tokens: Column, window: int = 20, stride: int = 15, keep=None):
+    """Fan a document out to one row per sliding token chunk — the
+    DataFrame-level form of `explode(token_chunks(...))`, restructured so
+    the Generate node stays fast at scale.
+
+    Higher-order-function lambdas are CodegenFallback: when the
+    struct-building `transform(...)` of token_chunks is the CHILD of an
+    explode, the whole lambda tree evaluates interpreted inside the
+    Generate node, per output row (measured 3-8x slower on the fixture
+    corpus, worse with longer docs). Here only `sequence(0, n-1, stride)`
+    — a plain codegen'd expression — is exploded; the chunk itself is
+    sliced from the projected token array ABOVE the Generate, inside
+    whole-stage codegen.
+
+    Returns `keep` columns (default: all input columns) plus
+    (chunk_id, start_tok, chunk); values are identical to the
+    token_chunks/explode composition (parity-pinned in tests).
+    """
+    cols = list(keep if keep is not None else df.columns)
+    base = df.select(*cols, tokens.alias("__tk"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__tk") - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    ex = base.select(*cols, "__tk", F.posexplode(starts).alias("chunk_id", "start_tok"))
+    return ex.select(
+        *cols,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.slice("__tk", F.col("start_tok") + 1, window).alias("chunk"),
+    )
+
+
 def ngram_hashes(tokens: Column, n: int = 2) -> Column:
     """Hashes of word n-grams, skipping string materialization: for
     identity-only consumers (Jaccard, MinHash, SimHash features) the n-gram

@@ -17,11 +17,11 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     EMAIL_RE,
     PHONE_RE,
+    chunked,
     ngrams,
     normalize_text,
     pii_counts,
     redact_pii,
-    token_chunks,
     tokenize,
 )
 from ..plans.tuning import ensure_parallelism
@@ -59,22 +59,26 @@ _CHUNK_W, _CHUNK_S = 20, 15
 )
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker: each document becomes ceil(n/stride)
-    overlapping chunks of <= 20 tokens (stride 15). The chunk array is
-    built per-row (token_chunks — zero shuffle), one posexplode fans out;
+    overlapping chunks of <= 20 tokens (stride 15). One posexplode of the
+    lambda-free start-index sequence fans out, the chunk is sliced above
+    the Generate (functions.text.chunked — zero shuffle, codegen'd);
     at 100 TB this is a map-only stage whose output partitioning inherits
     the scan's. Chunks are reported as md5 + token count so the grader's
     row stays narrow."""
     d = t(spark, sf_dir, "documents")
-    base = ensure_parallelism(d).select(
-        "doc_id", token_chunks(tokenize(normalize_text("text")), _CHUNK_W, _CHUNK_S).alias("ch")
+    ex = chunked(
+        ensure_parallelism(d),
+        tokenize(normalize_text("text")),
+        _CHUNK_W,
+        _CHUNK_S,
+        keep=["doc_id"],
     )
-    ex = base.select("doc_id", F.explode("ch").alias("s"))
     return ex.select(
         "doc_id",
-        F.col("s.chunk_id").alias("chunk_id"),
-        F.col("s.start_tok").alias("start_tok"),
-        F.size("s.chunk").alias("chunk_tokens"),
-        F.md5(F.concat_ws(" ", F.col("s.chunk"))).alias("chunk_md5"),
+        "chunk_id",
+        "start_tok",
+        F.size("chunk").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
     )
 
 
@@ -342,17 +346,20 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses: chunk every doc (map-only), fingerprint each chunk, keep the
     first occurrence corpus-wide (one hash shuffle on the fingerprint),
     report per-doc survival. Composition of two already-oracled operators
-    (token_chunks + keep-first window)."""
+    (chunked + keep-first window)."""
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
-    base = ensure_parallelism(d).select(
-        "doc_id", token_chunks(tokenize(normalize_text("text")), _CHUNK_W, _CHUNK_S).alias("ch")
-    )
-    chunks = base.select("doc_id", F.explode("ch").alias("s")).select(
+    chunks = chunked(
+        ensure_parallelism(d),
+        tokenize(normalize_text("text")),
+        _CHUNK_W,
+        _CHUNK_S,
+        keep=["doc_id"],
+    ).select(
         "doc_id",
-        F.col("s.chunk_id").alias("chunk_id"),
-        F.md5(F.concat_ws(" ", F.col("s.chunk"))).alias("chunk_md5"),
+        "chunk_id",
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
     )
     w = Window.partitionBy("chunk_md5").orderBy(
         F.col("doc_id").asc(), F.col("chunk_id").asc()
@@ -555,19 +562,16 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", redact_pii("text").alias("clean"))
     )
-    chunks = unique.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            token_chunks(tokenize(normalize_text("clean")), _CHUNK_W, _CHUNK_S)
-        ).alias("s"),
+    chunks = chunked(
+        unique, tokenize(normalize_text("clean")), _CHUNK_W, _CHUNK_S,
+        keep=["doc_id", "lang"],
     )
     return chunks.select(
         "doc_id",
         "lang",
-        F.col("s.chunk_id").alias("chunk_id"),
-        F.size("s.chunk").alias("chunk_tokens"),
-        F.md5(F.concat_ws(" ", F.col("s.chunk"))).alias("chunk_md5"),
+        "chunk_id",
+        F.size("chunk").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
     )
 
 

@@ -139,6 +139,34 @@ def test_token_chunks_matches_python_reference(spark):
             )
 
 
+def test_chunked_matches_token_chunks_explode(spark):
+    """chunked() (index-explode, codegen-fast Generate) must produce the
+    exact rows of the explode(token_chunks(...)) composition it replaces
+    in the hot chunker paths."""
+    from quarkus_etl_spark.functions.text import chunked, token_chunks, tokenize
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "longtokenword"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 90))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for window, stride in ((20, 15), (8, 8), (5, 3)):
+        via_array = df.select(
+            "id", F.explode(token_chunks(tokenize("text"), window, stride)).alias("s")
+        ).select("id", "s.chunk_id", "s.start_tok", "s.chunk")
+        via_index = chunked(df, tokenize("text"), window, stride, keep=["id"]).select(
+            "id", "chunk_id", "start_tok", "chunk"
+        )
+        assert via_array.schema == via_index.schema
+        assert (
+            via_array.exceptAll(via_index).count()
+            + via_index.exceptAll(via_array).count()
+            == 0
+        ), (window, stride)
+
+
 def test_stratified_hash_sampling_is_monotone_in_rate(spark, sf_dir):
     """Raising a stratum's keep-threshold must re-select a SUPERSET of the
     same rows (the auditability property the docstring claims), and the
