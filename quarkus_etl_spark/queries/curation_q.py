@@ -650,3 +650,265 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
     )
+
+
+# --------------------------------------------------------------------------
+# Training-batch assembly: sequence packing, splits, leakage audit,
+# unigram-LM scoring, mixture rebalancing
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 256  # tokens per packed training sequence
+
+_SQL_SPLIT = """
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                         THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+"""
+
+
+def _split_col() -> F.Column:
+    h = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
+    return (
+        F.when(h < "e6", F.lit("train"))
+        .when(h < "f3", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({_SQL_TOKS}) AS n_tok FROM documents
+    ), seq AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        FROM toks
+    )
+    SELECT lang, (cum - n_tok) // {_PACK_CAP} AS bin_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+    FROM seq GROUP BY lang, (cum - n_tok) // {_PACK_CAP}
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assembling fixed-capacity training sequences from
+    variable-length documents (the batch-shaping stage before an LLM
+    training run). Documents stream in doc_id order within a lang shard;
+    each lands in the bin where its first token falls in the concatenated
+    stream (bin = prefix-sum DIV capacity), so bins are contiguous and the
+    assignment is a single running-sum window — ONE shuffle, no loop.
+    At 100 TB the shard key becomes (lang, file-shard) so no single
+    ordered region exceeds one reducer; packing quality is unchanged
+    because packing is per-shard greedy either way."""
+    d = t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", "lang", F.size(tokenize(normalize_text("text"))).alias("n_tok")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    seq = toks.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        seq.withColumn("bin_id", F.expr(f"(cum - n_tok) DIV {_PACK_CAP}"))
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+    )
+
+
+@register(
+    "q_split_assign",
+    oracle=f"""
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ({_SQL_SPLIT})
+    GROUP BY split, lang
+    """,
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-aware train/val/test split (~90/5/5): the split
+    label is a pure function of doc_id's md5, so (a) every derived row of
+    a document (chunks, features, embeddings) joins back to the SAME
+    split with no coordination, and (b) growing the corpus never
+    reassigns an existing document — the auditability property that
+    matters when the corpus is rebuilt at 100 TB. Scan-fused expression,
+    zero shuffles before the reporting aggregate."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        ensure_parallelism(d)
+        .select("lang", "n_chars", _split_col().alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "q_split_leakage",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i+1])) AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ), spl AS ({_SQL_SPLIT})
+    SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN spl sa ON p.id_a = sa.doc_id
+    JOIN spl sb ON p.id_b = sb.doc_id
+    GROUP BY sa.split, sb.split
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: near-duplicate pairs (the oracled
+    word-bigram Jaccard graph) joined to both members' split labels,
+    counted by (split_a, split_b) — any train x test mass is leakage the
+    eval can't be trusted under. The pair set is sparse after blocking,
+    so the two label joins shuffle only candidate ids; the label side is
+    a scan-fused projection of documents (no second derivation), and AQE
+    broadcasts whichever side collapses below the threshold."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="lang", threshold=0.7
+    ).select("id_a", "id_b")
+    spl = ensure_parallelism(d).select("doc_id", _split_col().alias("split"))
+    sa = spl.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = spl.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_text_unigram_lp",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, t.w AS term
+        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
+    ), cnt AS (
+        SELECT term, COUNT(*) AS term_n FROM toks GROUP BY term
+    ), tot AS (
+        SELECT CAST(SUM(term_n) AS BIGINT) AS total FROM cnt
+    )
+    SELECT doc_id, COUNT(*) AS n_tok,
+           CAST(SUM(CAST(-ln(term_n * 1.0 / total) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS avg_nll
+    FROM toks JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-likelihood scoring — the cheapest LM-based quality
+    filter: fit the corpus's own unigram distribution (one token-count
+    aggregate), then score every document by mean negative log-probability
+    of its tokens. Two row-proportional shuffles (term counts; join back
+    on term) + one per-doc aggregate. The term side is Zipf-skewed, so at
+    scale the join runs under AQE skew splitting — or the head of the
+    distribution (the few thousand terms covering ~90% of mass) broadcasts
+    and only the tail shuffles. Determinism: ln of the same rational on
+    both engines, quantized to DECIMAL(18,9) BEFORE the order-sensitive
+    sum, so partial-aggregation order can't skew the double."""
+    d = t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", F.explode(tokenize(normalize_text("text"))).alias("term")
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("term_n"))
+    tot = cnt.agg(F.sum("term_n").cast("long").alias("total"))
+    nll = (-F.log(F.col("term_n") * F.lit(1.0) / F.col("total"))).cast(
+        "decimal(18,9)"
+    )
+    return (
+        toks.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "q_mix_rebalance",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_langs FROM stats
+    ), rates AS (
+        SELECT lang, n,
+               LEAST(1.0, (total * 1.0 / n_langs) / n) AS keep_rate
+        FROM stats CROSS JOIN tot
+    ), marked AS (
+        SELECT d.lang, r.n,
+               CASE WHEN r.keep_rate >= 1.0 THEN 'zzzzzz'
+                    ELSE printf('%06x', CAST(floor(r.keep_rate * 16777216) AS INT))
+               END AS rate_hex,
+               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS h
+        FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang, MIN(n) AS n_docs,
+           SUM(CASE WHEN h < rate_hex THEN 1 ELSE 0 END) AS n_kept
+    FROM marked GROUP BY lang
+    """,
+)
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing toward a uniform language mix: per-language keep
+    rates are COMPUTED FROM the corpus (target share / actual share,
+    capped at 1), then applied as deterministic md5-threshold sampling —
+    the self-calibrating form of q_sample_stratified. The rate table is a
+    grouped count (tiny — one row per language) broadcast back onto the
+    scan, so selection is still a scan-fused filter; rates quantize to a
+    1/2^24 hex grid so the cross-engine comparison is a string compare,
+    never a float boundary. Reports per-language corpus size and kept
+    count; the same hash re-selects supersets when rates rise."""
+    d = t(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = stats.agg(
+        F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1.0), (F.col("total") * F.lit(1.0) / F.col("n_langs")) / F.col("n")
+        ).alias("keep_rate"),
+    )
+    rate_hex = F.when(F.col("keep_rate") >= 1.0, F.lit("zzzzzz")).otherwise(
+        F.format_string(
+            "%06x", F.floor(F.col("keep_rate") * 16777216).cast("int")
+        )
+    )
+    h = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 6)
+    marked = (
+        ensure_parallelism(d)
+        .select("doc_id", "lang")
+        .join(F.broadcast(rates), "lang")
+        .select("lang", "n", rate_hex.alias("rate_hex"), h.alias("h"))
+    )
+    return marked.groupBy("lang").agg(
+        F.min("n").alias("n_docs"),
+        F.sum(F.when(F.col("h") < F.col("rate_hex"), 1).otherwise(0)).alias("n_kept"),
+    )
