@@ -780,10 +780,15 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split contamination audit: near-duplicate pairs (the oracled
     word-bigram Jaccard graph) joined to both members' split labels,
     counted by (split_a, split_b) — any train x test mass is leakage the
-    eval can't be trusted under. The pair set is sparse after blocking,
-    so the two label joins shuffle only candidate ids; the label side is
-    a scan-fused projection of documents (no second derivation), and AQE
-    broadcasts whichever side collapses below the threshold."""
+    eval can't be trusted under. The surviving pair set is sparse, so the
+    two label joins shuffle only candidate ids; the label side is a
+    scan-fused projection of documents (no second derivation), and AQE
+    broadcasts whichever side collapses below the threshold. The pair
+    GENERATOR is the oracle-checked exact-Jaccard operator (quadratic per
+    block — right at audit scale, measured linear-in-pairs to 10x); for a
+    100 TB corpus swap in the LSH pair generator (operators/dedup.py
+    minhash path, same (id_a, id_b) contract) — the audit aggregate is
+    generator-agnostic."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     d = t(spark, sf_dir, "documents")
