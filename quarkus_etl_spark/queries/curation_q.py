@@ -917,3 +917,47 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("n_docs"),
         F.sum(F.when(F.col("h") < F.col("rate_hex"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+@register(
+    "q_corpus_stats",
+    oracle=rf"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(CASE WHEN
+               LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+               + (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                  / GREATEST(LENGTH(text), 1)) * 0.4
+               + (CASE WHEN LENGTH(text) * 1.0 /
+                            GREATEST(LEN(string_split_regex(trim(text), '\s+')), 1)
+                            BETWEEN 3.0 AND 10.0
+                       THEN 1.0 ELSE 0.5 END) * 0.2 < 0.67
+               THEN 1 ELSE 0 END) AS low_quality
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one aggregate: per (lang, source) document
+    count, total token volume, mean document size, and the count failing
+    the quality gate — the summary a corpus release ships and a pipeline
+    monitors between stages. One scan, one grouped aggregate (map-side
+    partials over a low-cardinality key), every metric exact (decimal sum
+    for the mean; the quality cut reuses the oracled scoring expression
+    verbatim, so the boundary is the same double on both engines)."""
+    from ..functions.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        ensure_parallelism(d)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokenize(normalize_text("text")))).alias("total_tokens"),
+            (F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(
+                F.when(quality_score("text") < 0.67, 1).otherwise(0)
+            ).alias("low_quality"),
+        )
+    )

@@ -570,3 +570,61 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
         (F.sum(q).cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("centroid")
     )
+
+
+@register(
+    "q_emb_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), m AS (
+        SELECT vec_id, e,
+               greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
+                        1e-30) AS maxabs
+        FROM v
+    ), q AS (
+        SELECT vec_id, maxabs,
+               list_transform(e, x -> CAST(floor(x / maxabs * 127 + 0.5) AS INT)) AS qv
+        FROM m
+    )
+    SELECT vec_id, maxabs,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS BIGINT)
+               AS q_l1
+    FROM q
+    """,
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 max-abs quantization of the embedding column — the
+    storage/serving compression step of an embedding pipeline (4x smaller
+    than f32, 8x than f64). Per-row column algebra only (two folds + a
+    transform inside one projection): map-only at any scale, no shuffle,
+    no UDF. Rounding is floor(x*127/maxabs + 0.5) rather than round() —
+    half-up in both engines, immune to the round-half-even vs
+    half-away-from-zero divergence. Reported as the quantized vector's
+    exact integer checksums (sum, L1) plus the scale, keeping the
+    grader's row hashable (array columns are not)."""
+    from ..functions.vectors import to_double_array
+
+    e = t(spark, sf_dir, "embeddings")
+    ed = to_double_array("embedding")
+    maxabs = F.greatest(
+        F.array_max(F.transform(ed, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    base = ensure_parallelism(e).select(
+        "vec_id", ed.alias("e"), maxabs.alias("maxabs")
+    )
+    qv = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.col("maxabs") * 127 + F.lit(0.5)).cast("int"),
+    )
+    qcol = base.select("vec_id", "maxabs", qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+    return qcol.select(
+        "vec_id",
+        "maxabs",
+        F.aggregate(F.col("qv"), zero, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(F.col("qv"), lambda x: F.abs(x)), zero, lambda acc, x: acc + x
+        ).alias("q_l1"),
+    )
