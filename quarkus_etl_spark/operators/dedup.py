@@ -160,6 +160,11 @@ def exact_jaccard(
     the shuffle is proportional to the candidate count, not n^2)."""
     sets = feats.select(F.col(id_col), F.col("__feat").alias("__set"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size("set_a") + F.size("set_b") - inter
+    # Guarded division: two featureless docs (possible LSH bucket-mates via
+    # equal empty-set signatures) have undefined Jaccard — emit NULL, which
+    # every downstream `>= threshold` filter drops, instead of tripping
+    # ANSI DIVIDE_BY_ZERO.
     return (
         pairs.join(
             sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "set_a"),
@@ -172,7 +177,7 @@ def exact_jaccard(
         .select(
             "id_a",
             "id_b",
-            (inter / (F.size("set_a") + F.size("set_b") - inter)).alias("jaccard"),
+            F.when(union > 0, inter / union).alias("jaccard"),
         )
     )
 
@@ -404,8 +409,12 @@ def _jaccard_exhaustive(sets: DataFrame, id_col: str, threshold: float) -> DataF
         # NB: no single-side predicates here — a probe-only conjunct (e.g.
         # `la > 0`) gets pushed below the exchange into the scan stage with
         # the entire feature expression inlined, re-running extraction on
-        # one core. Both-side conjuncts stay in the join. (Empty feature
-        # sets would emit NaN-jaccard pairs; fixture docs are never empty.)
+        # one core. Both-side conjuncts stay in the join. least(la,lb) > 0
+        # is such a conjunct: docs with no features (under 2 tokens) have
+        # undefined Jaccard and must not pair — without it an empty-empty
+        # pair passes the ratio filter and the output division is 0/0
+        # (DIVIDE_BY_ZERO under ANSI; pinned by tests/test_edges.py).
+        & (F.least(la, lb) > 0)
         & (F.least(la, lb) >= F.lit(threshold) * F.greatest(la, lb))
         & (inter * (1.0 + threshold) >= F.lit(threshold) * (la + lb)),
     ).select(

@@ -1,0 +1,140 @@
+"""Degenerate-input behavior of the core operators: empty tables, null and
+empty text, single-row corpora. A 100 TB pipeline hits every one of these in
+some partition (a new source with no rows yet, a scraper emitting nulls, a
+block with one member); operators must return empty/passthrough results, not
+throw — the same discipline the reference applies to its empty-result-set
+paths (reference EtlMain.kt:89-101 loops over whatever the cursor yields,
+including nothing).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def messy_docs(spark):
+    rows = [
+        (0, None, "en", "web", 0),                      # null text
+        (1, "", "en", "web", 0),                        # empty text
+        (2, "   ", None, "web", 3),                     # whitespace text, null block
+        (3, "one", "de", "web", 3),                     # single token
+        (4, "alpha beta gamma delta", "de", "web", 22), # normal
+        (5, "alpha beta gamma delta", "de", "web", 22), # exact duplicate of 4
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_chunked_empty_and_degenerate(spark, empty_docs, messy_docs):
+    from quarkus_etl_spark.functions.text import chunked, normalize_text, tokenize
+
+    assert chunked(empty_docs, tokenize(normalize_text("text")), 4, 3).count() == 0
+    out = chunked(
+        messy_docs, tokenize(normalize_text("text")), 4, 3, keep=["doc_id"]
+    ).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # null text -> one row with a null chunk (greatest(null,0)=0 keeps one
+    # start; the slice of a null array is null) — identical to the
+    # explode(token_chunks(...)) composition's behavior
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk"] is None
+    # empty/whitespace text -> [""] single token -> exactly one chunk
+    assert [len(by_doc[i]) for i in (1, 2, 3)] == [1, 1, 1]
+    # 4 tokens, window 4 stride 3 -> starts 0 and 3 (ragged tail)
+    assert sorted((r["start_tok"], len(r["chunk"])) for r in by_doc[4]) == [
+        (0, 4),
+        (3, 1),
+    ]
+
+
+def test_jaccard_pairs_empty_null_single(spark, empty_docs, messy_docs):
+    from quarkus_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    for strat in ("exhaustive", "prefix"):
+        assert (
+            ngram_jaccard_pairs(
+                empty_docs, "doc_id", "text", block_col="lang", threshold=0.5,
+                strategy=strat,
+            ).count()
+            == 0
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                messy_docs, "doc_id", "text", block_col="lang", threshold=0.5,
+                strategy=strat,
+            ).collect()
+        }
+        # nulls/empties produce no features and never pair; the exact
+        # duplicate pair in the 'de' block is found by both strategies
+        assert pairs == {(4, 5)}, strat
+
+
+def test_dedup_cluster_passthrough_on_no_pairs(spark, messy_docs):
+    from quarkus_etl_spark.operators.cluster import dedup_keep_canonical
+
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    kept = dedup_keep_canonical(
+        messy_docs.select("doc_id", "lang"), no_pairs, "doc_id"
+    )
+    assert kept.count() == messy_docs.count()
+
+
+def test_exact_dedup_handles_null_and_empty_text(spark, messy_docs):
+    from quarkus_etl_spark.operators.dedup import dedup_exact
+
+    kept = dedup_exact(messy_docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    # one of (4,5) dropped (keep-first by doc_id); null/empty/whitespace
+    # texts are distinct keys and each survives
+    assert 4 in ids and 5 not in ids
+    assert {0, 1, 2, 3} <= ids
+
+
+def test_text_scoring_null_safe(spark, messy_docs):
+    from quarkus_etl_spark.functions.text import quality_score
+
+    rows = messy_docs.select(
+        "doc_id", quality_score("text").alias("q")
+    ).collect()
+    got = {r["doc_id"]: r["q"] for r in rows}
+    assert got[0] is None          # null text -> null score, no throw
+    assert got[1] is not None and 0.0 <= got[1] <= 1.0
+    assert 0.0 <= got[4] <= 1.0
+
+
+def test_asof_join_empty_sides(spark):
+    from quarkus_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k long, l_ts long"
+    ).withColumn("l_ts", F.timestamp_seconds("l_ts"))
+    empty_right = spark.createDataFrame([], "k long, r_ts timestamp, val double")
+    out = asof_join(
+        left, empty_right, on="k", left_ts="l_ts", right_ts="r_ts",
+        right_value_cols=["val"],
+    )
+    rows = out.collect()
+    # left row survives with null right-side columns (left-outer as-of)
+    assert len(rows) == 1 and rows[0]["asof_val"] is None
+
+    empty_left = spark.createDataFrame([], "k long, l_ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 50, 1.5)], "k long, r_ts long, val double"
+    ).withColumn("r_ts", F.timestamp_seconds("r_ts"))
+    assert (
+        asof_join(
+            empty_left, right, on="k", left_ts="l_ts", right_ts="r_ts",
+            right_value_cols=["val"],
+        ).count()
+        == 0
+    )
