@@ -330,21 +330,38 @@ def ngram_jaccard_pairs(
     discriminative even over a small shared vocabulary (unigram sets
     saturate). Deterministic and SQL-replicable (unlike LSH), so it serves
     as the oracle-checked member of the near-dup family."""
+    sets = _ngram_sets(df, id_col, text_col, block_col, n)
+    if strategy == "exhaustive":
+        return _jaccard_exhaustive(sets, id_col, threshold)
+    if strategy == "prefix":
+        return _jaccard_prefix(sets, id_col, threshold)
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def _ngram_sets(
+    df: DataFrame, id_col: str, text_col: str, block_col: str, n: int
+) -> DataFrame:
+    """(id, __blk, __set, __len) hashed-n-gram feature table.
+
+    Hash each n-gram to a long up front: set intersection over longs is
+    several times cheaper than over strings, and Jaccard only needs
+    identity, not content.
+    Stage discipline (this was a 10x bug, visible only in the plan):
+    1. Repartition the RAW rows first — `repartition()` sits above its
+       child, so projecting features before it would run the whole
+       tokenize->bigram->hash pipeline inside the single-split scan stage
+       on one core, then shuffle the finished arrays.
+    2. Coalesce text/block to non-nullable before deriving features: the
+       optimizer infers IsNotNull(<join key>) for derived keys and pushes
+       it below the exchange with the FULL feature expression inlined —
+       doubling the single-core work. Non-nullable inputs mean no
+       inferred null filters at all.
+    3. __len derives from the ALIASED __set column, not a second copy of
+       the feature expression — a repeated expression tree here is
+       recomputed per row once anything defeats subexpression elimination.
+    """
     from ..functions.text import ngram_hashes
 
-    # Hash each n-gram to a long up front: set intersection over longs is
-    # several times cheaper than over strings, and Jaccard only needs
-    # identity, not content.
-    # Stage discipline (this was a 10x bug, visible only in the plan):
-    # 1. Repartition the RAW rows first — `repartition()` sits above its
-    #    child, so projecting features before it would run the whole
-    #    tokenize->bigram->hash pipeline inside the single-split scan stage
-    #    on one core, then shuffle the finished arrays.
-    # 2. Coalesce text/block to non-nullable before deriving features: the
-    #    optimizer infers IsNotNull(<join key>) for derived keys and pushes
-    #    it below the exchange with the FULL feature expression inlined —
-    #    doubling the single-core work. Non-nullable inputs mean no
-    #    inferred null filters at all.
     pre = ensure_parallelism(
         df.select(
             F.col(id_col),
@@ -354,17 +371,59 @@ def ngram_jaccard_pairs(
     )
     toks_pre = F.split(F.col("__txt"), "\\s+")
     hashed = F.array_distinct(ngram_hashes(toks_pre, n))
-    # __len derives from the ALIASED __set column, not a second copy of the
-    # feature expression — a repeated expression tree here is recomputed per
-    # row once anything defeats subexpression elimination.
-    sets = pre.select(F.col(id_col), F.col("__blk"), hashed.alias("__set")).withColumn(
+    return pre.select(F.col(id_col), F.col("__blk"), hashed.alias("__set")).withColumn(
         "__len", F.size("__set")
     )
-    if strategy == "exhaustive":
-        return _jaccard_exhaustive(sets, id_col, threshold)
-    if strategy == "prefix":
-        return _jaccard_prefix(sets, id_col, threshold)
-    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def incremental_jaccard_pairs(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    n: int = 2,
+) -> DataFrame:
+    """Asymmetric near-dup join for incremental ingest: which INCOMING
+    documents are near-duplicates of the EXISTING corpus — the daily-batch
+    pattern where re-running all-pairs dedup over corpus+delta would redo
+    quadratic(corpus) work for a delta-sized question.
+
+    Same blocked size-bucketed machinery as ngram_jaccard_pairs, but the
+    join is existing x incoming only (no existing-existing or
+    incoming-incoming pairs, no id ordering needed). At scale the small
+    delta side auto-broadcasts under Catalyst's size estimate, so the big
+    corpus is never shuffled; when the delta is also large, the join
+    shuffles on the (__blk, __bkt) equi-keys with AQE skew splitting.
+    Returns (id_exist, id_new, jaccard) for pairs at/above threshold."""
+    import math
+
+    sa = _ngram_sets(existing, id_col, text_col, block_col, n)
+    sb = _ngram_sets(incoming, id_col, text_col, block_col, n)
+    log_base = math.log(1.0 / threshold)
+    bucket = F.floor(
+        F.log(F.greatest(F.col("__len"), F.lit(1)).cast("double")) / log_base
+    )
+    a = sa.withColumn("__bkt", bucket).alias("a")
+    b = sb.withColumn(
+        "__bkt", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("b")
+    la, lb = F.col("a.__len"), F.col("b.__len")
+    inter = F.size(F.array_intersect("a.__set", "b.__set")).cast("double")
+    j = inter / (la + lb - inter)
+    return a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col("a.__bkt") == F.col("b.__bkt"))
+        & (F.least(la, lb) > 0)
+        & (F.least(la, lb) >= F.lit(threshold) * F.greatest(la, lb))
+        & (inter * (1.0 + threshold) >= F.lit(threshold) * (la + lb)),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_exist"),
+        F.col(f"b.{id_col}").alias("id_new"),
+        j.alias("jaccard"),
+    )
 
 
 def _jaccard_exhaustive(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:

@@ -262,3 +262,108 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(o, evolved, ["o_orderkey"], ["o_totalprice"])
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'lineitem_qty_range' AS rule,
+           (SELECT COUNT(*) FROM lineitem) AS n_checked,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'lineitem_price_positive',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0.0)
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem)
+           - (SELECT COUNT(*) FROM
+               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0.0)
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the validation report a pipeline runs between
+    ingest and publish — range rules, positivity rules, primary-key
+    uniqueness, and referential integrity, one (rule, n_checked,
+    n_violations) row each. Plan shape: ONE pass per table computes all
+    of that table's range/positivity counts as conditional aggregates
+    (map-side partials, no shuffle of raw rows); uniqueness is one
+    distinct-count; each FK check is a left-anti join against the parent
+    key (broadcast while the parent fits, shuffle otherwise). The rule
+    rows then union — at 100 TB the whole report costs two fact scans
+    plus the anti-joins, not one scan per rule."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def _one(rule: str, checked, viol) -> DataFrame:
+        return checked.crossJoin(viol).select(
+            F.lit(rule).alias("rule"), "n_checked", "n_violations"
+        )
+
+    li_counts = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("v_disc"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0.0, 1).otherwise(0)).alias("v_price"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("v_pk"),
+    )
+    o_counts = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)).alias("v_total"),
+    )
+    li_orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    o_orphans = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+
+    def _pick(counts: DataFrame, rule: str, col: str) -> DataFrame:
+        return counts.select(
+            F.lit(rule).alias("rule"),
+            F.col("n_checked"),
+            F.col(col).alias("n_violations"),
+        )
+
+    li_n = li_counts.select("n_checked")
+    o_n = o_counts.select("n_checked")
+    return (
+        _pick(li_counts, "lineitem_qty_range", "v_qty")
+        .unionAll(_pick(li_counts, "lineitem_discount_range", "v_disc"))
+        .unionAll(_pick(li_counts, "lineitem_price_positive", "v_price"))
+        .unionAll(_pick(li_counts, "lineitem_pk_unique", "v_pk"))
+        .unionAll(_one("lineitem_orderkey_fk", li_n, li_orphans))
+        .unionAll(_one("orders_custkey_fk", o_n, o_orphans))
+        .unionAll(_pick(o_counts, "orders_totalprice_positive", "v_total"))
+    )

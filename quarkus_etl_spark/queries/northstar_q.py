@@ -17,6 +17,7 @@ from ..functions.text import STOPWORDS, language_scores, normalize_text, quality
 from ..operators.asof import asof_join
 from ..operators.dedup import (
     dedup_exact,
+    incremental_jaccard_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -627,4 +628,43 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             F.transform(F.col("qv"), lambda x: F.abs(x)), zero, lambda acc, x: acc + x
         ).alias("q_l1"),
+    )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i+1])) AS s
+        FROM toks
+    ), half AS (SELECT max(doc_id) // 2 AS h FROM documents)
+    SELECT a.doc_id AS id_exist, b.doc_id AS id_new,
+           len(list_intersect(a.s, b.s)) * 1.0 /
+           len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sets a JOIN sets b ON a.lang = b.lang, half
+    WHERE a.doc_id <= h AND b.doc_id > h
+      AND len(list_intersect(a.s, b.s)) * 1.0 /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dedup: the lower half of doc_id space plays
+    the standing corpus, the upper half the incoming batch; only
+    corpus x batch pairs are generated (operators/dedup.py
+    incremental_jaccard_pairs), never corpus x corpus — the asymmetry that
+    keeps daily dedup delta-priced instead of quadratic(corpus). The
+    boundary is max(doc_id) DIV 2 so the query is scale-invariant across
+    fixtures."""
+    d = t(spark, sf_dir, "documents")
+    half = d.agg((F.max("doc_id") / 2).cast("long").alias("h")).first()["h"]
+    existing = d.where(F.col("doc_id") <= half)
+    incoming = d.where(F.col("doc_id") > half)
+    return incremental_jaccard_pairs(
+        existing, incoming, "doc_id", "text", block_col="lang", threshold=0.7
     )

@@ -79,6 +79,34 @@ def test_jaccard_pairs_empty_null_single(spark, empty_docs, messy_docs):
         assert pairs == {(4, 5)}, strat
 
 
+def test_incremental_jaccard_asymmetric_and_empty_delta(spark, empty_docs, messy_docs):
+    from quarkus_etl_spark.operators.dedup import incremental_jaccard_pairs
+
+    # empty incoming batch -> no pairs, no error
+    assert (
+        incremental_jaccard_pairs(
+            messy_docs, empty_docs, "doc_id", "text", block_col="lang", threshold=0.5
+        ).count()
+        == 0
+    )
+    # the exact-dup pair (4,5) is found only when it crosses the
+    # existing/incoming boundary, and only in (exist, new) orientation
+    ex = messy_docs.where("doc_id <= 4")
+    inc = messy_docs.where("doc_id > 4")
+    rows = incremental_jaccard_pairs(
+        ex, inc, "doc_id", "text", block_col="lang", threshold=0.5
+    ).collect()
+    assert [(r["id_exist"], r["id_new"]) for r in rows] == [(4, 5)]
+    # both docs on the existing side -> not reported
+    assert (
+        incremental_jaccard_pairs(
+            messy_docs, empty_docs.unionAll(messy_docs.where("doc_id < 0")),
+            "doc_id", "text", block_col="lang", threshold=0.5,
+        ).count()
+        == 0
+    )
+
+
 def test_dedup_cluster_passthrough_on_no_pairs(spark, messy_docs):
     from quarkus_etl_spark.operators.cluster import dedup_keep_canonical
 
