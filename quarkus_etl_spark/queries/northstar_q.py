@@ -668,3 +668,91 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_jaccard_pairs(
         existing, incoming, "doc_id", "text", block_col="lang", threshold=0.7
     )
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i+1])) AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), deg AS (
+        SELECT u, COUNT(*) AS deg FROM edges GROUP BY u
+    ), s0 AS (
+        SELECT DISTINCT u AS node, 1.0 AS score FROM edges
+    ), s1 AS (
+        SELECT v AS node,
+               0.15 + 0.85 * CAST(SUM(CAST(score / deg AS DECIMAL(18,9))) AS DOUBLE)
+                   AS score
+        FROM edges JOIN s0 ON s0.node = edges.u JOIN deg ON deg.u = edges.u
+        GROUP BY v
+    ), s2 AS (
+        SELECT v AS node,
+               0.15 + 0.85 * CAST(SUM(CAST(score / deg AS DECIMAL(18,9))) AS DOUBLE)
+                   AS score
+        FROM edges JOIN s1 ON s1.node = edges.u JOIN deg ON deg.u = edges.u
+        GROUP BY v
+    ), s3 AS (
+        SELECT v AS node,
+               0.15 + 0.85 * CAST(SUM(CAST(score / deg AS DECIMAL(18,9))) AS DOUBLE)
+                   AS score
+        FROM edges JOIN s2 ON s2.node = edges.u JOIN deg ON deg.u = edges.u
+        GROUP BY v
+    )
+    SELECT node AS doc_id, score FROM s3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 supersteps, damping 0.85) over the near-duplicate graph —
+    scoring each cluster member by how centrally duplicated it is (the
+    canonical-pick refinement beyond min-id). Each superstep is the
+    aggregate-message pattern Pregel reduces to on a relational engine:
+    join scores to edges, divide by out-degree, sum messages per target —
+    one shuffle per iteration, all map-side combinable. Fixed small k
+    unrolls into one plan; for open-ended convergence loops persist +
+    checkpoint each round to truncate lineage (operators/cluster.py does
+    exactly that for connected components). Determinism across engines:
+    each message quantizes to DECIMAL(18,9) BEFORE the order-sensitive
+    sum, so partial-aggregation order cannot skew the double."""
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="lang", threshold=0.7
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    score = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("score", F.lit(1.0))
+    )
+    for _ in range(3):
+        score = (
+            edges.join(score.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(
+                "v",
+                (F.col("score") / F.col("deg")).cast("decimal(18,9)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(
+                (F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")).alias("score")
+            )
+            .withColumnRenamed("v", "node")
+        )
+    return score.select(F.col("node").alias("doc_id"), "score")
