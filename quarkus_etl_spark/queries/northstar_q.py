@@ -732,9 +732,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, "doc_id", "text", block_col="lang", threshold=0.7
     ).select("id_a", "id_b")
-    edges = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    # The pair graph is referenced by every superstep: localCheckpoint
+    # truncates the (expensive) similarity-join lineage so it executes
+    # once, not once per iteration — same discipline as
+    # connected_components. Lazy: materializes on first use.
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     score = (
         edges.select(F.col("u").alias("node"))
