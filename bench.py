@@ -69,6 +69,9 @@ def main() -> None:
             "q_decontaminate",  # wide gram-projection codegen
             "q_sim_ann_ivf",
             "q_sim_ann_lsh",
+            "q_graph_pagerank",  # superstep join/agg shapes
+            "q_dedup_incremental",  # asymmetric bucket-join codegen
+            "q_split_leakage",
         ):
             try:
                 materialize(queries[warm_name](spark, tiny))

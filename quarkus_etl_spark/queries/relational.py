@@ -938,3 +938,63 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.array_sort(F.collect_list("c_custkey")), lambda x: x.cast("string")),
         ).alias("custkeys"),
     )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT LEAST(GREATEST(CAST(FLOOR(l_extendedprice / 5000.0) AS INT), 0), 21)
+               AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (the dashboard/profiling aggregate):
+    bucket = clamped floor(value/width), one grouped count — a map-side-
+    combinable hash aggregate whose key count is the fixed bucket count,
+    so the shuffle is O(buckets x partitions) regardless of row count.
+    Arithmetic bucketing instead of width_bucket keeps the expression
+    portable (DuckDB has no width_bucket) and pushdown-friendly."""
+    li = t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("int"), F.lit(0)),
+        F.lit(21),
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("bucket_sum"),
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           arg_max(qty, n * 100 + (50 - qty)) AS mode_qty,
+           MAX(n) AS mode_n
+    FROM c GROUP BY 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: count by (group, value), then max_by
+    over a packed BIGINT key (count*100 + (50 - value)) — ties on count
+    break toward the SMALLEST value on both engines, where a bare mode()
+    would be engine-nondeterministic. The packed scalar key keeps Spark's
+    max_by a real HashAggregate with map-side partials (a struct ordering
+    key would demote it to SortAggregate — same finding as q_time_ohlc);
+    two shuffles total, the second over |groups| rows only."""
+    li = t(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("l_returnflag").agg(
+        F.max_by("qty", F.col("n") * 100 + (F.lit(50) - F.col("qty"))).alias("mode_qty"),
+        F.max("n").alias("mode_n"),
+    )
