@@ -143,3 +143,35 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token"))
         .select("doc_id", "token", (F.col("pos0") + 1).cast("long").alias("pos"))
     )
+
+
+@register(
+    "q_udtf_python",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Python UDTF surface (Spark 4 `@udtf` class, registered
+    and invoked through LATERAL correlation) — one input row fans out to
+    N output rows from arbitrary Python. Same contract as q_udtf_explode
+    so the oracle is shared; like q_udf_scalar it exists to pin the API
+    surface, while the built-in posexplode form remains the 100 TB path
+    (JVM Generate vs per-row Python worker round-trips)."""
+    from pyspark.sql.functions import udtf
+    from .base import ensure_views
+
+    @udtf(returnType="token string, pos bigint")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield w, i + 1
+
+    ensure_views(spark, sf_dir)
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        "SELECT doc_id, s.token, s.pos FROM documents, LATERAL split_words(text) s"
+    )
