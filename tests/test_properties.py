@@ -182,3 +182,36 @@ def test_stratified_hash_sampling_is_monotone_in_rate(spark, sf_dir):
         realized = len(ids) / ev.count()
         assert abs(realized - nominal) < 0.05, (thr, realized)
     assert picked["1a"] <= picked["40"] <= picked["80"]
+
+
+def test_incremental_pairs_match_full_join_restriction(spark, sf_dir):
+    """incremental_jaccard_pairs(existing, incoming) must equal the full
+    all-pairs join restricted to boundary-crossing pairs — same candidates,
+    same jaccard values, asymmetric orientation."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    half = d.agg(F.max("doc_id")).first()[0] // 2
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", block_col="lang", threshold=0.7
+        ).collect()
+        if r["id_a"] <= half < r["id_b"]
+    }
+    inc = {
+        (r["id_exist"], r["id_new"]): r["jaccard"]
+        for r in incremental_jaccard_pairs(
+            d.where(F.col("doc_id") <= half),
+            d.where(F.col("doc_id") > half),
+            "doc_id",
+            "text",
+            block_col="lang",
+            threshold=0.7,
+        ).collect()
+    }
+    assert full == inc and len(inc) > 0
