@@ -762,3 +762,64 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("v", "node")
         )
     return score.select(F.col("node").alias("doc_id"), "score")
+
+
+@register(
+    "q_text_fuzzy",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, lang, norm,
+               list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i+1])) AS s
+        FROM toks
+    ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.norm AS na, b.norm AS nb
+        FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    )
+    SELECT id_a, id_b,
+           levenshtein(na, nb) AS edit_dist,
+           1.0 - levenshtein(na, nb) * 1.0 / greatest(len(na), len(nb)) AS edit_sim
+    FROM cand
+    WHERE 1.0 - levenshtein(na, nb) * 1.0 / greatest(len(na), len(nb)) >= 0.6
+    """,
+)
+def q_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching — the second signal of an entity-
+    resolution / title-dedup pipeline: set-similarity candidates first
+    (cheap, blocked, jaccard >= 0.5), THEN Levenshtein only on the sparse
+    surviving pairs. Ordering matters at scale: edit distance is O(len^2)
+    per pair and must never see the quadratic block — here it runs on the
+    candidate table, joined back to the normalized texts by id. Both
+    engines implement textbook Levenshtein, so distance and the derived
+    similarity ratio hash-match exactly."""
+    d = t(spark, sf_dir, "documents")
+    cand = ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="lang", threshold=0.5
+    ).select("id_a", "id_b")
+    norm = ensure_parallelism(d).select(
+        "doc_id", normalize_text("text").alias("norm")
+    )
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"))
+    lev = F.levenshtein("na", "nb")
+    sim = F.lit(1.0) - lev * F.lit(1.0) / F.greatest(
+        F.length("na"), F.length("nb")
+    )
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(sim >= 0.6)
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+    )
