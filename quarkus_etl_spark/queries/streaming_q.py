@@ -150,3 +150,53 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "ts", "event_id", "value")
     )
+
+
+@register(
+    "q_stream_live_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+               AS window_end,
+           event_type, COUNT(*) AS cnt, {_SUM_VAL}
+    FROM events
+    GROUP BY ALL
+    """,
+)
+def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming execution inside the oracle gate: the
+    events table re-materialized as a 4-file parquet directory, consumed
+    through readStream (each file a micro-batch input), aggregated with a
+    watermarked tumbling window, and run to completion into a complete-mode
+    memory sink. Complete mode over a finite source is exactly the batch
+    answer, and the sums ride DECIMAL, so the streamed state-store result
+    hash-matches the same SQL the batch q_stream_tumbling family uses —
+    the incremental execution path itself is what's under test. Output
+    timestamps are cast back to ntz (UTC session makes values coincide)."""
+    from ..streaming.streams import file_stream, run_stream_to_memory
+
+    from .lifecycle_q import _scratch
+
+    path = _scratch(sf_dir, "events_stream")
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    agg = (
+        file_stream(spark, path, max_files_per_trigger=2)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+        )
+    )
+    q = run_stream_to_memory(agg, "live_tumbling", output_mode="complete")
+    q.stop()
+    return spark.table("live_tumbling").select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
