@@ -200,3 +200,36 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "sum_value",
     )
+
+
+@register(
+    "q_stream_live_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed dedup executed for real: readStream over the 4-file
+    events directory, dropDuplicates on (user_id, event_type), append-mode
+    memory sink run to completion. Every first-seen key is emitted exactly
+    once, so the key-only output equals batch DISTINCT no matter how the
+    micro-batches split — which is what makes a live stateful-dedup
+    execution oracle-checkable (non-key columns would expose the engine's
+    arbitrary which-duplicate-won choice). State is bounded by the key
+    domain; the watermarked variant (q_stream_dedup + streams.py
+    dedup_within_watermark) bounds it by time instead."""
+    from ..streaming.streams import file_stream, run_stream_to_memory
+
+    from .lifecycle_q import _scratch
+
+    path = _scratch(sf_dir, "events_stream_dd")
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    dd = (
+        file_stream(spark, path, max_files_per_trigger=2)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = run_stream_to_memory(dd, "live_dedup", output_mode="append")
+    q.stop()
+    return spark.table("live_dedup")
