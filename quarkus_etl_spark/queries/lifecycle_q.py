@@ -367,3 +367,77 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_one("orders_custkey_fk", o_n, o_orphans))
         .unionAll(_pick(o_counts, "orders_totalprice_positive", "v_total"))
     )
+
+
+@register(
+    "q_scan_csv_dirty",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant ingestion: the CSV is planted with 7
+    malformed lines (wrong arity, unparseable ints) among the real rows;
+    the PERMISSIVE read captures them in _corrupt_record instead of
+    failing the job — the posture a 100 TB ingest needs, where one bad
+    line must not kill a million-file load. The query returns exactly the
+    clean rows (oracle: the source table); the corrupt-capture count is
+    pinned by pytest."""
+    path = _scratch(sf_dir, "nation_dirty.csv")
+    good = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string"),
+        "n_name",
+        F.col("n_regionkey").cast("string"),
+    )
+    bad = spark.createDataFrame(
+        [(f"not_an_int_{i}", f"JUNK_{i}", "x,y,extra") for i in range(7)],
+        "n_nationkey string, n_name string, n_regionkey string",
+    )
+    good.unionAll(bad).coalesce(1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
+    raw = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, _corrupt_record string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return (
+        raw.where(F.col("_corrupt_record").isNull())
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "q_scan_merge_schema",
+    oracle="""
+    WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents)
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents, half WHERE doc_id <= h
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents, half WHERE doc_id > h
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (A4 dynamic-schema parity, file edition):
+    an old writer produced (doc_id, lang), a newer one appended n_chars;
+    `mergeSchema` reconciles the footers into the union schema, old files
+    surfacing NULL for the added column — append-only evolution with no
+    rewrite of historical data, which at 100 TB is the only affordable
+    kind. Both generations live in one directory as real separate parquet
+    writes."""
+    base = _scratch(sf_dir, "evolving_docs")
+    d = t(spark, sf_dir, "documents")
+    half = d.agg((F.max("doc_id") / 2).cast("long").alias("h")).first()["h"]
+    d.where(F.col("doc_id") <= half).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen=0")
+    d.where(F.col("doc_id") > half).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/gen=1")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/gen=0", f"{base}/gen=1")
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -166,3 +166,28 @@ def test_asof_join_empty_sides(spark):
         ).count()
         == 0
     )
+
+
+def test_dirty_csv_captures_corrupt_rows(spark, sf_dir):
+    """The PERMISSIVE scan must capture exactly the 7 planted bad lines in
+    _corrupt_record (none silently dropped, none crashing the read)."""
+    from quarkus_etl_spark.queries import all_query_callables
+    from quarkus_etl_spark.queries.lifecycle_q import _scratch
+
+    all_query_callables()["q_scan_csv_dirty"](spark, sf_dir).collect()
+    import pyspark.sql.functions as F  # noqa: F811
+
+    raw = (
+        spark.read.schema(
+            "n_nationkey int, n_name string, n_regionkey int, _corrupt_record string"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(_scratch(sf_dir, "nation_dirty.csv"))
+        .cache()  # Spark forbids querying ONLY _corrupt_record off a raw scan
+    )
+    try:
+        assert raw.where(F.col("_corrupt_record").isNotNull()).count() == 7
+    finally:
+        raw.unpersist()
