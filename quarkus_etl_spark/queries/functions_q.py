@@ -279,3 +279,44 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.detail.prio").alias("prio"),
         F.when(F.col("s.detail.price") > 100000, "big").otherwise("small").alias("bucket"),
     )
+
+
+@register(
+    "q_fn_hof",
+    oracle="""
+    WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           LEN(LIST_FILTER(toks, x -> LEN(x) > 4)) AS n_long,
+           LEN(LIST_FILTER(toks, x -> LEN(x) > 8)) > 0 AS any_very_long,
+           LEN(LIST_FILTER(toks, x -> NOT LEN(x) < 12)) = 0 AS all_under_12,
+           CAST(LIST_AGGREGATE(LIST_TRANSFORM(toks, x -> LEN(x)), 'sum')
+                AS BIGINT) AS sum_len,
+           CAST(LIST_AGGREGATE(LIST_TRANSFORM(toks, x -> LEN(x) * LEN(x)), 'sum')
+                AS BIGINT) AS sum_len_sq
+    FROM tk
+    """,
+)
+def q_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface head-on: filter / exists / forall /
+    transform / aggregate over an array column, folded to scalars. These
+    are the primitives the dedup/text operators compose internally; this
+    query pins their direct API semantics against DuckDB's list_* family.
+    HOF lambdas are CodegenFallback but live in a PROJECTION here (fine);
+    the repo's rule is only to keep them out of Generate inputs
+    (functions/text.py chunked docstring)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    zero = F.lit(0).cast("long")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.exists(toks, lambda x: F.length(x) > 8).alias("any_very_long"),
+        F.forall(toks, lambda x: F.length(x) < 12).alias("all_under_12"),
+        F.aggregate(lens, zero, lambda a, x: a + x).alias("sum_len"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x) * F.length(x)),
+            zero,
+            lambda a, x: a + x,
+        ).alias("sum_len_sq"),
+    )
