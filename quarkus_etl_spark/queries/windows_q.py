@@ -201,3 +201,43 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         share.alias("share"),
     )
+
+
+@register(
+    "q_win_moving",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS trail7_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS trail7_avg,
+           COUNT(*) OVER w AS trail7_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS-frame rolling features (trailing-7-orders spend/mean) —
+    the per-entity feature-engineering window every ML pipeline computes.
+    One shuffle on the partition key, a bounded frame the executor slides
+    in O(1) per row; the ORDER BY carries the key tiebreak so the frame
+    contents are deterministic under ties. Mean = exact decimal sum /
+    frame count (one double division, same tree as the oracle)."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = F.sum(dec2("o_totalprice")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        s.alias("trail7_spend"),
+        (s / n).alias("trail7_avg"),
+        n.alias("trail7_n"),
+    )
