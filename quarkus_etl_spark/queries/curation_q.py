@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     EMAIL_RE,
@@ -960,4 +961,254 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(quality_score("text") < 0.67, 1).otherwise(0)
             ).alias("low_quality"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer-prep / feature-engineering wave (round-2 continuation)
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 64
+
+
+@register(
+    "q_vocab_build",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), tok2 AS (
+        SELECT doc_id, term FROM tok WHERE term <> ''
+    ), stats AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok2 GROUP BY term
+    ), top AS (
+        SELECT term, tf, df FROM stats ORDER BY tf DESC, term LIMIT {_VOCAB_K}
+    )
+    SELECT term, tf, df,
+           CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rank,
+           CAST(sum(tf) OVER (ORDER BY tf DESC, term ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE)
+               / (SELECT CAST(sum(tf) AS DOUBLE) FROM stats) AS cum_share
+    FROM top
+    """,
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: top-K terms by corpus frequency
+    with document frequency and a cumulative-coverage curve (the cum_share
+    at rank K is exactly the fraction of corpus tokens the K-entry vocab
+    covers — what decides vocab size before training a tokenizer).
+
+    Scale shape: explode -> two-level aggregate — groupBy(term, doc) then
+    groupBy(term) — so document frequency needs no count-distinct state;
+    both aggs get map-side partials on the same shuffle key prefix. The
+    global top-K is TakeOrderedAndProject (no full sort), and the
+    rank/coverage window runs on the K-row result (bounded, one
+    partition by construction). Total-token count is a 1-row aggregate
+    broadcast back — same pattern as gapfill's bounds."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        ensure_parallelism(d)
+        .select("doc_id", F.explode(tokenize(normalize_text("text"))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf_d"))
+    stats = per_doc.groupBy("term").agg(
+        F.sum("tf_d").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    top = stats.orderBy(F.desc("tf"), "term").limit(_VOCAB_K)
+    total = stats.agg(F.sum("tf").alias("total_tf"))
+    w = Window.orderBy(F.desc("tf"), "term")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.row_number().over(w).cast("long").alias("rank"),
+            (
+                F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+                / F.col("total_tf").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+
+
+_QUOTA = 25
+
+
+@register(
+    "q_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               CAST(row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, source, rn FROM ranked WHERE rn <= {_QUOTA}
+    """,
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep at most N documents per (lang,
+    source) cell, chosen by a deterministic md5-of-key order — the
+    anti-domain-dominance sampler a corpus mix applies so no single
+    source floods training data, reproducible across engines because the
+    priority is a hash of the key, not an engine PRNG.
+
+    One hash shuffle on the quota key + per-group ordered row_number;
+    groups are source domains, so a hot domain is exactly the AQE
+    skew-split case. At 100 TB the window never materializes a global
+    sort — each group sorts independently (and a per-partition pre-cap
+    LocalLimit-style refinement would bound even that if quotas were
+    tiny vs group size)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).cast("long").alias("rn"))
+        .where(F.col("rn") <= _QUOTA)
+    )
+
+
+@register(
+    "q_oversample",
+    oracle="""
+    WITH cnt AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+    ), f AS (
+        SELECT lang, (SELECT max(c) FROM cnt) // c AS factor FROM cnt
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(unnest(generate_series(1, f.factor)) AS BIGINT) AS rep_idx
+    FROM documents d JOIN f ON d.lang = f.lang
+    """,
+)
+def q_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minority-class oversampling: replicate each document
+    floor(max_class_count / class_count) times (rep_idx numbers the
+    replicas) so every language's row count lands within 2x of the
+    largest — the integer-factor rebalancing a training mix applies when
+    downsampling the majority (q_mix_rebalance) is not an option.
+
+    The per-class factor table is a grouped count (tiny — one row per
+    class) broadcast back onto the corpus; replication is
+    explode(sequence(1, factor)) — a generator with a plain column
+    input, so rows fan out executor-side with no shuffle and no
+    driver-side materialization. Output size is bounded by
+    classes x max_count, i.e. ~|largest class| x |classes|."""
+    d = t(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    mx = cnt.agg(F.max("c").alias("mx"))
+    fac = cnt.crossJoin(F.broadcast(mx)).select("lang", F.expr("mx DIV c").alias("factor"))
+    return d.join(F.broadcast(fac), "lang").select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("factor"))).alias("rep_idx"),
+    )
+
+
+_HASH_D = 32
+
+
+@register(
+    "q_feat_hash",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), tok2 AS (
+        SELECT doc_id, term FROM tok WHERE term <> ''
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) % {_HASH_D} AS bucket,
+           CAST(sum(CASE WHEN substr(md5(term), 5, 1) < '8'
+                         THEN 1 ELSE -1 END) AS BIGINT) AS feat,
+           count(*) AS nnz
+    FROM tok2 GROUP BY doc_id, bucket
+    """,
+)
+def q_feat_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded token vocabulary into a
+    fixed D-dimensional signed feature space (bucket = md5 mod D, sign
+    from the next hash nibble — the collision-canceling signed variant).
+    This is how categorical/text features feed linear models at corpus
+    scale with no vocabulary dictionary to build, ship, or look up.
+
+    md5-derived bucket and sign make the embedding portable across
+    engines (vs xxhash64, which only Spark has). One explode + one
+    grouped aggregate with map-side partials; output is the sparse
+    (doc, bucket) representation — at most D rows per document."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        ensure_parallelism(d)
+        .select("doc_id", F.explode(tokenize(normalize_text("text"))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    h = F.md5(F.encode(F.col("term"), "UTF-8"))
+    return (
+        toks.select(
+            "doc_id",
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _HASH_D).alias("bucket"),
+            F.when(F.substring(h, 5, 1) < "8", F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("feat"), F.count(F.lit(1)).alias("nnz"))
+    )
+
+
+@register(
+    "q_feat_scale",
+    oracle="""
+    WITH s AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS DOUBLE) AS sx,
+               CAST(sum(n_chars * n_chars) AS DOUBLE) AS sxx,
+               CAST(min(n_chars) AS DOUBLE) AS mn,
+               CAST(max(n_chars) AS DOUBLE) AS mx
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN n > 1 AND sxx - sx * sx / n > 0
+                THEN (CAST(d.n_chars AS DOUBLE) - sx / n)
+                     / sqrt((sxx - sx * sx / n) / (n - 1))
+                ELSE 0.0 END AS z,
+           CASE WHEN mx > mn
+                THEN (CAST(d.n_chars AS DOUBLE) - mn) / (mx - mn)
+                ELSE 0.5 END AS minmax
+    FROM documents d JOIN s ON d.lang = s.lang
+    """,
+)
+def q_feat_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class feature normalization: z-score and min-max of document
+    length within each language — the fit+transform a feature pipeline
+    runs before anything distance-based (and the same two-pass shape as
+    sklearn's StandardScaler/MinMaxScaler, distributed).
+
+    The "fit" is one grouped aggregate over EXACT integer moments
+    (n_chars is integral, so sum and sum-of-squares are exact longs cast
+    to double once — no float accumulation order anywhere); the
+    "transform" joins that per-class stats table (one row per class,
+    broadcast) back onto the corpus and applies a fixed-shape double
+    expression, so both engines compute bit-identical normals. Degenerate
+    classes (single doc, zero variance, constant length) get pinned
+    sentinel outputs instead of NaN/inf."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("double").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("double").alias("sxx"),
+        F.min("n_chars").cast("double").alias("mn"),
+        F.max("n_chars").cast("double").alias("mx"),
+    )
+    n, sx, sxx, mn, mx = (F.col(c) for c in ("n", "sx", "sxx", "mn", "mx"))
+    x = F.col("n_chars").cast("double")
+    var_num = sxx - sx * sx / n
+    z = F.when(
+        (n > 1) & (var_num > 0), (x - sx / n) / F.sqrt(var_num / (n - 1))
+    ).otherwise(F.lit(0.0))
+    minmax = F.when(mx > mn, (x - mn) / (mx - mn)).otherwise(F.lit(0.5))
+    return d.join(F.broadcast(s), "lang").select(
+        "doc_id", "lang", z.alias("z"), minmax.alias("minmax")
     )
