@@ -273,3 +273,153 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where(
         F.substring(F.md5(F.encode(key, "UTF-8")), 1, 2) < "1a"
     ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "q_win_session_native",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM seq
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the engine primitive the
+    hand-rolled q_sessionize window recipe reduces to): one groupBy over
+    session_window(ts, gap) merges each user's events into dynamic
+    sessions executor-side — no window-function pass, and the same
+    primitive runs unchanged under Structured Streaming with state-store
+    session merging (streaming/streams.py::sessionized_stream).
+
+    Semantics pinned by the oracle: Spark merges an event into the open
+    session iff it starts strictly before last_ts + gap, so an event at
+    exactly +30min opens a NEW session (the oracle's is_new uses
+    `diff >= gap`), and session_end is last_ts + gap (not last_ts) —
+    both easy to get wrong when porting between the two recipes."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_time_interp",
+    oracle="""
+    WITH c AS (
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+               event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT unnest(generate_series((SELECT min(bucket) FROM c),
+                                      (SELECT max(bucket) FROM c),
+                                      INTERVAL 15 MINUTE)) AS bucket
+    ), dense AS (
+        SELECT g.bucket, ty.event_type, c.v
+        FROM grid g
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+        LEFT JOIN c ON c.bucket = g.bucket AND c.event_type = ty.event_type
+    ), w AS (
+        SELECT bucket, event_type, v,
+               epoch_us(bucket) AS us,
+               last_value(v IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END
+                          IGNORE NULLS) OVER wb AS prev_t,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END
+                           IGNORE NULLS) OVER wf AS next_t
+        FROM dense
+        WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT bucket, event_type, v IS NULL AS was_gap,
+           COALESCE(v,
+                    prev_v + (next_v - prev_v)
+                        * (CAST(us - prev_t AS DOUBLE)
+                           / CAST(next_t - prev_t AS DOUBLE)),
+                    next_v, prev_v) AS v_filled
+    FROM w
+    """,
+)
+def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR INTERPOLATION: average value per
+    15-min bucket per event type, densified to the full grid, and every
+    empty cell filled by interpolating between its time-nearest known
+    neighbors (edges fall back to nearest-fill) — what turns a sparse
+    event stream into the regular signal a forecasting model or
+    dashboard consumes.
+
+    One grouped aggregate shrinks the data, the grid comes from a 1-row
+    bounds aggregate (operators/timeseries.py::gapfill), then a single
+    window pass per direction finds the bracketing known points via
+    last/first(ignorenulls) — no self-join, no per-gap search: linear in
+    grid cells regardless of gap lengths. Interpolation weights use exact
+    epoch-microsecond integers cast to double in one fixed expression, so
+    both engines produce bit-identical fills."""
+    from ..operators.timeseries import gapfill, time_bucket
+
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(time_bucket("ts", 900).alias("bucket"), "event_type").agg(
+        (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    dense = gapfill(
+        counts,
+        "bucket",
+        "15 MINUTES",
+        dims=["event_type"],
+        fills={"v": F.lit(None).cast("double")},
+    )
+    us = F.unix_micros(F.col("bucket").cast("timestamp"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("v").isNotNull(), us)
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_t = F.last(known_t, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_t = F.first(known_t, ignorenulls=True).over(wf)
+    frac = (us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    return dense.select(
+        "bucket",
+        "event_type",
+        F.col("v").isNull().alias("was_gap"),
+        F.coalesce("v", interp, next_v, prev_v).alias("v_filled"),
+    )
