@@ -320,3 +320,33 @@ def q_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("sum_len_sq"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.missing') AS missing_str,
+           props IS NOT NULL AND json_valid(props) AS is_valid
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type (Spark 4): parse the JSON payload
+    once into Variant's binary encoding, then extract typed fields with
+    variant_get paths — the open-schema column a 100 TB event-log table
+    stores instead of strings, because the binary form skips re-parsing
+    on every access and shreds into columnar storage. Missing paths are
+    NULL (not an ANSI error), and try_parse_json gates validity. The
+    DuckDB oracle expresses the same accesses over its JSON type."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.missing", "string").alias("missing_str"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    )
