@@ -233,3 +233,82 @@ def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_stream_to_memory(dd, "live_dedup", output_mode="append")
     q.stop()
     return spark.table("live_dedup")
+
+
+@register(
+    "q_stream_live_join",
+    oracle="""
+    SELECT p.event_id AS p_event, v.event_id AS v_event, p.user_id,
+           (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts > p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type IN ('view', 'click')
+    """,
+)
+def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An EXECUTED stream-stream join inside the oracle gate: purchases
+    and view/click touches arrive as two independent watermarked streams
+    (readStream over the same multi-file directory, micro-batched 2 files
+    per trigger), joined on user within a 1-hour lookback
+    (streams.py::stream_stream_interval_join), run to completion into an
+    append-mode memory sink.
+
+    Stream-stream INNER join emits each match in the first micro-batch
+    where both rows are present — emission never waits on the watermark
+    (only state EVICTION does) — so over a finite source the appended
+    output is exactly the batch interval join, which is what makes a live
+    dual-stream execution hash-checkable against SQL. The watermark here
+    (90 days, i.e. beyond the fixture's 30-day span) pins "no eviction
+    ever fires" so the randomly-ordered 4-file input can't lose late
+    matches; production would size it to the real out-of-orderness and
+    accept dropping older-than-watermark arrivals, keeping per-key state
+    bounded by watermark + window."""
+    from ..streaming.streams import (
+        file_stream,
+        run_stream_to_memory,
+        stream_stream_interval_join,
+    )
+
+    from .lifecycle_q import _scratch
+
+    path = _scratch(sf_dir, "events_stream_ssj")
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    purchases = (
+        file_stream(spark, path, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event"), "user_id", F.col("ts").alias("p_ts")
+        )
+    )
+    touches = (
+        file_stream(spark, path, max_files_per_trigger=2)
+        .where(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("event_id").alias("v_event"),
+            "user_id",
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        window="1 hour",
+        watermark="90 days",
+    )
+    out = joined.select(
+        "p_event",
+        "v_event",
+        "user_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) DIV 1000000").alias("lag_s"),
+    )
+    q = run_stream_to_memory(out, "live_ssj", output_mode="append")
+    q.stop()
+    return spark.table("live_ssj")
