@@ -262,3 +262,124 @@ def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         n3.alias("n_step3_purchase_24h"),
         F.when(n1 > 0, n3.cast("double") / n1).alias("conv_rate"),
     )
+
+
+@register(
+    "q_scd2_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               lag(event_type) OVER w AS pet,
+               lag(value) OVER w AS pv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, ts, event_id, event_type, value
+        FROM ordered
+        WHERE pet IS NULL OR pet <> event_type OR pv <> value
+    )
+    SELECT user_id,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current,
+           event_type, value
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: collapse
+    consecutive no-change records, then give every surviving version a
+    [valid_from, valid_to) validity interval (open-ended = current row) —
+    the warehouse primitive that turns an event stream into a
+    point-in-time-joinable dimension (the as-of join's natural build
+    side, operators/asof.py).
+
+    One shuffle total: the change-detection lag pass and the
+    validity-interval lead/row_number pass share the same (user) hash
+    partitioning, so Catalyst plans a single exchange with two
+    back-to-back window sorts. Change detection compares raw attribute
+    values (no arithmetic), so cross-engine equality is exact."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("pet"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    changes = ordered.where(
+        F.col("pet").isNull()
+        | (F.col("pet") != F.col("event_type"))
+        | (F.col("pv") != F.col("value"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "q_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+        SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS adev, m.med
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ), mad AS (
+        SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           any_value(d.med) AS med,
+           any_value(a.mad) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad a ON d.l_returnflag = a.l_returnflag
+    GROUP BY d.l_returnflag
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD (median absolute
+    deviation): flag values more than 3 MADs from their group median —
+    the quality gate that, unlike mean/stddev z-scores (q_feat_scale),
+    no outlier can itself corrupt. The exact medians come from the
+    histogram percentile plan (operators/percentile.py — shuffles
+    |distinct values|, never buffers a group's rows), the tiny per-group
+    median/MAD tables broadcast back, and the deviation arithmetic is a
+    fixed double expression, so both engines agree bit-for-bit."""
+    from ..operators.percentile import exact_percentiles
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = exact_percentiles(li, ["l_returnflag"], "l_quantity", {"med": 0.5})
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_quantity") - F.col("med")).alias("adev"),
+    )
+    mad = exact_percentiles(dev, ["l_returnflag"], "adev", {"mad": 0.5})
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
