@@ -1101,8 +1101,13 @@ def q_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes x max_count, i.e. ~|largest class| x |classes|."""
     d = t(spark, sf_dir, "documents")
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    mx = cnt.agg(F.max("c").alias("mx"))
-    fac = cnt.crossJoin(F.broadcast(mx)).select("lang", F.expr("mx DIV c").alias("factor"))
+    # max-over-all as an unpartitioned window on the POST-AGGREGATE class
+    # table (one row per class — bounded), not a second aggregate branch:
+    # a separate max() subtree re-executes the whole grouped count (no
+    # exchange reuse fires across differing downstream exchanges; measured
+    # 3 corpus scans), while the window form computes the factor in the
+    # same pass the counts came from.
+    fac = cnt.select("lang", F.expr("max(c) OVER () DIV c").alias("factor"))
     return d.join(F.broadcast(fac), "lang").select(
         "doc_id",
         "lang",
