@@ -441,3 +441,46 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/gen=0", f"{base}/gen=1")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "q_scan_jdbc_live",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_jdbc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE JDBC round-trip inside the oracle gate: the nation fixture goes
+    out through the reference-shaped batched JDBC sink (2000-row batches,
+    A2/A3) into an embedded Derby database — the one JDBC engine the
+    image's Spark classpath carries — and comes back via whole-query
+    pushdown (A1), which is the reference's entire transport
+    (EtlMain.kt:76-88) executing against a real database.
+
+    Identifiers ride UPPERCASE through the engine (the reference's A6
+    convention exists precisely because unquoted SQL identifiers
+    case-fold — Derby/H2/Oracle up, Postgres down) and are re-aliased to
+    the fixture's lowercase on return. The Derby path is namespaced by
+    PID: embedded Derby write-locks its directory per JVM, so concurrent
+    harness processes must not share one."""
+    import os
+
+    from ..sources.readers import read_jdbc
+    from ..sources.writers import write_jdbc
+
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    url = f"jdbc:derby:{_scratch(sf_dir, f'derby_live_{os.getpid()}')};create=true"
+    nation = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("N_NATIONKEY"),
+        F.col("n_name").alias("N_NAME"),
+        F.col("n_regionkey").alias("N_REGIONKEY"),
+    )
+    write_jdbc(nation, url, "NATION_LIVE", mode="overwrite", driver=driver)
+    return read_jdbc(
+        spark,
+        url,
+        query="SELECT N_NATIONKEY, N_NAME, N_REGIONKEY FROM NATION_LIVE",
+        driver=driver,
+    ).select(
+        F.col("N_NATIONKEY").alias("n_nationkey"),
+        F.col("N_NAME").alias("n_name"),
+        F.col("N_REGIONKEY").alias("n_regionkey"),
+    )
