@@ -72,6 +72,8 @@ def main() -> None:
             "q_graph_pagerank",  # superstep join/agg shapes
             "q_dedup_incremental",  # asymmetric bucket-join codegen
             "q_split_leakage",
+            "q_agg_percentile",  # histogram + bracket-filter agg codegen
+            "q_outlier_mad",  # two chained percentile passes
         ):
             try:
                 materialize(queries[warm_name](spark, tiny))
