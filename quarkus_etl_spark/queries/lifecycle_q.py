@@ -484,3 +484,54 @@ def q_scan_jdbc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N_NAME").alias("n_name"),
         F.col("N_REGIONKEY").alias("n_regionkey"),
     )
+
+
+def _zorder_sql() -> str:
+    """Build the 32-term Morton-interleave oracle once (16 bits x 2 cols):
+    bit b of quantized col i lands at position b*2 + i — the same
+    arithmetic operators/zorder.py::interleave_bits emits as Columns."""
+    terms = []
+    for i, q in enumerate(("qp", "qs")):
+        terms += [f"((({q} >> {b}) & 1) << {b * 2 + i})" for b in range(16)]
+    interleave = " + ".join(terms)
+    quant = """
+        greatest(0, least(CAST(floor((CAST({c} AS DOUBLE) - mn_{a})
+            / (mx_{a} - mn_{a}) * 65536.0) AS BIGINT), 65535))"""
+    return f"""
+    WITH b AS (
+        SELECT CAST(min(l_partkey) AS DOUBLE) AS mn_p,
+               CAST(max(l_partkey) AS DOUBLE) AS mx_p,
+               CAST(min(l_suppkey) AS DOUBLE) AS mn_s,
+               CAST(max(l_suppkey) AS DOUBLE) AS mx_s
+        FROM lineitem
+    ), q AS (
+        SELECT l_orderkey, l_linenumber,
+               {quant.format(c="l_partkey", a="p")} AS qp,
+               {quant.format(c="l_suppkey", a="s")} AS qs
+        FROM lineitem CROSS JOIN b
+    )
+    SELECT l_orderkey, l_linenumber, {interleave} AS zkey FROM q
+    """
+
+
+@register("q_zorder_key", oracle=_zorder_sql())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey): the
+    multi-dimensional sort key a lakehouse OPTIMIZE ZORDER BY clusters
+    files on, so parquet min/max stats row-group-skip on EVERY zordered
+    dimension (operators/zorder.py; the clustered WRITE + per-file range
+    narrowing is pinned in tests/test_maintenance.py). Quantization
+    bounds come from a 1-row min/max aggregate (driver-collected seed,
+    like IVF's centroids); the key itself is pure integer bit algebra —
+    map-only, portable, deterministic."""
+    from ..operators.zorder import column_bounds, zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    bounds = column_bounds(li, ["l_partkey", "l_suppkey"])
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(li, ["l_partkey", "l_suppkey"], bits=16, bounds=bounds).alias(
+            "zkey"
+        ),
+    )

@@ -998,3 +998,67 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("qty", F.col("n") * 100 + (F.lit(50) - F.col("qty"))).alias("mode_qty"),
         F.max("n").alias("mode_n"),
     )
+
+
+@register(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-id markers on a rollup: the bits that let a
+    consumer of a multi-level aggregate distinguish "NULL because
+    subtotal row" from "NULL because the data had NULL" — required the
+    moment rollup output feeds anything downstream. Spark's grouping_id
+    bit order depends on its internal column order, so the portable gid
+    is assembled explicitly from the per-column grouping bits (g_flag*2 +
+    g_status), identical in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        (F.grouping("l_returnflag").cast("long") * 2
+         + F.grouping("l_linestatus").cast("long")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "gid", "n", "sum_qty"
+    )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, nullif(event_type, 'view') AS k FROM events
+    ), r AS (
+        SELECT nullif(event_type, 'view') AS k, count(*) AS grp_cnt
+        FROM events GROUP BY 1
+    )
+    SELECT l.event_id, l.k, r.grp_cnt
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the semantics a dimension join needs
+    when "unknown" is itself a category. Spark plans `<=>` as a proper
+    EQUI-join (hash/broadcast with null-safe key comparison), not a
+    nested-loop theta join, so the scale shape is the same as a plain
+    equi-join."""
+    ev = t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("view"))
+    l = ev.select("event_id", k.alias("k"))
+    r = ev.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("grp_cnt"))
+    return l.join(r, l["k"].eqNullSafe(r["k"])).select(
+        l["event_id"], l["k"].alias("k"), r["grp_cnt"]
+    )

@@ -173,7 +173,7 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the same SQL the batch q_stream_tumbling family uses —
     the incremental execution path itself is what's under test. Output
     timestamps are cast back to ntz (UTC session makes values coincide)."""
-    from ..streaming.streams import file_stream, run_stream_to_memory
+    from ..streaming.streams import file_stream, run_stream_to_memory, state_partitions
 
     from .lifecycle_q import _scratch
 
@@ -191,8 +191,9 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("sum_value"),
         )
     )
-    q = run_stream_to_memory(agg, "live_tumbling", output_mode="complete")
-    q.stop()
+    with state_partitions(spark):
+        q = run_stream_to_memory(agg, "live_tumbling", output_mode="complete")
+        q.stop()
     return spark.table("live_tumbling").select(
         F.col("window.start").cast("timestamp_ntz").alias("window_start"),
         F.col("window.end").cast("timestamp_ntz").alias("window_end"),
@@ -216,7 +217,7 @@ def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary which-duplicate-won choice). State is bounded by the key
     domain; the watermarked variant (q_stream_dedup + streams.py
     dedup_within_watermark) bounds it by time instead."""
-    from ..streaming.streams import file_stream, run_stream_to_memory
+    from ..streaming.streams import file_stream, run_stream_to_memory, state_partitions
 
     from .lifecycle_q import _scratch
 
@@ -230,8 +231,9 @@ def q_stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    q = run_stream_to_memory(dd, "live_dedup", output_mode="append")
-    q.stop()
+    with state_partitions(spark):
+        q = run_stream_to_memory(dd, "live_dedup", output_mode="append")
+        q.stop()
     return spark.table("live_dedup")
 
 
@@ -268,6 +270,7 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.streams import (
         file_stream,
         run_stream_to_memory,
+        state_partitions,
         stream_stream_interval_join,
     )
 
@@ -309,6 +312,58 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) DIV 1000000").alias("lag_s"),
     )
-    q = run_stream_to_memory(out, "live_ssj", output_mode="append")
-    q.stop()
+    with state_partitions(spark):
+        q = run_stream_to_memory(out, "live_ssj", output_mode="append")
+        q.stop()
     return spark.table("live_ssj")
+
+
+@register(
+    "q_stream_live_sliding",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+            AS window_start, value
+        FROM events
+    )
+    SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+           COUNT(*) AS cnt, {_SUM_VAL}
+    FROM assigned GROUP BY window_start
+    """,
+)
+def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed OVERLAPPING-window streaming aggregation: the sliding
+    10-min/5-min window (every event belongs to two windows — double
+    state entries per event, unlike the tumbling case) run through
+    readStream micro-batches into a complete-mode memory sink. Completes
+    the executed-streaming family: tumbling, sliding, keyed dedup,
+    stream-stream join."""
+    from ..streaming.streams import file_stream, run_stream_to_memory, state_partitions
+
+    from .lifecycle_q import _scratch
+
+    path = _scratch(sf_dir, "events_stream_sl")
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    agg = (
+        file_stream(spark, path, max_files_per_trigger=2)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+        )
+    )
+    with state_partitions(spark):
+        q = run_stream_to_memory(agg, "live_sliding", output_mode="complete")
+        q.stop()
+    return spark.table("live_sliding").select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "cnt",
+        "sum_value",
+    )
