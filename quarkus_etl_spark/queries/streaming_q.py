@@ -367,3 +367,62 @@ def q_stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "sum_value",
     )
+
+
+@register(
+    "q_stream_live_session",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER w < INTERVAL '5 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events, {_SUM_VAL}
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed SESSION-window streaming aggregation: dynamic gap-merged
+    windows maintained in the state store across micro-batches (sessions
+    split across input files must merge server-side), run to completion
+    in complete mode — which over a finite source equals the batch
+    gaps-and-islands answer. Completes the executed-streaming family:
+    every window kind the batch surface declares also RUNS incrementally."""
+    from ..streaming.streams import file_stream, run_stream_to_memory, state_partitions
+
+    from .lifecycle_q import _scratch
+
+    path = _scratch(sf_dir, "events_stream_se")
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    agg = (
+        file_stream(spark, path, max_files_per_trigger=2)
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+        )
+    )
+    with state_partitions(spark):
+        q = run_stream_to_memory(agg, "live_session", output_mode="complete")
+        q.stop()
+    return spark.table("live_session").select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

@@ -175,3 +175,45 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, s.token, s.pos FROM documents, LATERAL split_words(text) s"
     )
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           c_acctbal + 100.0 AS projected
+    FROM customer
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The middle rung of the Python ladder (Spark 4 `useArrow=True`):
+    row-at-a-time Python SEMANTICS with Arrow-batched TRANSFER — no
+    pickle per row, columnar ser/de like a pandas UDF, but the function
+    still sees scalars (no vectorization work for the author). ~2-10x
+    over pickled row UDFs; q_udf_pandas remains the fully-vectorized
+    fast path. The numeric column is a single IEEE add — the identical
+    op in Python and SQL, so no rounding-rule divergence can appear
+    (Python round() is half-even, DuckDB's is half-away: never round in
+    a cross-engine UDF contract)."""
+
+    @F.udf(returnType="string", useArrow=True)
+    def tier(bal):
+        if bal < 0:
+            return "debt"
+        if bal < 5000:
+            return "standard"
+        return "premium"
+
+    @F.udf(returnType="double", useArrow=True)
+    def projected(bal):
+        return bal + 100.0
+
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        tier("c_acctbal").alias("tier"),
+        projected("c_acctbal").alias("projected"),
+    )

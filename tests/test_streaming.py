@@ -362,3 +362,54 @@ def test_incremental_rollup_converges_to_batch(spark, sf_dir, events_dir, tmp_pa
     )
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Source-offset checkpointing + the file sink's transactional
+    manifest = exactly-once across a restart: run a checkpointed stream
+    over half the input, stop, add the rest, restart with the SAME
+    checkpoint — the second run must pick up only the new files, and the
+    sink must hold every source row exactly once."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.streaming.streams import file_stream
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    staging = tmp_path / "staging"
+    active = tmp_path / "active"
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    ev.repartition(4).write.parquet(str(staging))
+    active.mkdir()
+    files = sorted(staging.glob("*.parquet"))
+    assert len(files) == 4
+    for f in files[:2]:
+        shutil.copy(f, active / f.name)
+
+    def run_once():
+        q = (
+            file_stream(spark, str(active))
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert 0 < first < ev.count()
+    for f in files[2:]:
+        shutil.copy(f, active / f.name)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # nothing lost, nothing doubled
+    assert got.select("event_id").distinct().count() == ev.count()
