@@ -357,3 +357,50 @@ def test_session_native_single_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, sf_dir):
+    """The docs' standing claim — "hot keys are the AQE skew-join case" —
+    demonstrated: a 90%-one-key join, with skew thresholds scaled to test
+    data, must come out of adaptive re-planning with the SortMergeJoin
+    marked skew=true (the hot partition split across tasks instead of
+    serializing one reducer). The final adaptive plan only materializes on
+    the dataframe's OWN queryExecution, so the test drives that exact
+    plan (a noop write or count() would execute a fresh copy and leave
+    this one isFinalPlan=false)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        qe = j._jdf.queryExecution()
+        assert qe.executedPlan().execute().count() == 500_000
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
