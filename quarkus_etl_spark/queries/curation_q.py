@@ -1217,3 +1217,112 @@ def q_feat_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(s), "lang").select(
         "doc_id", "lang", z.alias("z"), minmax.alias("minmax")
     )
+
+
+# The HTML fixture is planted deterministically from doc_id (the corpus
+# fixture is plain text); the oracle plants the identical wrapper, so the
+# strip pipeline is exercised for real — same pattern as q_text_pii.
+_SQL_HTML_AUG = (
+    "'<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><a href=\"/d/' || CAST(doc_id AS VARCHAR) || '\">&amp; see &lt;more&gt;</a>'"
+)
+
+
+@register(
+    "q_text_html",
+    oracle=rf"""
+    WITH aug AS (SELECT doc_id, {_SQL_HTML_AUG} AS html FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(html, '<[^>]+>')) AS n_tags,
+           md5(trim(regexp_replace(
+               replace(replace(replace(
+                   regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '\s+', ' ', 'g'))) AS clean_md5
+    FROM aug
+    """,
+)
+def q_text_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first stage of every web-corpus
+    pipeline: drop tags, decode the common entities, collapse whitespace;
+    report the tag count and the cleaned text's fingerprint. Pure regexp
+    Column algebra: map-only, fuses into the scan, no shuffle at any
+    corpus size (a production pass would extend the entity table and add
+    <script>/<style> block removal the same way)."""
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id").cast("string"), F.lit("</h1><p>"),
+        F.col("text"), F.lit('</p><a href="/d/'), F.col("doc_id").cast("string"),
+        F.lit('">&amp; see &lt;more&gt;</a>'),
+    )
+    aug = d.select("doc_id", html.alias("html"))
+    stripped = F.regexp_replace(F.col("html"), "<[^>]+>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(stripped, F.lit("&amp;"), F.lit("&")),
+            F.lit("&lt;"), F.lit("<"),
+        ),
+        F.lit("&gt;"), F.lit(">"),
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("html", F.lit("<[^>]+>"), F.lit(0))).alias("n_tags"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_md5"),
+    )
+
+
+@register(
+    "q_graph_triangles",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM pp a JOIN pp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+        SELECT pa, pb FROM e0 GROUP BY pa, pb HAVING count(*) >= 2
+    )
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+            FROM e e1
+            JOIN e e2 ON e2.pa = e1.pb
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts appearing
+    in >= 2 common orders are edges): the clustering-coefficient /
+    community-density primitive, distributed as the classic ordered
+    wedge-join — edges are oriented pa < pb, so each triangle is counted
+    exactly once as (a<b)⋈(b<c)⋈(a<c), no post-dedup. Per-order pair
+    expansion is bounded by lines-per-order (~7 -> <=21 pairs/order);
+    the wedge join is the standard equi-join shape AQE skew-splits when a
+    hub vertex shows up. (Production refinement: orient by degree, not
+    id, to bound wedge fan-out on power-law graphs.)"""
+    li = t(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    e0 = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    e = (
+        e0.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return edges.crossJoin(tri)

@@ -217,3 +217,98 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier("c_acctbal").alias("tier"),
         projected("c_acctbal").alias("projected"),
     )
+
+
+@register(
+    "q_udf_cogroup",
+    oracle="""
+    SELECT c.c_custkey,
+           any_value(c.c_mktsegment) AS seg,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-sided Python surface: cogroup(...).applyInPandas — both
+    tables grouped on the key, each key's pair of pandas frames handed to
+    one Python function (the custom-join escape hatch when a combine
+    genuinely can't be said relationally; here it deliberately CAN, so
+    the SQL oracle pins it). Money is summed as exact integer cents
+    inside pandas (row order within a shuffled group is arbitrary — a
+    float sum would hash-differently run to run), divided back once."""
+    import pandas as pd  # noqa: F811
+
+    def combine(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty or orders.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "seg", "n_orders", "total_price"]
+            ).astype(
+                {"c_custkey": "int64", "seg": "object", "n_orders": "int64",
+                 "total_price": "float64"}
+            )
+        cents = (orders["o_totalprice"] * 100).round().astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "seg": [cust["c_mktsegment"].iloc[0]],
+                "n_orders": [len(orders)],
+                "total_price": [float(cents) / 100.0],
+            }
+        )
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            combine,
+            "c_custkey long, seg string, n_orders long, total_price double",
+        )
+    )
+
+
+@register(
+    "q_udf_mapinarrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS disc_price
+    FROM lineitem WHERE l_quantity > 25
+    """,
+)
+def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-copy Python rung: mapInArrow hands each partition as raw
+    pyarrow RecordBatches — no pandas conversion at all, the cheapest
+    possible Python boundary (the shape a custom columnar kernel or a
+    GPU handoff would use). The filter + IEEE multiply run in pyarrow
+    compute, matching the SQL oracle bit-for-bit."""
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t_ = pa.Table.from_batches([b])
+            t_ = t_.filter(pc.greater(t_.column("l_quantity"), 25.0))
+            disc = pc.multiply(
+                t_.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t_.column("l_discount")),
+            )
+            out = pa.table(
+                {
+                    "l_orderkey": t_.column("l_orderkey"),
+                    "l_linenumber": t_.column("l_linenumber"),
+                    "disc_price": disc,
+                }
+            )
+            yield from out.to_batches()
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        kernel, "l_orderkey long, l_linenumber int, disc_price double"
+    )
