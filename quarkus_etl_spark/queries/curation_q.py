@@ -1326,3 +1326,85 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return edges.crossJoin(tri)
+
+
+_COLLOC_MIN = 5
+
+
+@register(
+    "q_text_colloc",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ), ug AS (
+        SELECT unnest(tk) AS w FROM toks
+    ), uc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM ug WHERE w <> '' GROUP BY w
+    ), bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS b
+        FROM toks
+    ), bc AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY b
+        HAVING count(*) >= {_COLLOC_MIN}
+    ), tot AS (
+        SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_ug,
+               (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bc) AS n_bg
+    )
+    SELECT b AS bigram, c_ab,
+           (CAST(c_ab AS DOUBLE) / n_bg)
+               / ((CAST(ua.c AS DOUBLE) / n_ug) * (CAST(ub.c AS DOUBLE) / n_ug))
+               AS lift
+    FROM bc
+    JOIN uc ua ON ua.w = string_split(b, ' ')[1]
+    JOIN uc ub ON ub.w = string_split(b, ' ')[2]
+    CROSS JOIN tot
+    ORDER BY lift DESC, bigram LIMIT 20
+    """,
+)
+def q_text_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigrams that co-occur far more than their parts'
+    independent rates predict (the lift ratio — PMI without the log, so
+    the ranking is identical but no libm ln() can diverge between
+    engines; every input is an exact integer-valued double and the score
+    is one fixed-shape division chain). Support threshold prunes noise
+    bigrams before the joins; unigram and bigram count tables are
+    corpus-vocabulary-sized (broadcastable by Catalyst's own estimate);
+    top-20 is TakeOrderedAndProject."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokenize(normalize_text("text"))
+    toks = ensure_parallelism(d).select(tk.alias("tk"))
+    uc = (
+        toks.select(F.explode("tk").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bc = (
+        toks.select(F.explode(ngrams(F.col("tk"), 2)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _COLLOC_MIN)
+    )
+    n_ug = uc.agg(F.sum("c").cast("double").alias("n_ug"))
+    n_bg = bc.agg(F.sum("c_ab").cast("double").alias("n_bg"))
+    parts = F.split(F.col("b"), " ")
+    ua = uc.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    joined = (
+        bc.withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(n_ug))
+        .crossJoin(F.broadcast(n_bg))
+    )
+    lift = (F.col("c_ab").cast("double") / F.col("n_bg")) / (
+        (F.col("ca").cast("double") / F.col("n_ug"))
+        * (F.col("cb").cast("double") / F.col("n_ug"))
+    )
+    return (
+        joined.select(F.col("b").alias("bigram"), "c_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(20)
+    )

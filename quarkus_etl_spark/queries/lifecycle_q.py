@@ -535,3 +535,48 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zkey"
         ),
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-shuffle-once join, graded end to end: both sides are
+    persisted BUCKETED on the join key (sources/writers.py::
+    write_bucketed_table — external tables under scratch, bucketing
+    metadata in the session catalog), and the join between them plans
+    with NO exchange on either side (pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange) — at 100 TB
+    this converts every repeated fact-dim-key join from a full shuffle
+    into a local zip of co-located buckets. Table names are PID-suffixed
+    so concurrent harness processes never collide in the catalog or on
+    disk."""
+    import os
+
+    from ..sources.writers import write_bucketed_table
+
+    pid = os.getpid()
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    to, tc = f"orders_bk_{sf_tag}_{pid}", f"customer_bk_{sf_tag}_{pid}"
+    write_bucketed_table(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        to,
+        ["o_custkey"],
+        num_buckets=8,
+        path=_scratch(sf_dir, f"bk_orders_{pid}"),
+    )
+    write_bucketed_table(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        tc,
+        ["c_custkey"],
+        num_buckets=8,
+        path=_scratch(sf_dir, f"bk_customer_{pid}"),
+    )
+    o, c = spark.table(to), spark.table(tc)
+    return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_totalprice", "c_mktsegment"
+    )

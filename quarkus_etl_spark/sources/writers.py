@@ -78,6 +78,7 @@ def write_bucketed_table(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Persist a table bucketed (and optionally sorted) by its join key.
 
@@ -86,8 +87,12 @@ def write_bucketed_table(
     rows, so joins between them need no Exchange (and with sort_cols, no
     per-task sort) — the shuffle is paid once at write time instead of on
     every query. See tests/test_plans.py::test_bucketed_join_has_no_exchange
-    for the plan proof."""
+    for the plan proof. `path` makes it an EXTERNAL table at an explicit
+    location (bucketing metadata still lives in the session catalog —
+    that's what lets the planner elide the exchange)."""
     writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
