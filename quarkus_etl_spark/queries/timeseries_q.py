@@ -423,3 +423,67 @@ def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         F.coalesce("v", interp, next_v, prev_v).alias("v_filled"),
     )
+
+
+@register(
+    "q_dq_anomaly",
+    oracle="""
+    WITH c AS (
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+               event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        FROM events GROUP BY 1, 2
+    ), w AS (
+        SELECT bucket, event_type, CAST(v AS DOUBLE) AS v,
+               CAST(count(*) OVER win AS BIGINT) AS n,
+               CAST(sum(v) OVER win AS DOUBLE) AS sx,
+               CAST(sum(v * v) OVER win AS DOUBLE) AS sxx
+        FROM c
+        WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT bucket, event_type, v,
+           CASE WHEN n >= 4 AND sxx - sx * sx / n > 0
+                THEN abs(v - sx / n) > 3 * sqrt((sxx - sx * sx / n) / (n - 1))
+                ELSE FALSE END AS anomaly
+    FROM w
+    """,
+)
+def q_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style data-quality monitoring in batch: each 15-minute
+    bucket's volume is compared against a rolling baseline of its own
+    previous 8 buckets (mean ± 3σ, trailing frame EXCLUDES the current
+    row so an anomaly can't mask itself) — the pipeline-health gate that
+    pages before a bad upstream deploy poisons a day of training data.
+
+    One aggregate + one window pass sharing the event_type partitioning.
+    Bucket sums ride DECIMAL(18,2) end-to-end — the window's sum and
+    sum-of-squares are EXACT decimal folds cast to double once, so the
+    3σ boundary is the same double in both engines no matter how
+    partial aggregation or frame evaluation orders the adds."""
+    ev = t(spark, sf_dir, "events")
+    from ..operators.timeseries import time_bucket
+
+    c = ev.groupBy(time_bucket("ts", 900).alias("bucket"), "event_type").agg(
+        F.sum(dec2("value")).cast("decimal(18,2)").alias("v")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-8, -1)
+    )
+    w = c.select(
+        "bucket",
+        "event_type",
+        F.col("v").cast("double").alias("v"),
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("v").over(win).cast("double").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).over(win).cast("double").alias("sxx"),
+    )
+    n, sx, sxx, v = (F.col(x) for x in ("n", "sx", "sxx", "v"))
+    var_num = sxx - sx * sx / n
+    anomaly = F.when(
+        (n >= 4) & (var_num > 0),
+        F.abs(v - sx / n) > 3 * F.sqrt(var_num / (n - 1)),
+    ).otherwise(F.lit(False))
+    return w.select("bucket", "event_type", "v", anomaly.alias("anomaly"))

@@ -236,34 +236,55 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables grouped on the key, each key's pair of pandas frames handed to
     one Python function (the custom-join escape hatch when a combine
     genuinely can't be said relationally; here it deliberately CAN, so
-    the SQL oracle pins it). Money is summed as exact integer cents
-    inside pandas (row order within a shuffled group is arbitrary — a
-    float sum would hash-differently run to run), divided back once."""
+    the SQL oracle pins it).
+
+    Scale pattern that matters: cogroup on a HASH BUCKET of the real key,
+    not the key itself — per-group Python invocation costs ~ms, so 15k
+    natural customer groups cost ~30 s while 32 buckets cost ~1 s
+    (measured); the per-customer work happens vectorized inside pandas
+    (merge + groupby per bucket). Money is summed as exact integer cents
+    (row order within a shuffled group is arbitrary — a float sum would
+    hash-differently run to run), divided back once."""
     import pandas as pd  # noqa: F811
 
-    def combine(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    def combine(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         if cust.empty or orders.empty:
             return pd.DataFrame(
-                columns=["c_custkey", "seg", "n_orders", "total_price"]
-            ).astype(
-                {"c_custkey": "int64", "seg": "object", "n_orders": "int64",
-                 "total_price": "float64"}
+                {
+                    "c_custkey": pd.Series(dtype="int64"),
+                    "seg": pd.Series(dtype="object"),
+                    "n_orders": pd.Series(dtype="int64"),
+                    "total_price": pd.Series(dtype="float64"),
+                }
             )
-        cents = (orders["o_totalprice"] * 100).round().astype("int64").sum()
+        o = orders.copy()
+        o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+        agg = o.groupby("o_custkey", as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum")
+        )
+        m = agg.merge(
+            cust[["c_custkey", "c_mktsegment"]],
+            left_on="o_custkey",
+            right_on="c_custkey",
+        )
         return pd.DataFrame(
             {
-                "c_custkey": [key[0]],
-                "seg": [cust["c_mktsegment"].iloc[0]],
-                "n_orders": [len(orders)],
-                "total_price": [float(cents) / 100.0],
+                "c_custkey": m["c_custkey"].astype("int64"),
+                "seg": m["c_mktsegment"],
+                "n_orders": m["n_orders"].astype("int64"),
+                "total_price": m["cents"].astype("float64") / 100.0,
             }
         )
 
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.pmod("c_custkey", F.lit(32)).alias("bk")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.pmod("o_custkey", F.lit(32)).alias("bk")
+    )
     return (
-        c.groupBy("c_custkey")
-        .cogroup(o.groupBy("o_custkey"))
+        c.groupBy("bk")
+        .cogroup(o.groupBy("bk"))
         .applyInPandas(
             combine,
             "c_custkey long, seg string, n_orders long, total_price double",
