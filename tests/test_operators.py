@@ -694,3 +694,21 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # flagged docs must actually share grams: counts strictly positive
     assert df.where(F.col("n_shared") <= 0).count() == 0
+
+
+def test_percentile_prefix_strategy_parity(spark, sf_dir):
+    """The two-level distributed prefix-sum strategy (parallel per-bucket
+    cumsums + tiny offset table) must produce bit-identical percentiles
+    to the single-window strategy — it's the same histogram, only routed
+    through B-way parallel sorts for domains too large for one task."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.percentile import exact_percentiles_multi
+
+    li = load_table(spark, sf_dir, "lineitem")
+    specs = {
+        "l_quantity": {"p50": 0.5, "p99": 0.99},
+        "l_extendedprice": {"p25": 0.25, "p90": 0.9},
+    }
+    a = exact_percentiles_multi(li, ["l_returnflag"], specs, strategy="window")
+    b = exact_percentiles_multi(li, ["l_returnflag"], specs, strategy="prefix")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
