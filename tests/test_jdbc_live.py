@@ -114,3 +114,51 @@ def test_jdbc_to_jdbc_reference_job_live(spark, derby_url, seeded_nation):
     assert set(back.columns) == {"N_NATIONKEY", "N_NAME"}
     assert back.count() == 10
     assert back.agg(F.max("N_NATIONKEY")).first()[0] == 9
+
+
+def test_streaming_etl_into_jdbc_live(spark, sf_dir, derby_url, tmp_path):
+    """The reference's consumer loop, live AND streaming: a file stream
+    micro-batched through foreachBatch into Derby via the batched JDBC
+    writer (streams.py::stream_etl_job) — every source row lands in the
+    target table exactly once (checkpointed progress + append batches)."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.config import WriteTarget
+    from quarkus_etl_spark.sources.writers import jdbc_write_options
+    from quarkus_etl_spark.streaming.streams import file_stream, stream_etl_job
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "src")
+    ev.select("event_id", "user_id", "value").repartition(4).write.parquet(src)
+
+    # Pre-create the target so concurrent micro-batches only INSERT
+    # (Derby DDL from parallel batches would race on CREATE TABLE).
+    spark.createDataFrame([], "event_id long, user_id long, value double").write.format(
+        "jdbc"
+    ).options(
+        **jdbc_write_options(derby_url, "EVENTS_STREAMED", driver=DERBY_DRIVER)
+    ).mode("overwrite").save()
+
+    q = stream_etl_job(
+        file_stream(spark, src, max_files_per_trigger=2).select(
+            "event_id", "user_id", "value"
+        ),
+        WriteTarget(
+            format="jdbc",
+            mode="append",
+            options=jdbc_write_options(
+                derby_url, "EVENTS_STREAMED", driver=DERBY_DRIVER
+            ),
+        ),
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from quarkus_etl_spark.sources.readers import read_jdbc
+
+    back = read_jdbc(spark, derby_url, table="EVENTS_STREAMED", driver=DERBY_DRIVER)
+    assert back.count() == ev.count()
+    assert back.select("event_id").distinct().count() == ev.count()
