@@ -27,9 +27,11 @@ def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     column-valued bounds both work (column-valued = the fit/transform
     broadcast pattern)."""
     cells = (1 << bits) - 1
-    scaled = (col.cast("double") - lo.cast("double")) / (
-        hi.cast("double") - lo.cast("double")
-    )
+    lo_d, hi_d = lo.cast("double"), hi.cast("double")
+    # Degenerate span (constant column) maps everything to cell 0 — and
+    # must not divide by zero, which ANSI mode raises even for doubles.
+    span = F.when(hi_d > lo_d, hi_d - lo_d).otherwise(F.lit(1.0))
+    scaled = (col.cast("double") - lo_d) / span
     q = F.floor(scaled * F.lit(float(cells + 1))).cast("long")
     return F.greatest(F.lit(0).cast("long"), F.least(q, F.lit(cells).cast("long")))
 

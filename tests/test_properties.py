@@ -215,3 +215,50 @@ def test_incremental_pairs_match_full_join_restriction(spark, sf_dir):
         ).collect()
     }
     assert full == inc and len(inc) > 0
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """The Morton key column must equal a bit-by-bit Python mirror on
+    seeded random quantized pairs, and be BIJECTIVE over them (distinct
+    (qa, qb) -> distinct keys) — the property that makes a Z-range scan
+    decodable back to per-dimension ranges."""
+    import random
+
+    from pyspark.sql import functions as F
+    from quarkus_etl_spark.operators.zorder import interleave_bits
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(500)]
+
+    def py_interleave(qa, qb, bits=16):
+        out = 0
+        for b in range(bits):
+            out |= ((qa >> b) & 1) << (2 * b)
+            out |= ((qb >> b) & 1) << (2 * b + 1)
+        return out
+
+    df = spark.createDataFrame(pairs, "qa long, qb long").select(
+        "qa",
+        "qb",
+        interleave_bits([F.col("qa"), F.col("qb")], 16).alias("z"),
+    )
+    got = {(r["qa"], r["qb"]): r["z"] for r in df.collect()}
+    assert got == {(a, b): py_interleave(a, b) for a, b in pairs}
+    assert len(set(got.values())) == len(set(pairs))
+
+
+def test_zorder_quantize_edges(spark):
+    """Quantization pins: lo -> 0, hi -> top cell (not overflow), constant
+    column (lo == hi) stays in range."""
+    from pyspark.sql import functions as F
+    from quarkus_etl_spark.operators.zorder import quantize
+
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,)], "x double"
+    ).select(
+        quantize(F.col("x"), F.lit(0.0), F.lit(100.0), 4).alias("q4"),
+        quantize(F.col("x"), F.lit(50.0), F.lit(50.0), 4).alias("qconst"),
+    )
+    rows = df.collect()
+    assert [r["q4"] for r in rows] == [0, 8, 15]
+    assert all(0 <= r["qconst"] <= 15 for r in rows)
