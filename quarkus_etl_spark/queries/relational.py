@@ -1062,3 +1062,60 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(r, l["k"].eqNullSafe(r["k"])).select(
         l["event_id"], l["k"].alias("k"), r["grp_cnt"]
     )
+
+
+@register(
+    "q_agg_cond_bool",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_high_disc,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount = 0.0) AS any_zero_disc,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_cond_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional and boolean aggregates — count_if / every / some (SQL
+    FILTER-clause semantics): the predicate-summary family a data-quality
+    dashboard is built from. All map-side-combinable single-pass
+    aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_discount") == 0.0).alias("any_zero_disc"),
+        F.count_distinct("l_linestatus").cast("long").alias("n_status"),
+    )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 4096 AS with_flag,
+           xor(l_orderkey, l_partkey) AS mixed,
+           l_orderkey << 3 AS shifted_up,
+           l_orderkey >> 2 AS shifted_down,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+    FROM lineitem
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitwise function family head-on (the primitives SimHash,
+    Z-order, and the packed-key aggregates compose internally): and / or /
+    xor / shifts / popcount, all pure integer column algebra."""
+    li = t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("mixed"),
+        F.shiftleft(k, 3).alias("shifted_up"),
+        F.shiftright(k, 2).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"),
+    )
