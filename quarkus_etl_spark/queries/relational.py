@@ -1119,3 +1119,50 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shifted_down"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "q_agg_linreg",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+           sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n)
+               AS intercept
+    FROM s
+    """,
+)
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity): slope and
+    intercept assembled from EXACT decimal moments in one grouped pass —
+    the regr_slope/regr_intercept surface, but cross-engine
+    deterministic (built-in float regression aggregates accumulate in
+    partition order and can never hash-match across engines). Same
+    moment discipline as q_agg_stats, one extra cross-moment."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y = dec2("l_quantity"), dec2("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        (sy / n - slope * (sx / n)).alias("intercept"),
+    )
