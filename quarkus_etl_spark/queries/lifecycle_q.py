@@ -584,3 +584,56 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
         "o_orderkey", "o_totalprice", "c_mktsegment"
     )
+
+
+_PYSRC_ROWS = 2000
+_SQL_POOL = {
+    "street": "['Main St', 'Oak Ave', 'Park Rd', 'Cedar Ln', 'Elm St']",
+    "city": "['Springfield', 'Rivertown', 'Lakeside', 'Hillview', 'Maplewood']",
+    "state": "['CA', 'NY', 'TX', 'FL', 'IL']",
+    "country": "['USA', 'Canada', 'UK', 'Australia', 'Germany']",
+}
+
+
+def _nib(pos: int, width: int = 4) -> str:
+    return f"CAST('0x' || substr(h, {pos}, {width}) AS BIGINT)"
+
+
+@register(
+    "q_gen_pysource",
+    oracle=f"""
+    WITH ids AS (
+        SELECT unnest(generate_series(1, {_PYSRC_ROWS})) AS id
+    ), hh AS (
+        SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM ids
+    )
+    SELECT id,
+           CAST({_nib(1)} % 9999 + 1 AS VARCHAR) || ' ' ||
+               ({_SQL_POOL["street"]})[{_nib(5)} % 5 + 1] AS street_address,
+           ({_SQL_POOL["city"]})[{_nib(9)} % 5 + 1] AS city,
+           ({_SQL_POOL["state"]})[{_nib(13)} % 5 + 1] AS state,
+           CAST({_nib(17)} % 90000 + 10000 AS VARCHAR) AS postal_code,
+           ({_SQL_POOL["country"]})[{_nib(21)} % 5 + 1] AS country
+    FROM hh
+    """,
+)
+def q_gen_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 PYTHON DATA SOURCE API end to end: a custom pluggable
+    source (sources/pydatasource.py implements DataSource /
+    DataSourceReader / InputPartition) registered and scanned via
+    spark.read.format("addresses") — the reference's synthetic generator
+    (DataImporter.kt:48-82) re-expressed as the extension point teams use
+    to expose bespoke systems to Spark without JVM code. Partition
+    planning makes the scan parallel; every field derives from md5(id)
+    nibbles, so a plain-SQL oracle reproduces the custom source's output
+    bit-for-bit — a GRADEABLE custom connector (q_gen_addresses' hash()
+    variant stays rows-only by contrast)."""
+    from ..sources.pydatasource import register as register_source
+
+    register_source(spark)
+    return (
+        spark.read.format("addresses")
+        .option("rows", str(_PYSRC_ROWS))
+        .option("partitions", "8")
+        .load()
+    )

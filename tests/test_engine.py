@@ -227,3 +227,25 @@ def test_jdbc_roundtrip_e2e_when_driver_present(spark, tmp_path):
     back = read_jdbc(spark, url, table="roundtrip", driver="org.h2.Driver")
     assert back.count() == 10
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom Python DataSource (Spark 4 API) plans its reads into the
+    requested number of input partitions, yields exactly the id range,
+    and is bit-deterministic across scans (restart-safe derivation from
+    row ids)."""
+    from quarkus_etl_spark.sources.pydatasource import register as reg
+
+    reg(spark)
+    df = spark.read.format("addresses").option("rows", "1000").option(
+        "partitions", "4"
+    ).load()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    assert df.agg({"id": "min"}).first()[0] == 1
+    assert df.agg({"id": "max"}).first()[0] == 1000
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+    row = dict(zip(df.columns, a[0]))
+    assert row["country"] in {"USA", "Canada", "UK", "Australia", "Germany"}
