@@ -383,3 +383,87 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_DRIFT_BINS = 10
+
+
+@register(
+    "q_drift_tvd",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+               CAST(max(o_totalprice) AS DOUBLE) AS mx
+        FROM orders
+    ), binned AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-07-01'
+                    THEN 'ref' ELSE 'cur' END AS split,
+               least(CAST(floor((o_totalprice - mn) / (mx - mn)
+                                * {_DRIFT_BINS}) AS BIGINT),
+                     {_DRIFT_BINS - 1}) AS bin
+        FROM orders CROSS JOIN b
+    ), counts AS (
+        SELECT bin,
+               CAST(count(*) FILTER (split = 'ref') AS BIGINT) AS n_ref,
+               CAST(count(*) FILTER (split = 'cur') AS BIGINT) AS n_cur
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+               CAST(sum(n_cur) AS DOUBLE) AS t_cur
+        FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           abs(CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cur AS DOUBLE) / t_cur)
+               AS abs_share_diff
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring between a reference window and the
+    current one (orders before vs after mid-1996): equal-width bins over
+    the global value span, per-bin share difference — summing
+    abs_share_diff/2 downstream gives total-variation distance, the
+    log-free drift metric (PSI's ln(p/q) would hit libm divergence
+    between engines AND blow up on empty bins; TVD does neither).
+
+    One pass builds both histograms (conditional counts share one
+    grouped aggregate); the bounds come from a 1-row min/max broadcast.
+    Integer counts divide by totals once at the end — every double is
+    derived from exact integers, so both engines agree bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").cast("double").alias("mn"),
+        F.max("o_totalprice").cast("double").alias("mx"),
+    )
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"), "ref"
+        )
+        .otherwise("cur")
+        .alias("split"),
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * _DRIFT_BINS
+            ).cast("long"),
+            F.lit(_DRIFT_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count_if(F.col("split") == "ref").alias("n_ref"),
+        F.count_if(F.col("split") == "cur").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("n_ref").cast("double") / F.col("t_ref")
+            - F.col("n_cur").cast("double") / F.col("t_cur")
+        ).alias("abs_share_diff"),
+    )
