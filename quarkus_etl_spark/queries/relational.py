@@ -1166,3 +1166,31 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         (sy / n - slope * (sx / n)).alias("intercept"),
     )
+
+
+@register("q_agg_hll_merge")  # sketch bytes are engine-specific → rows-only
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the property that makes
+    approximate distinct counting work at warehouse scale: per-partition
+    (here per-returnflag) HLL sketches are built ONCE, stored, and any
+    rollup (the global count here) is a cheap sketch UNION — no rescan of
+    the raw data, unlike exact COUNT(DISTINCT) which cannot reuse
+    per-group results. Rows-only check (sketch binaries and estimates are
+    engine-specific); the pytest suite pins estimate sanity against the
+    exact count."""
+    li = t(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_parts")
+    )
+    per = per_group.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sketch").alias("est_distinct_parts"),
+    )
+    return per.unionByName(
+        merged.withColumn("l_returnflag", F.lit("ALL")).select(
+            "l_returnflag", "est_distinct_parts"
+        )
+    )

@@ -43,6 +43,7 @@ def test_registry_is_superset_with_oracles():
         "q_sample",  # engine-specific PRNG
         "q_agg_percentile_approx",  # KLL-style sketch
         "q_multimodal_frames",  # deterministic stub decode (no codecs in image)
+        "q_agg_hll_merge",  # HLL sketch estimates are engine-specific
     }
     assert rows_only <= allowed_rows_only, rows_only
 

@@ -712,3 +712,25 @@ def test_percentile_prefix_strategy_parity(spark, sf_dir):
     a = exact_percentiles_multi(li, ["l_returnflag"], specs, strategy="window")
     b = exact_percentiles_multi(li, ["l_returnflag"], specs, strategy="prefix")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hll_merge_estimate_tracks_exact(spark, sf_dir):
+    """The merged (unioned) HLL estimate must approximate the exact global
+    distinct count within HLL's error envelope, and per-group estimates
+    must roll up consistently (union >= any single group's estimate)."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from quarkus_etl_spark.queries import all_query_callables
+    from quarkus_etl_spark.catalog import load_table
+
+    out = {
+        r["l_returnflag"]: r["est_distinct_parts"]
+        for r in all_query_callables()["q_agg_hll_merge"](spark, sf_dir).collect()
+    }
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.countDistinct("l_partkey"))
+        .first()[0]
+    )
+    est = out["ALL"]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    assert est >= max(v for k, v in out.items() if k != "ALL")
