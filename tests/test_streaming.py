@@ -413,3 +413,35 @@ def test_stream_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # nothing lost, nothing doubled
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_python_streaming_datasource_exactly_once(spark, tmp_path):
+    """The custom Python source's STREAMING reader (Spark 4
+    SimpleDataSourceStreamReader): micro-batches advance a checkpointable
+    id offset until max_rows; the appended output holds every generated
+    row exactly once and matches the batch reader's rows bit-for-bit."""
+    from quarkus_etl_spark.sources.pydatasource import register as reg
+
+    reg(spark)
+    stream = (
+        spark.readStream.format("addresses")
+        .option("batch_rows", "300")
+        .option("max_rows", "1000")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysrc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("pysrc_stream")
+    assert got.count() == 1000
+    assert got.select("id").distinct().count() == 1000
+    batch = (
+        spark.read.format("addresses").option("rows", "1000").load()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
