@@ -91,3 +91,39 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonicalization: per near-dup component keep the
+    member with the HIGHEST integer score (ties -> smallest id), drop the
+    rest, pass untouched rows through — the keep-longest /
+    keep-best-quality policy real curation pipelines prefer over
+    keep-min-id (dedup_keep_canonical), because boilerplate-stripped or
+    truncated variants should lose to the fullest copy.
+
+    The winner is one max_by over a PACKED BIGINT (score << 40 minus id):
+    integer-exact, deterministic in any engine, and a plain hash
+    aggregate — no per-component sort. Component building is the same
+    hash-to-min + pointer-jumping pass as every other cluster consumer."""
+    comp = connected_components(pairs, src, dst)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
+        "node",
+    )
+    key = F.col("__score").cast("long") * F.lit(1 << 40).cast("long") - F.col("node")
+    winners = scored.groupBy("component").agg(
+        F.max_by("node", key).alias("__keep")
+    )
+    losers = (
+        comp.join(winners, "component")
+        .where(F.col("node") != F.col("__keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

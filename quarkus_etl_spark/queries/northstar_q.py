@@ -823,3 +823,37 @@ def q_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("edit_sim"),
         )
     )
+
+
+@register(
+    "q_dedup_canonical_best",
+    oracle=_CLUSTER_CTES
+    + """
+    , best AS (
+        SELECT c.cluster_id,
+               arg_max(c.doc_id, d.n_chars * 1099511627776 - c.doc_id) AS keep_id
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        GROUP BY c.cluster_id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT c.doc_id FROM comp c
+        JOIN best b ON c.cluster_id = b.cluster_id
+        WHERE c.doc_id <> b.keep_id
+    )
+    """,
+)
+def q_dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup with the KEEP-LONGEST policy: each duplicate cluster
+    retains its longest member (ties -> smallest doc_id) instead of the
+    smallest id — the policy curation pipelines actually want, since the
+    near-dup set usually contains truncated/boilerplate-stripped variants
+    of one fullest document (operators/cluster.py::dedup_keep_best;
+    winner = one packed-BIGINT max_by, integer-exact on both engines)."""
+    from ..operators.cluster import dedup_keep_best
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    return dedup_keep_best(
+        d.select("doc_id", "lang", "n_chars"), pairs, "doc_id", "n_chars"
+    )
