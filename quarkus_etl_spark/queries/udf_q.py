@@ -333,3 +333,43 @@ def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         kernel, "l_orderkey long, l_linenumber int, disc_price double"
     )
+
+
+@register(
+    "q_udf_window_pandas",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value * 100 AS BIGINT)) OVER w AS DOUBLE) / 100.0
+               AS roll3_sum
+    FROM (SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) / 100.0 AS value
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last Python rung: a GROUPED_AGG pandas UDF evaluated OVER A
+    WINDOW FRAME — arbitrary Python aggregation with rolling-frame
+    semantics (each frame's values arrive as one pandas Series). The
+    rolling money sum rides integer cents inside Python and in the SQL
+    oracle, so frame-evaluation order (Spark per-row, DuckDB segment
+    tree) can't leak into the double."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.window import Window
+
+    @F.pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
+        return int((v * 100).round().astype("int64").sum())
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (cents_sum("value").over(w).cast("double") / 100.0).alias("roll3_sum"),
+    )
