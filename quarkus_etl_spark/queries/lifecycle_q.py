@@ -637,3 +637,62 @@ def q_gen_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "8")
         .load()
     )
+
+
+@register(
+    "q_scan_partitioned",
+    oracle="SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned dataset scan WITH partition pruning, in the gate:
+    documents written partitioned by lang, read back filtered to one
+    partition — the layout that turns a predicate on the partition key
+    into 'never open the other directories at all' (the test suite pins
+    the pruning in the executed plan's PartitionFilters;
+    sources/maintenance.py). At 100 TB this is the difference between
+    scanning 1/5th of a corpus and all of it."""
+    from ..sources.maintenance import write_partitioned
+
+    path = _scratch(sf_dir, "docs_by_lang")
+    write_partitioned(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        path,
+        ["lang"],
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("lang") == "en")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register(
+    "q_sink_csv_quoted",
+    oracle=r"""
+    SELECT doc_id,
+           md5('He said "hi", twice;' || chr(10) || 'line2 \ end' ||
+               CAST(doc_id AS VARCHAR)) AS text_md5
+    FROM documents
+    """,
+)
+def q_sink_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting/escaping robustness: text carrying the delimiter,
+    double quotes, a NEWLINE, and a backslash must survive a CSV
+    write+read round-trip byte-for-byte (multiLine read mode — embedded
+    newlines split records without it; the silent-corruption classic of
+    CSV interchange). The md5 proves byte fidelity; the planted payload
+    is derived from doc_id so the oracle recomputes it exactly."""
+    path = _scratch(sf_dir, "docs_quoted.csv")
+    nasty = F.concat(
+        F.lit('He said "hi", twice;\nline2 \\ end'),
+        F.col("doc_id").cast("string"),
+    )
+    t(spark, sf_dir, "documents").select(
+        "doc_id", nasty.alias("text")
+    ).write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema("doc_id long, text string").option(
+        "header", "true"
+    ).option("multiLine", "true").csv(path)
+    return back.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
+    )

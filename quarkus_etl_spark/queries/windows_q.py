@@ -241,3 +241,45 @@ def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s / n).alias("trail7_avg"),
         n.alias("trail7_n"),
     )
+
+
+@register(
+    "q_win_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    )
+    SELECT user_id,
+           min(d) AS streak_start,
+           max(d) AS streak_end,
+           CAST(count(*) AS BIGINT) AS streak_days
+    FROM grp GROUP BY user_id, anchor
+    """,
+)
+def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands on the calendar: each user's runs of CONSECUTIVE
+    active days (streak detection — the retention/engagement primitive
+    sessionize can't express, because the gap here is measured in
+    calendar days over a DISTINCT-day set, not event-to-event time). The
+    classic anchor trick: date minus dense row-number is constant within
+    a consecutive run, so one distinct + one window + one groupBy —
+    two shuffles total, both on the user key."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return grp.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("anchor")
