@@ -696,3 +696,19 @@ def q_sink_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
     )
+
+
+@register("q_multimodal_audio")  # synthetic codec via mapInPandas → rows-only
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation in the gate: synthetic media rows cut into
+    250 ms windows with per-window RMS / zero-crossing features
+    (operators/multimodal.py::audio_windows — the VAD/diarization front
+    end; partition-preserving mapInPandas, no shuffle). Rows-only like
+    the video path: the synthetic codec is Python-side and pytest pins
+    its values against numpy."""
+    from ..operators.multimodal import audio_windows, synthetic_media
+
+    media = synthetic_media(spark, n=256, partitions=8).where(
+        F.col("meta.kind") == "audio"
+    )
+    return audio_windows(media, window_ms=250)

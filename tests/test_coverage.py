@@ -44,6 +44,7 @@ def test_registry_is_superset_with_oracles():
         "q_agg_percentile_approx",  # KLL-style sketch
         "q_multimodal_frames",  # deterministic stub decode (no codecs in image)
         "q_agg_hll_merge",  # HLL sketch estimates are engine-specific
+        "q_multimodal_audio",  # synthetic codec via mapInPandas (like frames)
     }
     assert rows_only <= allowed_rows_only, rows_only
 
