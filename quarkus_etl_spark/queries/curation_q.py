@@ -1408,3 +1408,155 @@ def q_text_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "bigram")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring (sparse lexical search over the corpus)
+# --------------------------------------------------------------------------
+
+_BM25_K1, _BM25_B, _BM25_NQ = 1.2, 0.75, 5
+
+
+@register(
+    "q_text_bm25",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, t.w AS term
+        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
+    ), dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), qterms AS (
+        SELECT term FROM (
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY term
+        ) ORDER BY n DESC, term LIMIT {_BM25_NQ}
+    )
+    SELECT tf.doc_id,
+           COUNT(*) AS n_match,
+           CAST(SUM(CAST(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * {_BM25_K1 + 1.0})
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS DECIMAL(18,9))) AS DOUBLE) AS bm25
+    FROM tf
+    JOIN qterms USING (term)
+    JOIN df USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson k1=1.2, b=0.75) scoring of every document against the
+    corpus's own top-5 terms — the sparse-retrieval ranking behind lexical
+    search and hard-negative mining for training data. Plan: the (doc,term)
+    tf table is ONE explode + hash aggregate; document frequencies and the
+    tiny query-term table both derive from tf (no second corpus scan) and
+    broadcast back onto it, so scoring is a broadcast join + one per-doc
+    aggregate — at 100 TB the only row-proportional shuffles are tf and the
+    final per-doc reduce, both key-bounded. Determinism: idf/tf-norm are
+    evaluated in one textually-identical double expression on exact
+    integers (tf, df, dl, N) plus one shared avgdl double, quantized to
+    DECIMAL(18,9) per term BEFORE the order-sensitive per-doc sum.
+    Reference parity: the reference delegates full-text scoring to its
+    RDBMS (EtlMain.kt:103-108); this is the Spark-native equivalent."""
+    d = t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", F.explode(tokenize(normalize_text("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_BM25_NQ)
+        .select("term")
+    )
+    # df restricted to the 5 query terms BEFORE broadcasting: the full
+    # vocabulary df table is corpus-sized at 100 TB, the restricted one is
+    # _BM25_NQ rows by construction.
+    qdf = df_t.join(F.broadcast(qterms), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = (
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(18,9)")
+    return (
+        tf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.sum(score).cast("double").alias("bm25"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Shard manifest: deterministic shard assignment + order-insensitive
+# content checksums (the dataset-writer step before tensorization)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_shard_manifest",
+    oracle="""
+    WITH h AS (
+        SELECT md5(CAST(doc_id AS VARCHAR)) AS hx, n_chars FROM documents
+    )
+    SELECT substr(hx, 1, 1) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT)
+                         AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS checksum,
+           MIN(hx) AS min_h, MAX(hx) AS max_h
+    FROM h GROUP BY substr(hx, 1, 1)
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharding manifest — the write-side bookkeeping of a
+    training-dataset export: every document hashes to one of 16 shards
+    (first md5 nibble — uniform, key-independent, reproducible across
+    runs and engines), and each shard reports a row count, byte volume,
+    and an ORDER-INSENSITIVE content checksum (sum of 32-bit hash
+    prefixes in DECIMAL(38,0), overflow-proof to ~1e28 rows) plus
+    min/max hash as a range fingerprint. This is how two independent
+    export runs — or an export and its audit — prove they wrote the same
+    shard contents without comparing rows. One hash shuffle on the shard
+    key with map-side partials; scales row-proportionally with 16-way
+    (configurable-width) output.
+    Reference parity: the reference's per-job send/receive audit counters
+    (EtlMain.kt:60-61,113-117), upgraded from counts to content proofs."""
+    d = t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    h = d.select(hx.alias("hx"), "n_chars")
+    return h.groupBy(F.substring("hx", 1, 1).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").cast("decimal(28,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum"),
+        F.min("hx").alias("min_h"),
+        F.max("hx").alias("max_h"),
+    )

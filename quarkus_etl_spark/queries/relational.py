@@ -10,7 +10,7 @@ aggregation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -1194,3 +1194,83 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "est_distinct_parts"
         )
     )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sz,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS szz,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxz,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syz
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_price' AS pair, (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr FROM s
+    UNION ALL
+    SELECT l_returnflag, 'qty_disc' AS pair, (n * sxz - sx * sz) / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)) AS corr FROM s
+    UNION ALL
+    SELECT l_returnflag, 'price_disc' AS pair, (n * syz - sy * sz) / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)) AS corr FROM s
+""",
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation MATRIX (quantity/price/discount, three
+    pairs) assembled from EXACT decimal moments in ONE grouped pass over
+    lineitem — the feature-correlation screen run before model training.
+    Built-in corr() accumulates floats in partition order and can never
+    hash-match across engines; here every moment is an exact DECIMAL sum
+    cast once to double, and each corr is one textually-identical double
+    expression on those moments — bit-equal on any partitioning, any
+    engine. The 3-row-per-group expansion happens on the post-aggregate
+    table (|groups| rows), not the scan. Same discipline as q_agg_linreg,
+    generalized to the full moment matrix."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y, z = dec2("l_quantity"), dec2("l_extendedprice"), dec2("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(z).cast("double").alias("sz"),
+        # scale-4 product sums bridge decimal->double THROUGH A STRING:
+        # both engines parse decimal strings correctly rounded, while
+        # DuckDB's direct DECIMAL(.,4)->DOUBLE cast divides by 10^4 in
+        # floating point and can land 1 ULP off Spark's BigDecimal cast
+        # (measured on syy at sf0.001).
+        F.sum(x * x).cast("string").cast("double").alias("sxx"),
+        F.sum(y * y).cast("string").cast("double").alias("syy"),
+        F.sum(z * z).cast("string").cast("double").alias("szz"),
+        F.sum(x * y).cast("string").cast("double").alias("sxy"),
+        F.sum(x * z).cast("string").cast("double").alias("sxz"),
+        F.sum(y * z).cast("string").cast("double").alias("syz"),
+    )
+
+    def corr(a: str, b: str) -> Column:
+        n = F.col("n")
+        sa, sb = F.col(f"s{a}"), F.col(f"s{b}")
+        saa, sbb = F.col(f"s{a}{a}"), F.col(f"s{b}{b}")
+        sab = F.col(f"s{a}{b}")
+        return (n * sab - sa * sb) / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+
+    rows = [("x", "y", "qty_price"), ("x", "z", "qty_disc"), ("y", "z", "price_disc")]
+    out = None
+    for a, b, lbl in rows:
+        part = s.select(
+            "l_returnflag", F.lit(lbl).alias("pair"), corr(a, b).alias("corr")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
