@@ -62,6 +62,7 @@ def main() -> None:
     if os.path.isdir(tiny) and os.path.abspath(tiny) != os.path.abspath(sf_dir):
         for warm_name in (
             "q_dedup_near",
+            "q_dedup_minhash",
             "q_dedup_simhash",
             "q_dedup_ngram",
             "q_sim_pairs",

@@ -857,3 +857,109 @@ def q_dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(
         d.select("doc_id", "lang", "n_chars"), pairs, "doc_id", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash with a CROSS-ENGINE hash: conclusive oracle for the MinHash/LSH
+# algorithm itself (q_dedup_near stays the fast xxhash64 production path;
+# this variant pins signature + banding semantics value-for-value)
+# --------------------------------------------------------------------------
+
+_MH_K, _MH_R = 8, 2  # 8 hash functions, bands of 2 -> 4 bands
+
+# The shared normalization pipeline, spelled in DuckDB (same as curation_q).
+_SQL_TOKS_NS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+
+
+def _mh_sig_sql(i: int) -> str:
+    return (
+        f"MIN(CAST(('0x' || substr(md5('{i}:' || f), 1, 8)) AS BIGINT)) AS s{i}"
+    )
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {{toks}} AS tk FROM documents
+    ), bi AS (
+        SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS f
+        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ), sig AS (
+        SELECT doc_id, {", ".join(_mh_sig_sql(i) for i in range(_MH_K))}
+        FROM bi GROUP BY doc_id
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {j} AS band_id, "
+            f"md5(CAST(s{2 * j} AS VARCHAR) || ',' || CAST(s{2 * j + 1} AS VARCHAR)) AS bk "
+            f"FROM sig"
+            for j in range(_MH_K // _MH_R)
+        )}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """.replace("{toks}", _SQL_TOKS_NS),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation with an ENGINE-PORTABLE hash family
+    (h_i = first 32 bits of md5(i || ':' || feature)) so the whole
+    pipeline — word-bigram shingles, k=8 signature minima, r=2 banding,
+    bucket self-join — is hash-verified against DuckDB value-for-value.
+    q_dedup_near keeps xxhash64 (JVM-native, ~10x cheaper) for the
+    production path; THIS query is the conclusive correctness pin for the
+    identical algorithm. Plan: one explode -> distinct (doc, bigram)
+    shuffle, one per-doc aggregate, and a shuffled self-equi-join on
+    (band_id, band_key) — LSH's whole point is that this join is
+    bucket-local; no broadcast of anything corpus-sized."""
+    d = t(spark, sf_dir, "documents")
+    from ..functions.text import ngrams
+
+    bi = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id",
+            F.explode(ngrams(tokenize(normalize_text("text")), 2)).alias("f"),
+        )
+        .distinct()
+    )
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("f"))), 1, 8), 16, 10
+            ).cast("long")
+        ).alias(f"s{i}")
+        for i in range(_MH_K)
+    ]
+    sig = bi.groupBy("doc_id").agg(*mins)
+    band_rows = [
+        sig.select(
+            "doc_id",
+            F.lit(j).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col(f"s{2 * j}").cast("string"),
+                    F.col(f"s{2 * j + 1}").cast("string"),
+                )
+            ).alias("bk"),
+        )
+        for j in range(_MH_K // _MH_R)
+    ]
+    bands = band_rows[0]
+    for b in band_rows[1:]:
+        bands = bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )

@@ -266,9 +266,12 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin — the scalable physical choice for theta joins
     against a small build side."""
     o = t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [(0, 0.0, 50000.0), (1, 50000.0, 150000.0), (2, 150000.0, 300000.0), (3, 300000.0, 1e18)],
-        "band_id int, lo double, hi double",
+    # VALUES is synthesized JVM-side: createDataFrame(py_list) would route
+    # the 4 rows through a Python worker (~6 s cold — measured; see NOTES).
+    bands = spark.sql(
+        "SELECT band_id, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi FROM VALUES "
+        "(0, 0.0d, 50000.0d), (1, 50000.0d, 150000.0d), "
+        "(2, 150000.0d, 300000.0d), (3, 300000.0d, 1e18d) AS b(band_id, lo, hi)"
     )
     cond = (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
     return o.join(broadcast(bands), cond).select("o_orderkey", "band_id", "o_totalprice")
