@@ -1560,3 +1560,58 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hx").alias("min_h"),
         F.max("hx").alias("max_h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis), deterministic
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                + 0.5) / 4503599627370496.0 AS u
+        FROM documents
+    ), k AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(-ln(u) / n_chars AS DECIMAL(18,9)) AS kq
+        FROM h
+    ), r AS (
+        SELECT doc_id, lang, n_chars, kq,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY kq ASC, doc_id ASC) AS rn
+        FROM k
+    )
+    SELECT doc_id, lang, n_chars, CAST(kq AS DOUBLE) AS samp_key
+    FROM r WHERE rn <= 20
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    per-language top-20 documents by the exponential key -ln(u)/w with
+    weight w = n_chars — longer documents proportionally likelier, yet the
+    whole draw is REPRODUCIBLE because u is a 52-bit md5-derived uniform,
+    not an RNG. This is the length-weighted sampling a training-mix builder
+    runs; rerunning selects the identical sample on any engine or
+    partitioning. Keys quantize to DECIMAL(18,9) before ranking so a
+    cross-engine ln() ULP can never flip an ordering (doc_id breaks exact
+    ties). Plan: scan-fused key computation, one hash shuffle on lang, and
+    a per-group sort bounded by rank 20 (TopK per key at scale; the
+    selection is one window pass, not a global sort)."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+            "long"
+        )
+        + F.lit(0.5)
+    ) / F.lit(4503599627370496.0)
+    kq = (-F.log(u) / F.col("n_chars")).cast("decimal(18,9)")
+    keyed = d.select("doc_id", "lang", "n_chars", kq.alias("kq"))
+    w = Window.partitionBy("lang").orderBy(F.col("kq").asc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars", F.col("kq").cast("double").alias("samp_key"))
+    )

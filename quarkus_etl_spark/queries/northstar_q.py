@@ -963,3 +963,74 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
+
+
+@register(
+    "q_emb_covariance",
+    oracle="""
+    WITH q AS (
+        SELECT i, j,
+               floor(e[i]::DOUBLE * 10000000.0) AS qi,
+               floor(e[j]::DOUBLE * 10000000.0) AS qj
+        FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+             unnest(generate_series(1, 64)) AS a(i),
+             unnest(generate_series(i, 64)) AS b(j)
+    ), s AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(qi AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(qj AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(qi AS DECIMAL(28,0)) * CAST(qj AS DECIMAL(28,0)))
+                    AS DOUBLE) AS sxy
+        FROM q GROUP BY i, j
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS pos_i, CAST(j - 1 AS BIGINT) AS pos_j,
+           sxy / 100000000000000.0 / n
+             - (sx / 10000000.0 / n) * (sy / 10000000.0 / n) AS cov
+    FROM s
+    """,
+)
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (upper triangle, 64x65/2 = 2080 cells) —
+    the statistic behind PCA/whitening/ZCA of an embedding store. Elements
+    quantize to a 1e-7 fixed-point grid (floor: no rounding-mode
+    ambiguity), moments accumulate as EXACT decimal integers
+    (order-independent; products capped at ~1e16/row so DECIMAL(28,0)
+    partials never overflow below ~1e12 rows per cell), and the covariance
+    is one textually-identical double expression — bit-equal across
+    engines and partitionings. Plan: the position pairs come from
+    exploding cheap INDEX SEQUENCES (the array elements are fetched by
+    try_element_at in the codegen'd projection ABOVE the Generate — the
+    HOF-inside-Generate interpreted path measured 10-40x slower), then one
+    hash aggregate on 2080 keys: shuffle volume = |cells|, not
+    |rows| x dim^2."""
+    e = t(spark, sf_dir, "embeddings")
+    from ..functions.vectors import to_double_array
+
+    rows = ensure_parallelism(e).select(to_double_array("embedding").alias("v"))
+    pairs = (
+        rows.select("v", F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"))
+        .select("v", "i", F.explode(F.sequence(F.col("i"), F.lit(64))).alias("j"))
+        .select(
+            "i",
+            "j",
+            F.floor(F.try_element_at("v", F.col("i")) * F.lit(1e7)).alias("qi"),
+            F.floor(F.try_element_at("v", F.col("j")) * F.lit(1e7)).alias("qj"),
+        )
+    )
+    dec = "decimal(28,0)"
+    s = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qi").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("qj").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("qi").cast(dec) * F.col("qj").cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = F.col("sxy") / F.lit(1e14) / F.col("n") - (
+        F.col("sx") / F.lit(1e7) / F.col("n")
+    ) * (F.col("sy") / F.lit(1e7) / F.col("n"))
+    return s.select(
+        (F.col("i") - 1).cast("long").alias("pos_i"),
+        (F.col("j") - 1).cast("long").alias("pos_j"),
+        cov.alias("cov"),
+    )
