@@ -1417,9 +1417,7 @@ def q_text_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_K1, _BM25_B, _BM25_NQ = 1.2, 0.75, 5
 
 
-@register(
-    "q_text_bm25",
-    oracle=rf"""
+_BM25_ORACLE = rf"""
     WITH toks AS (
         SELECT doc_id, t.w AS term
         FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
@@ -1451,8 +1449,10 @@ _BM25_K1, _BM25_B, _BM25_NQ = 1.2, 0.75, 5
     JOIN dl ON tf.doc_id = dl.doc_id
     CROSS JOIN stats
     GROUP BY tf.doc_id
-    """,
-)
+    """
+
+
+@register("q_text_bm25", oracle=_BM25_ORACLE)
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (Robertson k1=1.2, b=0.75) scoring of every document against the
     corpus's own top-5 terms — the sparse-retrieval ranking behind lexical
@@ -1614,4 +1614,89 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang", "n_chars", F.col("kq").cast("double").alias("samp_key"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine top-k
+# --------------------------------------------------------------------------
+
+_RRF_K, _RRF_TOPK, _RRF_OUT = 60, 100, 50
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH bm AS ({_BM25_ORACLE}),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rl
+        FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_TOPK})
+    ), den0 AS (
+        SELECT vec_id,
+               list_cosine_similarity(embedding::DOUBLE[], p.probe) AS cosine
+        FROM embeddings
+        CROSS JOIN (SELECT embedding::DOUBLE[] AS probe
+                    FROM embeddings WHERE vec_id = 0) p
+        ORDER BY cosine DESC, vec_id ASC LIMIT {_RRF_TOPK}
+    ), den AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rd
+        FROM den0
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.rl, d.rd,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.rl),
+                        CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.rd),
+                        CAST(0.0 AS DOUBLE)) AS rrf
+        FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, rl AS rank_lex, rd AS rank_dense, rrf
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {_RRF_OUT}
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL-RANK FUSION (k=60): the top-100 BM25
+    lexical list and the top-100 dense cosine list (vs the vec_id=0 probe)
+    are fused by summed 1/(60+rank) — the standard way production search
+    combines sparse and dense retrieval without score calibration. Ranks
+    are integers, so the fused score is a short sum of exact rationals —
+    deterministic on any engine. Scale shape: both candidate lists are
+    TopK (TakeOrderedAndProject — parallel partial top-k, no global
+    sort); ranking then happens on <= 100 rows, and the fusion join is
+    trivially broadcastable. The expensive parts — BM25 scoring and the
+    cosine scan — are exactly the already-verified q_text_bm25 /
+    q_sim_topk plans."""
+    from ..operators.similarity import brute_force_topk
+    from .northstar_q import _probe_vec
+
+    lex_scores = q_text_bm25(spark, sf_dir)
+    lex100 = lex_scores.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_RRF_TOPK)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex100.withColumn("rl", F.row_number().over(wl)).select("doc_id", "rl")
+
+    e = t(spark, sf_dir, "embeddings")
+    den100 = brute_force_topk(
+        e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=_RRF_TOPK
+    )
+    wd = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    den = (
+        den100.withColumn("rd", F.row_number().over(wd))
+        .select(F.col("vec_id").alias("doc_id"), "rd")
+    )
+
+    one, zero = F.lit(1.0), F.lit(0.0)
+    fused = lex.join(den, "doc_id", "full").select(
+        "doc_id",
+        "rl",
+        "rd",
+        (
+            F.coalesce(one / (F.lit(_RRF_K) + F.col("rl")), zero)
+            + F.coalesce(one / (F.lit(_RRF_K) + F.col("rd")), zero)
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+        .select("doc_id", F.col("rl").alias("rank_lex"), F.col("rd").alias("rank_dense"), "rrf")
     )
