@@ -1700,3 +1700,60 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_OUT)
         .select("doc_id", F.col("rl").alias("rank_lex"), F.col("rd").alias("rank_dense"), "rrf")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus token entropy (per-language diversity metric for dataset cards)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_entropy",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT lang, t.w AS term
+        FROM (SELECT lang, {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
+    ), cnt AS (
+        SELECT lang, term, COUNT(*) AS term_n FROM toks GROUP BY lang, term
+    ), tot AS (
+        SELECT lang, CAST(SUM(term_n) AS BIGINT) AS total,
+               COUNT(*) AS vocab_size
+        FROM cnt GROUP BY lang
+    )
+    SELECT cnt.lang, MIN(total) AS n_tokens, MIN(vocab_size) AS vocab_size,
+           CAST(-SUM(CAST((term_n * 1.0 / total) * ln(term_n * 1.0 / total)
+                          AS DECIMAL(18,9))) AS DOUBLE) AS entropy
+    FROM cnt JOIN tot USING (lang)
+    GROUP BY cnt.lang
+    """,
+)
+def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy of the token distribution — the corpus
+    diversity statistic on a dataset card (low entropy flags templated or
+    repetitive subcorpora before they skew training). One token-count
+    aggregate per (lang, term), a tiny per-lang total joined back, and a
+    per-lang reduce: shuffle volume is vocabulary-sized, never
+    rows-sized. Determinism: each term's -p*ln(p) contribution is one
+    textually-identical double expression on exact integers, quantized to
+    DECIMAL(18,9) BEFORE the order-sensitive sum (same discipline as
+    q_text_unigram_lp)."""
+    d = t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "lang", F.explode(tokenize(normalize_text("text"))).alias("term")
+    )
+    cnt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("term_n"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("term_n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    p = F.col("term_n") * F.lit(1.0) / F.col("total")
+    contrib = (p * F.log(p)).cast("decimal(18,9)")
+    return (
+        cnt.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("total").alias("n_tokens"),
+            F.min("vocab_size").alias("vocab_size"),
+            (-F.sum(contrib)).cast("double").alias("entropy"),
+        )
+    )

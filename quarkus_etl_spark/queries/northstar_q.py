@@ -1034,3 +1034,52 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("j") - 1).cast("long").alias("pos_j"),
         cov.alias("cov"),
     )
+
+
+@register(
+    "q_knn_graph",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_cosine_similarity(a.e, b.e) AS c
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), m AS (
+        SELECT ia AS src, ib AS nbr, c FROM p
+        UNION ALL
+        SELECT ib AS src, ia AS nbr, c FROM p
+    ), r AS (
+        SELECT src, nbr, c,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nbr ASC) AS rn
+        FROM m
+    )
+    SELECT src, nbr, c AS cosine, rn AS nn_rank FROM r WHERE rn <= 3
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=3, exact, label-blocked) — the index-build
+    primitive behind graph-based ANN (HNSW layers), spectral clustering,
+    and label propagation. Pair scores are computed ONCE for the a<b
+    half-matrix (same blocked plan as q_sim_pairs: norms precomputed,
+    no corpus broadcast, AQE skew-split on the block key), mirrored, and
+    ranked per source with a bounded window — at scale the per-source
+    state is k rows, and blocking bounds the quadratic term exactly like
+    the dedup family. Scores match DuckDB list_cosine_similarity
+    bit-for-bit (functions.vectors fold discipline)."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=-1.0)
+    m = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("src", "nbr", "cosine", F.col("rn").alias("nn_rank"))
+    )
