@@ -895,10 +895,16 @@ def _mh_sig_sql(i: int) -> str:
             f"FROM sig"
             for j in range(_MH_K // _MH_R)
         )}
+    ), capped AS (
+        SELECT doc_id, band_id, bk FROM (
+            SELECT doc_id, band_id, bk,
+                   COUNT(*) OVER (PARTITION BY band_id, bk) AS bsz
+            FROM bands
+        ) WHERE bsz <= 1000
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
-    FROM bands a
-    JOIN bands b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+    FROM capped a
+    JOIN capped b ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """.replace("{toks}", _SQL_TOKS_NS),
 )
@@ -913,6 +919,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, one per-doc aggregate, and a shuffled self-equi-join on
     (band_id, band_key) — LSH's whole point is that this join is
     bucket-local; no broadcast of anything corpus-sized."""
+    from pyspark.sql.window import Window
+
     d = t(spark, sf_dir, "documents")
     from ..functions.text import ngrams
 
@@ -950,6 +958,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_rows[0]
     for b in band_rows[1:]:
         bands = bands.unionByName(b)
+    # Deterministic oversized-bucket drop (same cap as the production
+    # xxhash64 path): an LSH bucket holding >1000 members is boilerplate
+    # gravity, and expanding it is quadratic — measured 3.5 s -> 22 s at a
+    # 10x replication without the cap. The window count shares the
+    # self-join's (band_id, bk) exchange, and the SAME cap is applied in
+    # the oracle, so parity is exact.
+    wb = Window.partitionBy("band_id", "bk")
+    bands = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("bsz") <= 1000)
+        .drop("bsz")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -404,3 +404,28 @@ def test_aqe_splits_skewed_join_at_runtime(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_new_retrieval_family_plans(spark, sf_dir):
+    """Round-2 additions: the retrieval/stat family keeps scale-shaped
+    plans — top-k heaps, no Python in the hot path, and no broadcast of
+    anything corpus-sized when auto-broadcast is off."""
+    from quarkus_etl_spark.queries.curation_q import q_hybrid_rrf, q_text_bm25
+    from quarkus_etl_spark.queries.northstar_q import q_dedup_minhash, q_knn_graph
+
+    # BM25: no Python, and the q-term/df build sides are explicitly tiny
+    plan = plan_string(q_text_bm25(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    # RRF: both candidate lists are TakeOrderedAndProject (partial top-k),
+    # never a global Sort of the corpus
+    assert_take_ordered(q_hybrid_rrf(spark, sf_dir))
+    # MinHash + kNN: with auto-broadcast disabled (the 100 TB condition),
+    # the plans must not force any BroadcastExchange
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for q in (q_dedup_minhash, q_knn_graph):
+            p = plan_string(q(spark, sf_dir))
+            assert "BroadcastExchange" not in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
