@@ -426,3 +426,51 @@ def q_stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "q_stream_live_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment,
+           CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_stream_live_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An EXECUTED stream–static (dimension-enrichment) join: purchases
+    stream in micro-batches and join the STATIC customer table — the
+    standard streaming-ETL enrichment shape. Stream-static inner joins
+    are stateless (each micro-batch joins against the dimension snapshot;
+    no watermark, no state store), so the append-mode output equals the
+    batch join exactly regardless of how files split into batches. At
+    scale the static side is broadcast per micro-batch — the same
+    broadcast-the-dimension decision the batch planner makes.
+    Reference parity: the reference's continuous JDBC copy enriched at
+    the destination engine (EtlMain.kt:103-108); this is the Spark-native
+    in-flight form."""
+    from ..streaming.streams import file_stream, run_stream_to_memory, state_partitions
+
+    from .lifecycle_q import _scratch
+
+    path = _scratch(sf_dir, "events_stream_sj")
+    ev = t(spark, sf_dir, "events")
+    ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        file_stream(spark, path, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "event_id",
+            "user_id",
+            "c_mktsegment",
+            dec2("value").cast("double").alias("value"),
+        )
+    )
+    with state_partitions(spark):
+        q = run_stream_to_memory(joined, "live_static_join", output_mode="append")
+        q.stop()
+    return spark.table("live_static_join")
