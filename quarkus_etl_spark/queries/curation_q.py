@@ -1757,3 +1757,66 @@ def q_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum(contrib)).cast("double").alias("entropy"),
         )
     )
+
+
+@register(
+    "q_text_bigram_lp",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, tk FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+    ), bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+    ), bgc AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+    ), ugc AS (
+        SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bgc GROUP BY w1
+    )
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(-ln(c2 * 1.0 / c1) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS avg_nll2
+    FROM bg JOIN bgc USING (w1, w2) JOIN ugc USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def q_text_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-BIGRAM conditional log-likelihood scoring — one rung up the
+    LM-quality-filter ladder from q_text_unigram_lp: each document is
+    scored by the mean -ln P(w_i | w_{i-1}) under the corpus's own bigram
+    counts (the prefix totals derive FROM the bigram table, so the corpus
+    is tokenized once). Two vocabulary-bounded aggregates + one join back
+    on the bigram key; Zipf skew on the join key is the AQE-skew-split
+    case at scale. Determinism: ln of the same rational quantized to
+    DECIMAL(18,9) before the order-sensitive per-doc sum."""
+    d = t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(d).select(
+        "doc_id", tokenize(normalize_text("text")).alias("tk")
+    )
+    # sequence(1, 0) DESCENDS in Spark ([1,0] — ANSI keeps it), while
+    # DuckDB's generate_series(1, 0) is empty; the fixtures contain <2-token
+    # docs, so clamp to an empty slice instead of a when() branch (branchy
+    # guards around array pipelines defeat codegen fusion — see NOTES).
+    n_bi = F.greatest(F.size("tk") - 1, F.lit(0))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.slice(F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))), 1, n_bi)
+        ).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.try_element_at("tk", F.col("i")).alias("w1"),
+        F.try_element_at("tk", F.col("i") + 1).alias("w2"),
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ugc = bgc.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    nll = (-F.log(F.col("c2") * F.lit(1.0) / F.col("c1"))).cast("decimal(18,9)")
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(ugc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("avg_nll2"),
+        )
+    )
