@@ -358,3 +358,67 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def knn_graph_ann(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_planes: int = 4,
+    seed: int = 42,
+    block_col: str | None = None,
+) -> DataFrame:
+    """APPROXIMATE k-NN graph — the scale path for exact blocked kNN
+    (quadratic per block): each vector's candidates are the members of its
+    sign-LSH bucket plus all hamming-1 neighbor buckets (multi-probe on
+    the QUERY side only, so each candidate pair appears exactly once),
+    exact-cosine reranked to the top k per source. Plan: one map-only
+    bucket assignment, a (1+n_planes)-way probe explode on the query
+    side, a shuffled equi-join on the bucket id, and a bounded per-source
+    window — candidate volume ~n^2 * (1+P)/2^P per bucket family instead
+    of the full half-matrix, tunable by n_planes. Recall is approximate
+    by design (pytest pins a floor vs the exact graph)."""
+    planes = random_hyperplanes(64, n_planes, seed)  # dim fixed by the
+    # embeddings schema contract (64); planes are seed-deterministic.
+    cols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("__blk"))
+    base = ensure_parallelism(df.select(*cols)).withColumn(
+        "__n", l2_norm(F.col("__v"))
+    )
+    bucketed = add_lsh_bucket(base, "__v", planes, out_col="__b")
+    probe_cols = [
+        F.col(id_col).alias("__src"),
+        F.col("__v").alias("__pv"),
+        F.col("__n").alias("__pn"),
+        F.explode(
+            F.array(
+                F.col("__b"), *[F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            )
+        ).alias("__pb"),
+    ]
+    if block_col is not None:
+        probe_cols.insert(3, F.col("__blk").alias("__pblk"))
+    probes = bucketed.select(*probe_cols)
+    raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
+    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    cond = (F.col("__pb") == F.col("__b")) & (F.col("__src") != F.col(id_col))
+    if block_col is not None:
+        cond = cond & (F.col("__pblk") == F.col("__blk"))
+    pairs = probes.join(bucketed, cond).select(
+        "__src", F.col(id_col).alias("__nbr"), sim.alias("cosine")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__src").orderBy(F.desc("cosine"), F.asc("__nbr"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__src").alias("src"),
+            F.col("__nbr").alias("nbr"),
+            "cosine",
+            F.col("__rn").alias("nn_rank"),
+        )
+    )

@@ -1103,3 +1103,16 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("src", "nbr", "cosine", F.col("rn").alias("nn_rank"))
     )
+
+
+@register("q_knn_graph_ann")  # LSH candidate recall is probabilistic → rows-only
+def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for q_knn_graph: sign-LSH bucketed candidates
+    (multi-probe hamming-1 on the query side only, so each pair appears
+    once) reranked by exact cosine to the top 3 per source. Candidate
+    volume is ~(1+P)/2^P of the half-matrix instead of quadratic-per-
+    block; recall vs the exact graph is pinned by pytest."""
+    from ..operators.similarity import knn_graph_ann
+
+    e = t(spark, sf_dir, "embeddings")
+    return knn_graph_ann(e, "vec_id", "embedding", k=3, n_planes=3, block_col="label")

@@ -45,6 +45,7 @@ def test_registry_is_superset_with_oracles():
         "q_multimodal_frames",  # deterministic stub decode (no codecs in image)
         "q_agg_hll_merge",  # HLL sketch estimates are engine-specific
         "q_multimodal_audio",  # synthetic codec via mapInPandas (like frames)
+        "q_knn_graph_ann",  # LSH candidate recall (pytest pins floor vs exact)
     }
     assert rows_only <= allowed_rows_only, rows_only
 

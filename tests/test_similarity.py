@@ -1,0 +1,23 @@
+
+
+def test_knn_graph_ann_recall(spark, sf_dir):
+    """The LSH-accelerated kNN graph must recover a meaningful share of the
+    exact graph's edges (fixture vectors are near-orthogonal random — the
+    hardest case for LSH — so the floor is modest; high-cosine planted
+    neighbors are exactly what sign-LSH keeps)."""
+    from quarkus_etl_spark.queries.northstar_q import q_knn_graph, q_knn_graph_ann
+
+    exact = {
+        (r["src"], r["nbr"]) for r in q_knn_graph(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["src"], r["nbr"]) for r in q_knn_graph_ann(spark, sf_dir).collect()
+    }
+    assert approx, "ANN graph is empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.45, f"recall {recall:.3f}"  # measured 0.62-0.64 on fixtures
+    # and the ANN graph is a valid top-k shape: <= 3 per source, rank 1..3
+    from collections import Counter
+
+    per_src = Counter(s for s, _ in approx)
+    assert max(per_src.values()) <= 3
