@@ -1820,3 +1820,58 @@ def q_text_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(nll).cast("double") / F.count(F.lit(1))).alias("avg_nll2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted index build (the retrieval-index artifact itself)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_text_postings",
+    oracle=rf"""
+    WITH pos AS (
+        SELECT doc_id, tk[i] AS term, i - 1 AS p
+        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+             unnest(generate_series(1, len(tk))) AS g(i)
+    ), first_pos AS (
+        SELECT term, doc_id, MIN(p) AS fp, COUNT(*) AS tf
+        FROM pos GROUP BY term, doc_id
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(
+               list_slice(list_sort(list(doc_id || ':' || CAST(fp AS VARCHAR))),
+                          1, 100), ',') AS postings_head
+    FROM first_pos GROUP BY term
+    """,
+)
+def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the artifact a distributed search
+    engine actually materializes: per term, document frequency, total
+    term frequency, and the head of the (doc_id:first_position) posting
+    list, sorted and serialized (capped at 100 entries so the gate row
+    stays bounded; production writes the full list partitioned BY term
+    range). One explode -> (term, doc) aggregate -> per-term reduce:
+    shuffle volume is postings-sized, the natural cost of index build;
+    Zipf-head terms are the AQE-skew case. collect_list order is
+    partition-dependent, so the list is array_sort'ed before slicing —
+    the (doc:pos) strings sort identically in both engines because the
+    sort key is the full string."""
+    d = t(spark, sf_dir, "documents")
+    pos = ensure_parallelism(d).select(
+        "doc_id",
+        F.posexplode(tokenize(normalize_text("text"))).alias("p", "term"),
+    )
+    fp = pos.groupBy("term", "doc_id").agg(
+        F.min("p").alias("fp"), F.count(F.lit(1)).alias("tf")
+    )
+    entry = F.concat_ws(":", F.col("doc_id").cast("string"), F.col("fp").cast("string"))
+    return fp.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_list(entry)), 1, 100)
+        ).alias("postings_head"),
+    )
