@@ -191,3 +191,38 @@ def test_dirty_csv_captures_corrupt_rows(spark, sf_dir):
         assert raw.where(F.col("_corrupt_record").isNotNull()).count() == 7
     finally:
         raw.unpersist()
+
+
+def test_retrieval_family_degenerate_docs(spark, messy_docs, tmp_path):
+    """The wave-4/5 retrieval queries run on a corpus containing null,
+    empty, whitespace-only and single-token documents without throwing,
+    and exclude exactly the docs with no usable features."""
+    import os
+
+    path = str(tmp_path / "documents.parquet")
+    messy_docs.write.mode("overwrite").parquet(path)
+    sf_dir = str(tmp_path)
+
+    from quarkus_etl_spark.queries.curation_q import (
+        q_corpus_entropy,
+        q_text_bigram_lp,
+        q_text_bm25,
+        q_text_postings,
+    )
+
+    bm = {r["doc_id"] for r in q_text_bm25(spark, sf_dir).collect()}
+    # null text -> no tokens at all; empty/whitespace text normalizes to a
+    # singleton '' token (string_split semantics, IDENTICAL in DuckDB — the
+    # oracle-pinned contract), so docs 1/2 score against the '' term
+    assert 0 not in bm
+    assert 4 in bm and 5 in bm
+
+    bg = {r["doc_id"]: r["n_bigrams"] for r in q_text_bigram_lp(spark, sf_dir).collect()}
+    assert 3 not in bg  # single token -> no bigrams
+    assert bg[4] == 3
+
+    ent = q_corpus_entropy(spark, sf_dir).collect()
+    assert all(r["entropy"] >= 0.0 for r in ent)
+
+    post = {r["term"]: r["df"] for r in q_text_postings(spark, sf_dir).collect()}
+    assert post.get("alpha") == 2
