@@ -1277,3 +1277,71 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "q_stats_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag AS g,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS VARCHAR) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+        SELECT g, n, sx / n AS mean,
+               (sxx - sx * sx / n) / (n - 1) AS var
+        FROM s
+    )
+    SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           a.mean - b.mean AS mean_diff,
+           (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
+           (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n)
+             / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                + (b.var / b.n) * (b.var / b.n) / (b.n - 1)) AS df_welch
+    FROM m a JOIN m b ON a.g < b.g
+    """,
+)
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between every pair of return-flag groups
+    (price means) — the A/B-significance primitive, computed from ONE
+    grouped pass of exact decimal moments; the t statistic and
+    Welch–Satterthwaite df are textually-identical double expressions on
+    those moments, so both engines emit bit-equal values (built-in var/
+    stddev aggregates stream in partition order and can't cross-check).
+    The pair expansion is a self-join of the 3-row moment table —
+    negligible at any scale. Product sums bridge decimal->double through
+    a string (the DECIMAL(.,4) direct-cast ULP gotcha, see q_agg_corr)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = dec2("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("string").cast("double").alias("sxx"),
+    )
+    m = s.select(
+        "g",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    va_n = F.col("a.var") / F.col("a.n")
+    vb_n = F.col("b.var") / F.col("b.n")
+    t_stat = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(va_n + vb_n)
+    df_welch = (va_n + vb_n) * (va_n + vb_n) / (
+        va_n * va_n / (F.col("a.n") - 1) + vb_n * vb_n / (F.col("b.n") - 1)
+    )
+    return a.join(b, F.col("a.g") < F.col("b.g")).select(
+        F.col("a.g").alias("group_a"),
+        F.col("b.g").alias("group_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (F.col("a.mean") - F.col("b.mean")).alias("mean_diff"),
+        t_stat.alias("t_stat"),
+        df_welch.alias("df_welch"),
+    )
