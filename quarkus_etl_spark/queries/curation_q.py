@@ -1875,3 +1875,99 @@ def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.array_sort(F.collect_list(entry)), 1, 100)
         ).alias("postings_head"),
     )
+
+
+@register(
+    "q_stats_chi2",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ), rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM obs)
+    SELECT CAST(SUM(CAST(
+               (o - r * c * 1.0 / total) * (o - r * c * 1.0 / total)
+               / (r * c * 1.0 / total) AS DECIMAL(18,9))) AS DOUBLE) AS chi2,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                AS BIGINT) AS dof
+    FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    """,
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test on the lang x source contingency table
+    — the categorical-association screen (is provenance correlated with
+    language?) a dataset audit runs. The contingency table is one grouped
+    count; margins derive FROM it (no rescan) and broadcast back; each
+    cell's (O-E)^2/E is a textually-identical double expression on exact
+    integers, quantized to DECIMAL(18,9) before the order-sensitive sum.
+    Cell count is |langs| x |sources| — trivially bounded at any corpus
+    size."""
+    d = t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = obs.agg(F.sum("o").cast("long").alias("total"))
+    e = F.col("r") * F.col("c") * F.lit(1.0) / F.col("total")
+    cell = ((F.col("o") - e) * (F.col("o") - e) / e).cast("decimal(18,9)")
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(cell).cast("double").alias("chi2"),
+            (
+                (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+            ).cast("long").alias("dof"),
+        )
+    )
+
+
+@register(
+    "q_stats_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars ASC, doc_id ASC) AS i,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang, CAST(MIN(n) AS BIGINT) AS n_docs,
+           CAST(2.0 * SUM(CAST(i AS DECIMAL(28,0)) * CAST(n_chars AS DECIMAL(28,0)))
+                AS DOUBLE)
+             / (MIN(n) * CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE))
+             - (MIN(n) + 1.0) / MIN(n) AS gini
+    FROM ranked GROUP BY lang
+    """,
+)
+def q_stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient of document length — the inequality
+    metric that flags a subcorpus dominated by a few huge documents. Uses
+    the rank formulation G = 2*sum(i*x_(i))/(n*sum(x)) - (n+1)/n over one
+    window sort per language (rank i and the n count share the partition;
+    ties broken by doc_id so the rank is total). Both sums accumulate as
+    EXACT decimal integers; the closing expression is one deterministic
+    double chain. One shuffle, per-group sort — the percentile-family
+    cost shape."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    wo = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wp = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    dec = "decimal(28,0)"
+    return ranked.groupBy("lang").agg(
+        F.min("n").cast("long").alias("n_docs"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("i").cast(dec) * F.col("n_chars").cast(dec)).cast("double")
+            / (F.min("n") * F.sum(F.col("n_chars").cast(dec)).cast("double"))
+            - (F.min("n") + F.lit(1.0)) / F.min("n")
+        ).alias("gini"),
+    )
