@@ -417,7 +417,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = F.log((F.lit(1.0) + F.lit(n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
     return (
         tf.where(F.col("tf") >= 3)
-        .join(F.broadcast(df_t), "term")
+        .join(df_t, "term")  # vocab-sized: no forced broadcast (see keyphrase)
         .select(
             "doc_id",
             "term",
@@ -1970,4 +1970,60 @@ def q_stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.min("n") * F.sum(F.col("n_chars").cast(dec)).cast("double"))
             - (F.min("n") + F.lit(1.0)) / F.min("n")
         ).alias("gini"),
+    )
+
+
+@register(
+    "q_text_keyphrase",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, t.w AS term FROM
+        (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn AS kp_rank FROM ranked WHERE rn <= 3
+    """,
+)
+def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyphrase extraction: each document's top-3 terms by TF-IDF — the
+    per-doc closing step over the corpus statistic q_text_tfidf already
+    verifies. The rank window is bounded (per-doc state = 3 rows at any
+    scale); tfidf ties break on the term string so the rank is total.
+    The idf double is one ln + arithmetic on exact integers — identical
+    on both engines, so ORDERING by it is cross-engine safe."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = ensure_parallelism(d).select(
+        "doc_id", F.explode(tokenize(normalize_text("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(1.0) + F.lit(n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    # no broadcast HINT: the vocabulary df table is corpus-dependent (can
+    # exceed any broadcast limit at 100 TB); Catalyst auto-broadcasts when
+    # it measurably fits, else this is a shuffle join on the Zipf-skewed
+    # term key — the AQE skew-split case.
+    scored = tf.join(df_t, "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").alias("kp_rank"))
     )

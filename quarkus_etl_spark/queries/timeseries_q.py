@@ -487,3 +487,112 @@ def q_dq_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(v - sx / n) > 3 * F.sqrt(var_num / (n - 1)),
     ).otherwise(F.lit(False))
     return w.select("bucket", "event_type", "v", anomaly.alias("anomaly"))
+
+
+# --------------------------------------------------------------------------
+# LTTB-style downsampling (largest-triangle with bucket-average references)
+# --------------------------------------------------------------------------
+
+_LTTB_B = 20
+
+
+@register(
+    "q_time_lttb",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id, ts, epoch_us(ts) AS e,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS y
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), bounds AS (
+        SELECT MIN(e) AS mn, MAX(e) AS mx FROM pts
+    ), bk AS (
+        SELECT event_id, ts, e, y,
+               CAST(((e - mn) * {_LTTB_B}) // (mx - mn + 1) AS BIGINT) AS k
+        FROM pts CROSS JOIN bounds
+    ), s AS (
+        SELECT k, COUNT(*) AS n,
+               CAST(CAST(SUM(e) AS DECIMAL(38,0)) AS DOUBLE) / COUNT(*) AS ax,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ay
+        FROM bk GROUP BY k
+    ), ctx AS (
+        SELECT k,
+               lag(ax)  OVER (ORDER BY k) AS axp,
+               lag(ay)  OVER (ORDER BY k) AS ayp,
+               lead(ax) OVER (ORDER BY k) AS axn,
+               lead(ay) OVER (ORDER BY k) AS ayn
+        FROM s
+    ), scored AS (
+        SELECT bk.k, bk.event_id, bk.ts, bk.y,
+               abs((axp - CAST(e AS DOUBLE)) * (ayn - y)
+                   - (axn - CAST(e AS DOUBLE)) * (ayp - y)) AS area
+        FROM bk JOIN ctx ON bk.k = ctx.k
+    ), ranked AS (
+        SELECT k, event_id, ts, y, area,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY area DESC NULLS LAST,
+                                           ts ASC, event_id ASC) AS rn
+        FROM scored
+    )
+    SELECT k, event_id, ts, y AS value, area FROM ranked WHERE rn = 1
+    """,
+)
+def q_time_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling for dashboards: {B} visually-representative
+    points from the purchase-value series, by the PARALLEL form of
+    largest-triangle-three-buckets — each bucket keeps the point with the
+    largest triangle area against the NEIGHBOR BUCKETS' average points
+    (classic LTTB chains on the previously-selected point, which is
+    inherently sequential; the fixed-reference variant is the standard
+    scale-out form and differs only at pathological buckets). Edge buckets
+    (no neighbor -> NULL area) keep their earliest point. All areas are
+    textually-identical double expressions on exact integers (epoch
+    micros, DECIMAL(38,0) sums) so ranking is cross-engine safe. Plan: one
+    bucket-keyed aggregate (B rows), a B-row window for neighbors, one
+    broadcast back, one bounded rank per bucket — shuffle volume is
+    row-proportional once, B-bounded after."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        "ts",
+        # NTZ -> timestamp cast: unix_micros needs an instant; the UTC
+        # session makes the cast value-preserving (NOTES gotcha).
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        dec2("value").cast("double").alias("y"),
+    )
+    bounds = pts.agg(F.min("e").alias("mn"), F.max("e").alias("mx"))
+    bk = pts.crossJoin(F.broadcast(bounds)).withColumn(
+        "k",
+        ((F.col("e") - F.col("mn")) * _LTTB_B / (F.col("mx") - F.col("mn") + 1))
+        .cast("long"),
+    )
+    s = bk.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("e").cast("decimal(38,0)").cast("double") / F.count(F.lit(1))).alias("ax"),
+        (F.sum(dec2("y")).cast("double") / F.count(F.lit(1))).alias("ay"),
+    )
+    wk = Window.orderBy("k")
+    ctx = s.select(
+        "k",
+        F.lag("ax").over(wk).alias("axp"),
+        F.lag("ay").over(wk).alias("ayp"),
+        F.lead("ax").over(wk).alias("axn"),
+        F.lead("ay").over(wk).alias("ayn"),
+    )
+    xd = F.col("e").cast("double")
+    area = F.abs(
+        (F.col("axp") - xd) * (F.col("ayn") - F.col("y"))
+        - (F.col("axn") - xd) * (F.col("ayp") - F.col("y"))
+    )
+    scored = bk.join(F.broadcast(ctx), "k").select(
+        "k", "event_id", "ts", "y", area.alias("area")
+    )
+    wr = Window.partitionBy("k").orderBy(
+        F.desc_nulls_last("area"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("k", "event_id", "ts", F.col("y").alias("value"), "area")
+    )
