@@ -467,3 +467,63 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_cur").cast("double") / F.col("t_cur")
         ).alias("abs_share_diff"),
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type IN ('view', 'click')
+    ), joined AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               t.event_id AS touch_id, t.ts AS touch_ts
+        FROM p JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.ts > p.ts - INTERVAL 1 HOUR
+         AND t.ts <= p.ts
+    )
+    SELECT purchase_id, user_id,
+           COUNT(*) AS n_touches,
+           arg_min(touch_id, (epoch_us(touch_ts) // 1000000) * 4294967296
+                             + (touch_id % 4294967296)) AS first_touch,
+           arg_max(touch_id, (epoch_us(touch_ts) // 1000000) * 4294967296
+                             + (touch_id % 4294967296)) AS last_touch
+    FROM joined GROUP BY purchase_id, user_id
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase credits the FIRST and LAST
+    view/click touch inside its trailing 1-hour window (first-touch /
+    last-touch in one pass), plus the touch count. The interval join is
+    the verified q_join_interval shape; the winners are ONE min_by/max_by
+    pair on a packed BIGINT key (micros<<32 | id low bits — scalar, so
+    both engines' arg_min/arg_max accept it, and the aggregate stays a
+    HashAggregate with map-side partials rather than a sort aggregate —
+    the q_time_ohlc lesson)."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("touch_id"), F.col("ts").alias("touch_ts")
+    )
+    joined = p.join(
+        touch,
+        (p.user_id == touch.user_id)
+        & (F.col("touch_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("touch_ts") <= F.col("p_ts")),
+    ).select("purchase_id", p.user_id, "touch_id", "touch_ts")
+    # epoch SECONDS << 32 | id low bits: absolute micros << 32 overflows
+    # BIGINT (ANSI throws); second resolution + the id tiebreak is the same
+    # total order on both engines. Long-backed key keeps min_by/max_by a
+    # HashAggregate (the q_time_ohlc lesson).
+    secs = F.expr("unix_micros(CAST(touch_ts AS TIMESTAMP)) div 1000000")
+    key = secs * F.lit(4294967296) + (F.col("touch_id") % F.lit(4294967296))
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min_by("touch_id", key).alias("first_touch"),
+        F.max_by("touch_id", key).alias("last_touch"),
+    )
