@@ -197,8 +197,6 @@ def test_retrieval_family_degenerate_docs(spark, messy_docs, tmp_path):
     """The wave-4/5 retrieval queries run on a corpus containing null,
     empty, whitespace-only and single-token documents without throwing,
     and exclude exactly the docs with no usable features."""
-    import os
-
     path = str(tmp_path / "documents.parquet")
     messy_docs.write.mode("overwrite").parquet(path)
     sf_dir = str(tmp_path)
