@@ -365,9 +365,10 @@ def knn_graph_ann(
     id_col: str,
     vec_col: str,
     k: int = 3,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     seed: int = 42,
     block_col: str | None = None,
+    target_bucket: int = 200,
 ) -> DataFrame:
     """APPROXIMATE k-NN graph — the scale path for exact blocked kNN
     (quadratic per block): each vector's candidates are the members of its
@@ -379,6 +380,18 @@ def knn_graph_ann(
     window — candidate volume ~n^2 * (1+P)/2^P per bucket family instead
     of the full half-matrix, tunable by n_planes. Recall is approximate
     by design (pytest pins a floor vs the exact graph)."""
+    if n_planes is None:
+        # P MUST grow with n: the per-bucket population is n_block/2^P and
+        # candidate volume is quadratic in it, so a fixed P turns the
+        # bucket join quadratic as data grows (measured: P=3 fine at 20k
+        # vectors, effectively unbounded at 200k). P = log2(n/target)
+        # keeps expected bucket size ~target at any scale; the one count()
+        # is a plan-build-time metadata-cheap action, same as tfidf's
+        # n_docs.
+        import math as _math
+
+        n_rows = max(df.count(), 1)
+        n_planes = max(3, _math.ceil(_math.log2(max(n_rows / target_bucket, 1.0))))
     planes = random_hyperplanes(64, n_planes, seed)  # dim fixed by the
     # embeddings schema contract (64); planes are seed-deterministic.
     cols = [F.col(id_col), to_double_array(vec_col).alias("__v")]

@@ -1115,4 +1115,4 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_graph_ann
 
     e = t(spark, sf_dir, "embeddings")
-    return knn_graph_ann(e, "vec_id", "embedding", k=3, n_planes=3, block_col="label")
+    return knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label")

@@ -569,7 +569,10 @@ def q_time_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = bk.groupBy("k").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum("e").cast("decimal(38,0)").cast("double") / F.count(F.lit(1))).alias("ax"),
+        # sum DECIMAL, not long: epoch-micros sums overflow BIGINT past
+        # ~5k rows/bucket (hit at the 100x stress); DuckDB's hugeint sum
+        # never overflows, so only the Spark side needed widening.
+        (F.sum(F.col("e").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1))).alias("ax"),
         (F.sum(dec2("y")).cast("double") / F.count(F.lit(1))).alias("ay"),
     )
     wk = Window.orderBy("k")
