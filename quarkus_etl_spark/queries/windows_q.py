@@ -283,3 +283,62 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("streak_end"),
         F.count(F.lit(1)).alias("streak_days"),
     ).drop("anchor")
+
+
+# --------------------------------------------------------------------------
+# Truncated exponential moving average (binary-exact weights)
+# --------------------------------------------------------------------------
+
+_EMA_LAGS = 8  # alpha = 1/2: weights 2^-j are EXACT doubles
+
+
+def _ema_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(v, {j}) OVER w * {0.5 ** j!r}, 0.0)" for j in range(_EMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER w IS NOT NULL THEN {0.5 ** j!r} ELSE 0.0 END"
+        for j in range(_EMA_LAGS)
+    )
+    return f"""
+    SELECT event_id, user_id, ts, v AS value,
+           ({num}) / ({den}) AS ema
+    FROM (
+        SELECT event_id, user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """
+
+
+@register("q_win_ema", oracle=_ema_sql())
+def q_win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponential moving average (alpha=1/2, 8 lags) of each
+    user's purchase values — the smoothing operator behind trend lines and
+    anomaly baselines. True EMA is a sequential recurrence; the truncated
+    form (weights 2^-j vanish past ~8 lags) is the standard parallel
+    rewrite: 8 lag() reads over ONE window pass, no recurrence. Weights
+    2^-j are EXACT doubles (exponent shifts), the numerator/denominator
+    are summed in the same textual order on both engines, so the result
+    is bit-deterministic. Short histories renormalize by the weight mass
+    actually present. One shuffle on user_id; per-row state is 8 lags."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id", "user_id", "ts", dec2("value").cast("double").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    num = None
+    den = None
+    for j in range(_EMA_LAGS):
+        x = F.lag("v", j).over(w)
+        wj = F.lit(0.5**j)
+        nj = F.coalesce(x * wj, F.lit(0.0))
+        dj = F.when(x.isNotNull(), wj).otherwise(F.lit(0.0))
+        num = nj if num is None else num + nj
+        den = dj if den is None else den + dj
+    return pts.select(
+        "event_id", "user_id", "ts", F.col("v").alias("value"), (num / den).alias("ema")
+    )
