@@ -2027,3 +2027,183 @@ def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf", F.col("rn").alias("kp_rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# Mixture temperature sampling + k-anonymity audit (wave 7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_mix_temperature",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576) AS BIGINT) AS sq
+        FROM stats
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(SUM(sq) AS BIGINT) AS wsum
+        FROM w
+    ), rates AS (
+        SELECT lang, n,
+               CAST(CAST(total AS DECIMAL(38,0)) * sq AS DOUBLE)
+                 / CAST(CAST(wsum AS DECIMAL(38,0)) * n AS DOUBLE) AS rate
+        FROM w CROSS JOIN tot
+    ), rr AS (
+        SELECT lang, n, rate,
+               CAST(floor(rate) AS BIGINT) AS base,
+               printf('%06x',
+                      CAST(floor((rate - floor(rate)) * 16777216) AS BIGINT))
+                   AS frac_hex
+        FROM rates
+    ), marked AS (
+        SELECT d.lang, r.n, r.base, r.rate,
+               CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+                         < r.frac_hex THEN 1 ELSE 0 END AS extra
+        FROM documents d JOIN rr r USING (lang)
+    )
+    SELECT lang, MIN(n) AS n_docs,
+           CAST(MIN(CAST(floor(rate * 1000000) AS BIGINT)) AS BIGINT) AS rate_ppm,
+           CAST(MIN(n) * MIN(base) + SUM(extra) AS BIGINT) AS n_emitted
+    FROM marked GROUP BY lang
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mC4/XLM-R language-balancing
+    recipe): sampling weight w_l = p_l^alpha with alpha=0.5, i.e. sqrt of
+    the language's share — upsamples low-resource languages (rate > 1 ->
+    integer repeat + fractional md5-threshold extra copy), downsamples
+    high-resource ones (rate < 1 -> keep-rate). alpha=0.5 is chosen so the
+    power is IEEE sqrt — correctly rounded and bit-identical on every
+    engine, unlike libm pow. sqrt weights quantize to a 2^20 fixed-point
+    grid and sum EXACTLY as integers; each rate is then ONE double
+    division of two exactly-represented decimal products, so the
+    cross-engine rate is bit-identical and the per-doc emission decision
+    (6-hex-digit md5 vs a 2^24-grid threshold) is a pure string compare.
+    Plan: one tiny grouped count (|langs| rows) broadcast back onto the
+    scan; emission is counted, not exploded — one narrow aggregate at any
+    scale."""
+    d = t(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = stats.select(
+        "lang",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1048576).cast("long").alias("sq"),
+    )
+    tot = w.agg(
+        F.sum("n").cast("long").alias("total"), F.sum("sq").cast("long").alias("wsum")
+    )
+    rate = (F.col("total").cast("decimal(38,0)") * F.col("sq")).cast("double") / (
+        F.col("wsum").cast("decimal(38,0)") * F.col("n")
+    ).cast("double")
+    rr = (
+        w.crossJoin(F.broadcast(tot))
+        .select("lang", "n", rate.alias("rate"))
+        .select(
+            "lang",
+            "n",
+            "rate",
+            F.floor("rate").cast("long").alias("base"),
+            F.format_string(
+                "%06x",
+                F.floor((F.col("rate") - F.floor("rate")) * 16777216).cast("long"),
+            ).alias("frac_hex"),
+        )
+    )
+    h = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 6)
+    marked = (
+        ensure_parallelism(d)
+        .select("doc_id", "lang")
+        .join(F.broadcast(rr), "lang")
+        .select(
+            "lang",
+            "n",
+            "base",
+            "rate",
+            (h < F.col("frac_hex")).cast("int").alias("extra"),
+        )
+    )
+    return marked.groupBy("lang").agg(
+        F.min("n").alias("n_docs"),
+        F.min(F.floor(F.col("rate") * 1000000).cast("long")).alias("rate_ppm"),
+        (F.min("n") * F.min("base") + F.sum("extra")).cast("long").alias("n_emitted"),
+    )
+
+
+@register(
+    "q_anon_k",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, source,
+               CAST(n_chars // 100 AS BIGINT) AS len_bucket
+        FROM documents
+    ), g1 AS (
+        SELECT lang, source, len_bucket, COUNT(*) AS n1
+        FROM keyed GROUP BY lang, source, len_bucket
+    ), marked AS (
+        SELECT k.doc_id, k.lang, k.len_bucket,
+               CASE WHEN g.n1 < 5 THEN '*' ELSE k.source END AS source2,
+               CASE WHEN g.n1 < 5 THEN 1 ELSE 0 END AS risky1
+        FROM keyed k
+        JOIN g1 g ON k.lang = g.lang AND k.source = g.source
+                 AND k.len_bucket = g.len_bucket
+    ), g2 AS (
+        SELECT lang, source2, len_bucket, COUNT(*) AS n2
+        FROM marked GROUP BY lang, source2, len_bucket
+    ), audit AS (
+        SELECT m.lang, m.risky1,
+               CASE WHEN g.n2 < 5 THEN 1 ELSE 0 END AS risky2
+        FROM marked m
+        JOIN g2 g ON m.lang = g.lang AND m.source2 = g.source2
+                 AND m.len_bucket = g.len_bucket
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(risky1) AS BIGINT) AS docs_at_risk,
+           CAST(SUM(risky2) AS BIGINT) AS docs_at_risk_after
+    FROM audit GROUP BY lang
+    """,
+)
+def q_anon_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit + one generalization round (k=5) over the
+    quasi-identifier (lang, source, length-centile bucket) — the privacy
+    gate a public training-corpus release runs before shipping metadata.
+    Docs in groups smaller than k have their rarest attribute (source)
+    generalized to '*', then re-audited: the residual docs_at_risk_after
+    measures whether one generalization round suffices. Both rounds are
+    hash aggregations on narrow keys joined back by the same key (no
+    windows, no skew risk — group keys are bounded by the attribute
+    domain, not corpus size); integer-division bucketing is portable
+    (n_chars is exact BIGINT in both engines)."""
+    d = t(spark, sf_dir, "documents")
+    keyed = ensure_parallelism(d).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
+    )
+    g1 = keyed.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    marked = keyed.join(g1, ["lang", "source", "len_bucket"]).select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        F.when(F.col("n1") < 5, F.lit("*")).otherwise(F.col("source")).alias("source2"),
+        F.when(F.col("n1") < 5, 1).otherwise(0).alias("risky1"),
+    )
+    g2 = marked.groupBy("lang", "source2", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    audit = marked.join(g2, ["lang", "source2", "len_bucket"]).select(
+        "lang",
+        "risky1",
+        F.when(F.col("n2") < 5, 1).otherwise(0).alias("risky2"),
+    )
+    return audit.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("risky1").cast("long").alias("docs_at_risk"),
+        F.sum("risky2").cast("long").alias("docs_at_risk_after"),
+    )

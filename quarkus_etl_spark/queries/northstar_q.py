@@ -1116,3 +1116,162 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     return knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label")
+
+
+# --------------------------------------------------------------------------
+# Deterministic k-means (q_emb_kmeans): semantic clustering for curation —
+# the training loop behind IVF coarse quantizers and topic-balanced
+# mixture sampling. Two Lloyd iterations, fully oracle-checked.
+# --------------------------------------------------------------------------
+
+_KMEANS_ORACLE = """
+    WITH ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings
+    ), seeds AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        FROM embeddings
+        QUALIFY row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ), c0 AS (
+        SELECT s.cluster, e.pos, e.x AS c
+        FROM seeds s JOIN ex e ON e.vec_id = s.vec_id
+    ), d1 AS (
+        SELECT e.vec_id, c.cluster,
+               SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 1e12)
+                        AS DECIMAL(38,0))) AS dist
+        FROM ex e JOIN c0 c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cluster
+    ), a1 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM d1) WHERE rn = 1
+    ), c1 AS (
+        SELECT a.cluster, e.pos,
+               CAST(SUM(CAST(floor(e.x * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+                   / 1e15 / COUNT(*) AS c
+        FROM ex e JOIN a1 a ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.pos
+    ), d2 AS (
+        SELECT e.vec_id, c.cluster,
+               SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 1e12)
+                        AS DECIMAL(38,0))) AS dist
+        FROM ex e JOIN c1 c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cluster
+    ), a2 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, cluster ASC) AS rn
+            FROM d2) WHERE rn = 1
+    ), c2 AS (
+        SELECT a.cluster, e.pos,
+               CAST(SUM(CAST(floor(e.x * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+                   / 1e15 / COUNT(*) AS c
+        FROM ex e JOIN a2 a ON e.vec_id = a.vec_id
+        GROUP BY a.cluster, e.pos
+    ), sizes AS (
+        SELECT cluster, COUNT(*) AS n_members FROM a2 GROUP BY cluster
+    ), sums AS (
+        SELECT cluster,
+               CAST(SUM(CAST(floor(c * 1e9) AS BIGINT)) AS BIGINT)
+                   AS centroid_checksum
+        FROM c2 GROUP BY cluster
+    )
+    SELECT CAST(s.cluster AS BIGINT) AS cluster, s.n_members,
+           m.centroid_checksum
+    FROM sizes s JOIN sums m ON s.cluster = m.cluster
+"""
+
+
+@register("q_emb_kmeans", oracle=_KMEANS_ORACLE)
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embedding column (k=4, two Lloyd
+    iterations) — the clustering loop behind IVF coarse quantizers,
+    semantic dedup, and topic-balanced data mixing, made EXACTLY
+    reproducible so the driver hash-checks the whole iterative algorithm:
+
+    - Seeds are the 4 rows with the smallest md5(vec_id) (a deterministic
+      pseudo-random draw; full-key tiebreak), not rand().
+    - Squared distances quantize each per-dimension term to a 1e12
+      fixed-point grid and sum as DECIMAL — order-free and bit-identical
+      across engines, so every argmin assignment matches (ties break on
+      cluster id).
+    - Centroid updates are the q_emb_centroid exact fixed-point mean
+      (floor(x*1e15) decimal sums, one double division chain).
+
+    Plan shape per iteration: (n x dim) posexplode joined to the tiny
+    (k x dim) centroid table BROADCAST on pos -> hash-agg to (n x k)
+    distances -> bounded per-vec argmin window -> hash-agg back to
+    (k x dim) centroids. The only data-sized shuffles are the two
+    aggregations; centroids never leave broadcast size. At 100 TB the
+    same plan holds (k*dim is constant); the n*k*dim intermediate is the
+    classic k-means cost — for large k route through IVF cell pruning
+    (q_sim_ann_ivf) instead of all-centroid scoring."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import to_double_array
+
+    e = t(spark, sf_dir, "embeddings")
+    ex = (
+        ensure_parallelism(e)
+        .select("vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "x"))
+        .select("vec_id", F.col("pos").cast("long").alias("pos"), "x")
+    )
+
+    md5 = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    seed_ids = (
+        e.select("vec_id", md5.alias("h")).orderBy("h", "vec_id").limit(4)
+    )
+    seeds = seed_ids.select(
+        "vec_id",
+        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+        .cast("long")
+        .alias("cluster"),
+    )
+    c0 = seeds.join(ex, "vec_id").select("cluster", "pos", F.col("x").alias("c"))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        qterm = F.floor(
+            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1e12)
+        ).cast("decimal(38,0)")
+        dist = (
+            ex.join(F.broadcast(centroids), "pos")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(qterm).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        q = F.floor(F.col("x") * F.lit(1e15)).cast("decimal(38,0)")
+        return (
+            ex.join(assigned, "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum(q).cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("c")
+            )
+        )
+
+    a1 = assign(c0)
+    c1 = update(a1)
+    a2 = assign(c1)
+    c2 = update(a2)
+
+    sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    sums = c2.groupBy("cluster").agg(
+        F.sum(F.floor(F.col("c") * F.lit(1e9)).cast("long"))
+        .cast("long")
+        .alias("centroid_checksum")
+    )
+    return sizes.join(sums, "cluster")
