@@ -2207,3 +2207,244 @@ def q_anon_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("risky1").cast("long").alias("docs_at_risk"),
         F.sum("risky2").cast("long").alias("docs_at_risk_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (q_tok_bpe_learn): the tokenizer-training inner loop.
+# --------------------------------------------------------------------------
+
+_BPE_ORACLE = rf"""
+    WITH toks AS (
+        SELECT t.w AS word FROM
+        (SELECT {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
+        WHERE regexp_matches(t.w, '^[a-z]+$')
+    ), words AS (
+        SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ), r0 AS (
+        SELECT word, freq,
+               '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS rep
+        FROM words
+    ), p1 AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS f FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(s)),
+                                         i -> s[i] || ' ' || s[i+1])) AS pair
+            FROM (SELECT freq, string_split(trim(rep), '  ') AS s FROM r0)
+        ) GROUP BY pair
+    ), b1 AS (
+        SELECT pair, f,
+               ' ' || replace(pair, ' ', '  ') || ' ' AS patt,
+               ' ' || replace(pair, ' ', '') || ' ' AS mrep
+        FROM p1 ORDER BY f DESC, pair ASC LIMIT 1
+    ), r1 AS (
+        SELECT word, freq, replace(rep, b.patt, b.mrep) AS rep
+        FROM r0 CROSS JOIN b1 b
+    ), p2 AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS f FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(s)),
+                                         i -> s[i] || ' ' || s[i+1])) AS pair
+            FROM (SELECT freq, string_split(trim(rep), '  ') AS s FROM r1)
+        ) GROUP BY pair
+    ), b2 AS (
+        SELECT pair, f,
+               ' ' || replace(pair, ' ', '  ') || ' ' AS patt,
+               ' ' || replace(pair, ' ', '') || ' ' AS mrep
+        FROM p2 ORDER BY f DESC, pair ASC LIMIT 1
+    ), r2 AS (
+        SELECT word, freq, replace(rep, b.patt, b.mrep) AS rep
+        FROM r1 CROSS JOIN b2 b
+    ), p3 AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS f FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(s)),
+                                         i -> s[i] || ' ' || s[i+1])) AS pair
+            FROM (SELECT freq, string_split(trim(rep), '  ') AS s FROM r2)
+        ) GROUP BY pair
+    ), b3 AS (
+        SELECT pair, f FROM p3 ORDER BY f DESC, pair ASC LIMIT 1
+    )
+    SELECT CAST(1 AS INT) AS merge_rank, pair, f AS pair_freq FROM b1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS merge_rank, pair, f AS pair_freq FROM b2
+    UNION ALL
+    SELECT CAST(3 AS INT) AS merge_rank, pair, f AS pair_freq FROM b3
+"""
+
+
+@register("q_tok_bpe_learn", oracle=_BPE_ORACLE)
+def q_tok_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning — the tokenizer-training inner loop
+    (learn the top-3 merges over the corpus vocabulary). Classic BPE
+    trains on the (word, freq) table, and so does this: after ONE
+    corpus-sized aggregation, every iteration touches only the vocabulary
+    (corpus-size-independent — millions of rows at 100 TB, not billions).
+
+    The greedy left-to-right non-overlapping merge is executed by plain
+    string replace over a TWO-space-delimited symbol string with
+    single-space-flanked patterns: ' a  n ' consumes one space from each
+    side's pair, so ADJACENT merge sites (which share only a delimiter,
+    e.g. banana -> b,an,an,a) no longer conflict, while truly overlapping
+    sites (shared symbol, e.g. aaa) resolve left-to-right exactly like
+    reference BPE. replace() is left-to-right non-overlapping in both the
+    JVM and DuckDB, so the oracle is conclusive for the whole iterative
+    algorithm. The best pair per round is a 1-row DataFrame cross-joined
+    back (broadcast of one row) — no driver-side collect; ties break on
+    the pair string so the merge sequence is total-ordered."""
+    d = t(spark, sf_dir, "documents")
+    words = (
+        ensure_parallelism(d)
+        .select(F.explode(tokenize(normalize_text("text"))).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    r = words.select(
+        "word",
+        "freq",
+        F.concat(F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")).alias(
+            "rep"
+        ),
+    )
+    bests: list[DataFrame] = []
+    for rnd in (1, 2, 3):
+        s = F.split(F.trim(F.col("rep")), "  ")
+        n = F.size(s)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        prs = F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(s, i), F.lit(" "), F.element_at(s, i + F.lit(1))
+            ),
+        )
+        pc = (
+            r.select("freq", F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("f"))
+        )
+        best = (
+            pc.orderBy(F.desc("f"), F.asc("pair"))
+            .limit(1)
+            .select(
+                "pair",
+                "f",
+                F.concat(
+                    F.lit(" "), F.regexp_replace("pair", " ", "  "), F.lit(" ")
+                ).alias("patt"),
+                F.concat(
+                    F.lit(" "), F.regexp_replace("pair", " ", ""), F.lit(" ")
+                ).alias("mrep"),
+            )
+        )
+        bests.append(
+            best.select(
+                F.lit(rnd).alias("merge_rank"), "pair", F.col("f").alias("pair_freq")
+            )
+        )
+        r = r.crossJoin(F.broadcast(best.select("patt", "mrep"))).select(
+            "word",
+            "freq",
+            F.replace(F.col("rep"), F.col("patt"), F.col("mrep")).alias("rep"),
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'https://www' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                             || '.example.com/docs/' || CAST(doc_id // 3 AS VARCHAR)
+                 WHEN 1 THEN 'https://www' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                             || '.example.com/docs/' || CAST(doc_id // 3 AS VARCHAR)
+                             || '?lang=' || lang || '&utm_source=feed&utm_campaign=c'
+                             || CAST(doc_id AS VARCHAR)
+                 ELSE 'https://WWW' || CAST((doc_id // 3) % 7 AS VARCHAR)
+                             || '.EXAMPLE.COM/docs/' || CAST(doc_id // 3 AS VARCHAR)
+                             || '/#sec' || CAST(doc_id AS VARCHAR)
+               END AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                   lower(regexp_extract(u3, '^https?://[^/]+', 0))
+                       || regexp_replace(u3, '^https?://[^/]+', ''),
+                   '/+$', '') AS curl
+        FROM (
+            SELECT doc_id, url,
+                   regexp_replace(regexp_replace(url, '#.*$', ''),
+                                  '&utm_[^&#]*', '', 'g') AS u3
+            FROM raw
+        )
+    )
+    SELECT curl, COUNT(*) AS n_raw,
+           COUNT(DISTINCT url) AS n_raw_distinct,
+           MIN(doc_id) AS keep_doc
+    FROM canon GROUP BY curl
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — stage 0 of a web-crawl pipeline: strip
+    fragments and utm_* tracking params, lowercase the authority, trim
+    trailing slashes, then collapse to one canonical fetch per URL
+    (keep-min doc_id). URLs are planted deterministically from the row's
+    own columns in three variant shapes (bare / tracking-params /
+    uppercased-host + fragment + trailing slash) so every third doc pair
+    collides post-canonicalization. Pure scan-fused regexp column
+    algebra + ONE hash aggregation on the canonical key — the same plan
+    at any scale, no UDFs, no windows."""
+    d = t(spark, sf_dir, "documents")
+    gid_n = F.floor(F.col("doc_id") / 3).cast("long")
+    gid = gid_n.cast("string")
+    hostn = (gid_n % 7).cast("string")
+    base = F.concat(
+        F.lit("https://www"), hostn, F.lit(".example.com/docs/"), gid
+    )
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, base)
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                base,
+                F.lit("?lang="),
+                F.col("lang"),
+                F.lit("&utm_source=feed&utm_campaign=c"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://WWW"),
+                hostn,
+                F.lit(".EXAMPLE.COM/docs/"),
+                gid,
+                F.lit("/#sec"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    raw = ensure_parallelism(d).select("doc_id", url.alias("url"))
+    u3 = F.regexp_replace(
+        F.regexp_replace(F.col("url"), "#.*$", ""), "&utm_[^&#]*", ""
+    )
+    curl = F.regexp_replace(
+        F.concat(
+            F.lower(F.regexp_extract(u3, "^https?://[^/]+", 0)),
+            F.regexp_replace(u3, "^https?://[^/]+", ""),
+        ),
+        "/+$",
+        "",
+    )
+    canon = raw.select("doc_id", "url", curl.alias("curl"))
+    return canon.groupBy("curl").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("url").alias("n_raw_distinct"),
+        F.min("doc_id").alias("keep_doc"),
+    )

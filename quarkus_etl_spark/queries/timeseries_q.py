@@ -599,3 +599,54 @@ def q_time_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("k", "event_id", "ts", F.col("y").alias("value"), "area")
     )
+
+
+@register(
+    "q_time_seasonal",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, CAST(hour(ts) AS INT) AS hod, value FROM events
+    ), base AS (
+        SELECT event_type, hod,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   AS baseline
+        FROM keyed GROUP BY event_type, hod
+    )
+    SELECT k.event_type, k.hod, MIN(b.n_events) AS n_events,
+           MIN(b.baseline) AS baseline,
+           MAX(k.value - b.baseline) AS max_resid,
+           MIN(k.value - b.baseline) AS min_resid
+    FROM keyed k JOIN base b ON k.event_type = b.event_type AND k.hod = b.hod
+    GROUP BY k.event_type, k.hod
+    """,
+)
+def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline decomposition: per (event_type, hour-of-day) the
+    exact-mean baseline, then each event's residual against its
+    seasonal slot — the classic seasonal-naive anomaly/forecast
+    decomposition for telemetry. The baseline table is bounded by the
+    attribute domain (|event_types| x 24 rows, broadcast back onto the
+    scan regardless of corpus size), so the plan is two hash
+    aggregations and zero data-sized joins. Baselines are exact decimal
+    means (bit-identical cross-engine), so residual extrema — IEEE
+    subtractions of identical doubles — hash-match too."""
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type", F.hour("ts").cast("int").alias("hod"), "value"
+    )
+    base = keyed.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("baseline"),
+    )
+    resid = F.col("value") - F.col("baseline")
+    return (
+        keyed.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.min("n_events").alias("n_events"),
+            F.min("baseline").alias("baseline"),
+            F.max(resid).alias("max_resid"),
+            F.min(resid).alias("min_resid"),
+        )
+    )
