@@ -2448,3 +2448,98 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").alias("n_raw_distinct"),
         F.min("doc_id").alias("keep_doc"),
     )
+
+
+@register(
+    "q_agg_countmin",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT t.w AS word FROM
+        (SELECT {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
+        WHERE t.w <> ''
+    ), tc AS (
+        SELECT word, COUNT(*) AS true_count FROM toks GROUP BY word
+    ), grid AS (
+        SELECT i FROM range(4) AS r(i)
+    ), cms AS (
+        SELECT g.i AS i,
+               CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || t.word),
+                                   1, 4) AS BIGINT) % 64 AS bucket,
+               COUNT(*) AS c
+        FROM toks t CROSS JOIN grid g
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT word, true_count FROM tc
+        ORDER BY true_count DESC, word ASC LIMIT 10
+    ), pb AS (
+        SELECT p.word, p.true_count, g.i AS i,
+               CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || p.word),
+                                   1, 4) AS BIGINT) % 64 AS bucket
+        FROM probes p CROSS JOIN grid g
+    )
+    SELECT pb.word,
+           CAST(MIN(pb.true_count) AS BIGINT) AS true_count,
+           CAST(MIN(cms.c) AS BIGINT) AS cms_est,
+           CAST(MIN(cms.c) - MIN(pb.true_count) AS BIGINT) AS overestimate
+    FROM pb JOIN cms ON pb.i = cms.i AND pb.bucket = cms.bucket
+    GROUP BY pb.word
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (d=4 rows x w=64 buckets) with a PORTABLE md5 hash
+    family, so — unlike engine-native sketches — the entire structure is
+    hash-checked against the oracle: build the sketch, then answer the
+    top-10 heavy hitters' point queries (estimate = min over rows of the
+    hashed bucket count; always >= true count). The sketch is the classic
+    mergeable stream summary: per-partition partial (i, bucket) counts
+    combine by addition, so the shuffle is CONSTANT-size (d*w cells)
+    regardless of corpus size — the same reason the reference-scale path
+    for frequency monitoring at 100 TB is a sketch, not a full groupBy.
+    Token stream -> 2 hash aggregations (one true-count for probes, one
+    d*w-cell sketch) + a broadcast join of the 256-cell sketch."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        ensure_parallelism(d)
+        .select(F.explode(tokenize(normalize_text("text"))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    tc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    grid = spark.range(4).select(F.col("id").cast("long").alias("i"))
+
+    def bucket(word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.col("i").cast("string"), F.lit(":"), word_col),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    cms = (
+        toks.crossJoin(F.broadcast(grid))
+        .groupBy("i", bucket(F.col("word")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = tc.orderBy(F.desc("true_count"), F.asc("word")).limit(10)
+    pb = probes.crossJoin(F.broadcast(grid)).select(
+        "word", "true_count", "i", bucket(F.col("word")).alias("bucket")
+    )
+    return (
+        pb.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.min("true_count").cast("long").alias("true_count"),
+            F.min("c").cast("long").alias("cms_est"),
+            (F.min("c") - F.min("true_count")).cast("long").alias("overestimate"),
+        )
+    )

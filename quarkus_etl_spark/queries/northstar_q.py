@@ -1275,3 +1275,108 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("centroid_checksum")
     )
     return sizes.join(sums, "cluster")
+
+
+# --------------------------------------------------------------------------
+# MMR diversified retrieval (q_sim_mmr): the re-ranking stage of a RAG
+# pipeline — relevance vs redundancy trade-off, unrolled and oracle-exact.
+# --------------------------------------------------------------------------
+
+_MMR_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
+    rel AS (
+        SELECT vec_id, e, list_cosine_similarity(e, pe) AS rel
+        FROM v CROSS JOIN p WHERE vec_id <> 0
+    ),
+    cands AS (SELECT * FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 8),
+    s1 AS (SELECT vec_id, e, rel, rel AS score FROM cands
+           ORDER BY rel DESC, vec_id ASC LIMIT 1),
+    r1 AS (SELECT c.* FROM cands c
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+    m2 AS (SELECT r.vec_id, MAX(list_cosine_similarity(r.e, s.e)) AS maxsim
+           FROM r1 r CROSS JOIN s1 s GROUP BY r.vec_id),
+    sc2 AS (SELECT r.vec_id, r.e, r.rel,
+                   0.7 * r.rel - 0.3 * m.maxsim AS score
+            FROM r1 r JOIN m2 m USING (vec_id)),
+    s2 AS (SELECT * FROM sc2 ORDER BY score DESC, vec_id ASC LIMIT 1),
+    sel AS (SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2),
+    r2 AS (SELECT c.* FROM cands c
+           WHERE c.vec_id NOT IN (SELECT vec_id FROM sel)),
+    m3 AS (SELECT r.vec_id, MAX(list_cosine_similarity(r.e, s.e)) AS maxsim
+           FROM r2 r CROSS JOIN sel s GROUP BY r.vec_id),
+    sc3 AS (SELECT r.vec_id, r.rel, 0.7 * r.rel - 0.3 * m.maxsim AS score
+            FROM r2 r JOIN m3 m USING (vec_id)),
+    s3 AS (SELECT * FROM sc3 ORDER BY score DESC, vec_id ASC LIMIT 1)
+    SELECT CAST(1 AS INT) AS mmr_rank, vec_id, rel AS relevance, score FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), vec_id, rel, score FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), vec_id, rel, score FROM s3
+"""
+
+
+@register("q_sim_mmr", oracle=_MMR_ORACLE)
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (lambda=0.7, select 3 of the
+    top-8 candidates vs the vec_id=0 probe) — the diversity-aware
+    retrieval stage of a RAG pipeline: each round picks
+    argmax lambda*rel - (1-lambda)*max_sim_to_already_selected.
+    The greedy loop is unrolled as three tiny plan stages over the
+    candidate set (8 rows after the ONE data-sized top-k), so the
+    data-scale cost is exactly one brute-force scan (or its ANN
+    replacement at 100 TB — q_sim_ann_*); every subsequent round is
+    constant-size work, no driver collect. Cosines reuse the fold that
+    is bit-identical to DuckDB's list_cosine_similarity, and the score
+    is two IEEE ops on identical doubles, so selection order
+    hash-matches the oracle through all three rounds."""
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    e = t(spark, sf_dir, "embeddings")
+    v = ensure_parallelism(e).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    probe = v.where(F.col("vec_id") == 0).select(F.col("e").alias("pe"))
+    rel = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "e",
+            cosine_similarity(F.col("e"), F.col("pe")).alias("rel"),
+        )
+    )
+    cands = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(8)
+    s1 = (
+        cands.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "e", "rel", F.col("rel").alias("score"))
+    )
+
+    def next_pick(selected: DataFrame) -> DataFrame:
+        rest = cands.join(selected.select("vec_id"), "vec_id", "left_anti")
+        sims = (
+            rest.crossJoin(F.broadcast(selected.select(F.col("e").alias("se"))))
+            .groupBy("vec_id")
+            .agg(F.max(cosine_similarity(F.col("e"), F.col("se"))).alias("maxsim"))
+        )
+        scored = rest.join(sims, "vec_id").select(
+            "vec_id",
+            "e",
+            "rel",
+            (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("maxsim")).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(1)
+
+    s2 = next_pick(s1)
+    s3 = next_pick(s1.select("vec_id", "e").unionByName(s2.select("vec_id", "e")))
+    out = None
+    for rank, s in ((1, s1), (2, s2), (3, s3)):
+        row = s.select(
+            F.lit(rank).alias("mmr_rank"),
+            "vec_id",
+            F.col("rel").alias("relevance"),
+            "score",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -650,3 +650,111 @@ def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(resid).alias("min_resid"),
         )
     )
+
+
+@register(
+    "q_time_changepoint",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   AS mean
+        FROM events GROUP BY event_type
+    ), cum AS (
+        SELECT e.event_type, e.ts, e.event_id, s.n, s.mean,
+               row_number() OVER w AS rn,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) OVER
+                    (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   - row_number() OVER w * s.mean AS cusum
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id)
+    )
+    SELECT event_type, ts AS cp_ts, CAST(rn AS BIGINT) AS cp_index,
+           CAST(n AS BIGINT) AS n_events, cusum
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY abs(cusum) DESC, ts ASC,
+                                              event_id ASC) AS pick
+        FROM cum
+    ) WHERE pick = 1
+    """,
+)
+def q_time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint detection per event_type: the k with
+    the largest |S_k - k*mean| over the time-ordered series. The running
+    sum rides DECIMAL (exact, order-free) and the mean is the exact-sum
+    double, so cusum = S_k::double - k*mean is two IEEE ops on
+    bit-identical inputs — the argmax (full-key tiebreak) matches the
+    oracle exactly. One window pass per series + a broadcast stats dim;
+    at 100 TB, series longer than a partition take the two-level
+    prefix-sum route (operators/percentile.py's strategy) — the per-key
+    state here is O(1)."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cum = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cusum",
+            F.sum(dec2("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            - F.col("rn") * F.col("mean"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        cum.withColumn("pick", F.row_number().over(pick))
+        .where(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cp_ts"),
+            F.col("rn").cast("long").alias("cp_index"),
+            F.col("n").cast("long").alias("n_events"),
+            "cusum",
+        )
+    )
+
+
+@register(
+    "q_dq_freshness",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS last_ts
+        FROM events GROUP BY event_type
+    ), g AS (SELECT MAX(ts) AS global_last FROM events)
+    SELECT p.event_type, p.n_events, p.last_ts,
+           CAST((epoch_us(g.global_last) - epoch_us(p.last_ts)) // 1000000
+                AS BIGINT) AS lag_sec,
+           (epoch_us(g.global_last) - epoch_us(p.last_ts)) >= 3600000000
+               AS stale
+    FROM per p CROSS JOIN g
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness gate: per event stream, the watermark lag behind the
+    most recent ingested event, with an SLA flag at 1 hour — the
+    pipeline-health check a serving table runs before publishing. Two
+    tiny aggregates (per-type + global 1-row dim) over one scan; lag
+    arithmetic in exact epoch MICROSECONDS (integer div to seconds), so
+    no float or timezone hazard exists."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    g = ev.agg(F.max("ts").alias("global_last"))
+    lag_us = F.unix_micros(F.col("global_last").cast("timestamp")) - F.unix_micros(
+        F.col("last_ts").cast("timestamp")
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        F.floor(lag_us / F.lit(1000000)).cast("long").alias("lag_sec"),
+        (lag_us >= F.lit(3600000000)).alias("stale"),
+    )
