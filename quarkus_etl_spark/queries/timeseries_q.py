@@ -758,3 +758,98 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(lag_us / F.lit(1000000)).cast("long").alias("lag_sec"),
         (lag_us >= F.lit(3600000000)).alias("stale"),
     )
+
+
+@register(
+    "q_win_concurrency",
+    oracle="""
+    WITH edges AS (
+        SELECT event_type, ts AS edge_ts, event_id, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL '5 minutes', event_id, -1 FROM events
+    ), running AS (
+        SELECT event_type, edge_ts, delta,
+               CAST(SUM(delta) OVER (PARTITION BY event_type
+                                     ORDER BY edge_ts, delta, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS concurrent
+        FROM edges
+    )
+    SELECT event_type,
+           MAX(concurrent) AS peak_concurrency,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+    FROM running GROUP BY event_type
+    """,
+)
+def q_win_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per stream (each event opens a 5-minute
+    interval): the classic +1/-1 sweep — explode each interval into open and
+    close edges, running-sum in edge order, take the max. Closes sort
+    BEFORE opens at the same instant (delta -1 < 1), so touching
+    intervals don't double-count; event_id completes the total order.
+    One union + one window pass — O(2n) rows, per-key state O(1); at
+    100 TB, partition the sweep by (key, day) with boundary carry-in
+    (the incremental-rollup pattern) instead of one unbounded frame."""
+    ev = t(spark, sf_dir, "events")
+    opens = ev.select(
+        "event_type", F.col("ts").alias("edge_ts"), "event_id", F.lit(1).alias("delta")
+    )
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("edge_ts"),
+        "event_id",
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("edge_ts", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = opens.unionByName(closes).withColumn(
+        "concurrent", F.sum("delta").over(w).cast("long")
+    )
+    return running.groupBy("event_type").agg(
+        F.max("concurrent").alias("peak_concurrency"),
+        F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+@register(
+    "q_dq_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                    1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1.0
+    ), n AS (SELECT COUNT(*) AS total FROM digits),
+    obs AS (SELECT d, COUNT(*) AS cnt FROM digits GROUP BY d)
+    SELECT o.d AS leading_digit, o.cnt,
+           CAST(o.cnt AS DOUBLE) / total AS observed_p,
+           CAST(floor(ln(1.0 + 1.0 / o.d) / ln(10.0) * 1000000) AS BIGINT)
+               AS benford_ppm
+    FROM obs o CROSS JOIN n
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the money column — the forensic DQ check for
+    fabricated or truncated numeric data: observed leading-digit shares
+    vs the log-law expectation. The leading digit comes from the exact
+    DECIMAL rendering (no float-format divergence); the expected share is
+    ln-based and emitted as a floor-quantized ppm integer so the only
+    hashed doubles are exact-count ratios. One scan, two tiny
+    aggregates."""
+    o = t(spark, sf_dir, "orders")
+    digits = o.where(F.col("o_totalprice") >= 1.0).select(
+        F.substring(dec2("o_totalprice").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    benford_ppm = F.floor(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)) * 1000000
+    ).cast("long")
+    return obs.crossJoin(F.broadcast(n)).select(
+        F.col("d").alias("leading_digit"),
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total")).alias("observed_p"),
+        benford_ppm.alias("benford_ppm"),
+    )
