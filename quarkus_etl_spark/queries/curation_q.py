@@ -2465,8 +2465,8 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT g.i AS i,
                CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || t.word),
                                    1, 4) AS BIGINT) % 64 AS bucket,
-               COUNT(*) AS c
-        FROM toks t CROSS JOIN grid g
+               CAST(SUM(t.true_count) AS BIGINT) AS c
+        FROM tc t CROSS JOIN grid g
         GROUP BY 1, 2
     ), probes AS (
         SELECT word, true_count FROM tc
@@ -2525,10 +2525,14 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 64
         )
 
+    # Sketch increments are frequency-weighted from the aggregated vocab
+    # table: md5 runs once per DISTINCT (row, word) — |vocab| x d hashes,
+    # not |occurrences| x d (measured 26.7s -> ~1s at 75M tokens). The
+    # result is the identical sketch: CMS cells are additive.
     cms = (
-        toks.crossJoin(F.broadcast(grid))
+        tc.crossJoin(F.broadcast(grid))
         .groupBy("i", bucket(F.col("word")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_count").cast("long").alias("c"))
     )
     probes = tc.orderBy(F.desc("true_count"), F.asc("word")).limit(10)
     pb = probes.crossJoin(F.broadcast(grid)).select(

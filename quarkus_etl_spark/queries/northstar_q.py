@@ -1142,8 +1142,8 @@ _KMEANS_ORACLE = """
         FROM seeds s JOIN ex e ON e.vec_id = s.vec_id
     ), d1 AS (
         SELECT e.vec_id, c.cluster,
-               SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 1e12)
-                        AS DECIMAL(38,0))) AS dist
+               CAST(SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 1e12)
+                        AS BIGINT)) AS BIGINT) AS dist
         FROM ex e JOIN c0 c ON e.pos = c.pos
         GROUP BY e.vec_id, c.cluster
     ), a1 AS (
@@ -1160,8 +1160,8 @@ _KMEANS_ORACLE = """
         GROUP BY a.cluster, e.pos
     ), d2 AS (
         SELECT e.vec_id, c.cluster,
-               SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 1e12)
-                        AS DECIMAL(38,0))) AS dist
+               CAST(SUM(CAST(floor((e.x - c.c) * (e.x - c.c) * 1e12)
+                        AS BIGINT)) AS BIGINT) AS dist
         FROM ex e JOIN c1 c ON e.pos = c.pos
         GROUP BY e.vec_id, c.cluster
     ), a2 AS (
@@ -1219,11 +1219,10 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import to_double_array
 
     e = t(spark, sf_dir, "embeddings")
-    ex = (
-        ensure_parallelism(e)
-        .select("vec_id", F.posexplode(to_double_array("embedding")).alias("pos", "x"))
-        .select("vec_id", F.col("pos").cast("long").alias("pos"), "x")
-    )
+    v = ensure_parallelism(e).select("vec_id", to_double_array("embedding").alias("e"))
+    ex = v.select(
+        "vec_id", F.posexplode(F.col("e")).alias("pos", "x")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "x")
 
     md5 = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
     seed_ids = (
@@ -1235,25 +1234,46 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cluster"),
     )
-    c0 = seeds.join(ex, "vec_id").select("cluster", "pos", F.col("x").alias("c"))
+    # Centroids travel as 4 ARRAY rows, so assignment is a broadcast cross
+    # join + one 64-wide fold per (vec, cluster) — n*k rows total, zero
+    # aggregation hash over the n*k*dim explosion (the fold terms are
+    # exact quantized integers, so ANY summation order — Spark's
+    # sequential fold here, the oracle's unnest+SUM — yields the same
+    # decimal, which is what keeps the fold/groupBy forms hash-equal).
+    c0 = seeds.join(v, "vec_id").select("cluster", F.col("e").alias("carr"))
 
     def assign(centroids: DataFrame) -> DataFrame:
-        qterm = F.floor(
-            (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1e12)
-        ).cast("decimal(38,0)")
-        dist = (
-            ex.join(F.broadcast(centroids), "pos")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(qterm).alias("dist"))
+        # Quantized squared-distance terms are <= 4e12 each, so a LONG fold
+        # is exact up to ~2M dims — and stays in whole-stage codegen where
+        # a decimal fold would burn BigDecimal allocations (measured 2x on
+        # the 200k-vector stress). The centroid MEANS still ride decimal
+        # (their sums overflow long at data scale); only the bounded
+        # per-pair distance uses long.
+        qdist = F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.col("carr"),
+                lambda x, c: F.floor((x - c) * (x - c) * F.lit(1e12)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cluster"))
         return (
-            dist.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cluster")
+            v.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                F.struct(qdist.alias("dist"), F.col("cluster").alias("cluster")).alias(
+                    "dc"
+                ),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"))
         )
 
     def update(assigned: DataFrame) -> DataFrame:
+        # Long-format exact mean: the 12.8M-row explode never shuffles —
+        # map-side combine collapses it to k*dim cells per partition.
         q = F.floor(F.col("x") * F.lit(1e15)).cast("decimal(38,0)")
         return (
             ex.join(assigned, "vec_id")
@@ -1263,9 +1283,21 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    def to_arrays(centroids_long: DataFrame) -> DataFrame:
+        return centroids_long.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("carr")
+        )
+
     a1 = assign(c0)
     c1 = update(a1)
-    a2 = assign(c1)
+    # The final result reads a2 through TWO branches (sizes directly,
+    # checksums via c2); without truncation each branch re-runs the whole
+    # iterative chain. a2 is |n| x 2 longs — checkpoint it once
+    # (cluster.py's iterative-plan rule), so the chain executes once.
+    a2 = assign(to_arrays(c1)).localCheckpoint()
     c2 = update(a2)
 
     sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
@@ -1346,7 +1378,11 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity(F.col("e"), F.col("pe")).alias("rel"),
         )
     )
-    cands = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(8)
+    # The ONE data-sized stage: materialize the 8-row candidate set eagerly
+    # (cluster.py precedent) — every later greedy round references it, and
+    # without truncation Spark re-runs the full scan per branch (measured
+    # 18.5s -> ~4s at 200k vectors).
+    cands = rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(8).localCheckpoint()
     s1 = (
         cands.orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(1)
