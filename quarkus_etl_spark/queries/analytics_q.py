@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .base import dsum, register, t
+from .base import dec2, dsum, register, t
 
 # Strict ordered funnel over the events fixture: view -> click -> purchase.
 _STEPS = ("view", "click", "purchase")
@@ -526,4 +526,152 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.min_by("touch_id", key).alias("first_touch"),
         F.max_by("touch_id", key).alias("last_touch"),
+    )
+
+
+@register(
+    "q_stats_ks",
+    oracle="""
+    WITH s AS (
+        SELECT n_chars AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isa
+        FROM documents WHERE lang IN ('en', 'de')
+    ), tot AS (
+        SELECT CAST(SUM(isa) AS BIGINT) AS n1,
+               CAST(SUM(1 - isa) AS BIGINT) AS n2
+        FROM s
+    ), g AS (
+        SELECT v, CAST(SUM(isa) AS BIGINT) AS a,
+               CAST(SUM(1 - isa) AS BIGINT) AS b
+        FROM s GROUP BY v
+    ), c AS (
+        SELECT v,
+               CAST(SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+               CAST(SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+        FROM g
+    ), d AS (
+        SELECT v, c1, c2,
+               abs(CAST(c1 AS DECIMAL(38,0)) * n2
+                   - CAST(c2 AS DECIMAL(38,0)) * n1) AS diff,
+               n1, n2
+        FROM c CROSS JOIN tot
+    )
+    SELECT n1, n2, v AS ks_at_value,
+           CAST(floor(CAST(diff AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                      * 1000000) AS BIGINT) AS ks_ppm
+    FROM d ORDER BY diff DESC, v ASC LIMIT 1
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (en vs de document lengths)
+    — the nonparametric drift gate that complements q_drift_tvd's binned
+    TVD with an exact, binning-free answer. The whole computation is
+    INTEGER: per-value counts, one windowed cumulative pass, and the sup
+    as max |c1*n2 - c2*n1| in DECIMAL (exact at any corpus size; the
+    long product overflows past ~3e9 rows/side). Only the final
+    normalized statistic touches floats, as a quantized ppm. Shuffle
+    carries |distinct values| rows — the histogram trick from
+    q_agg_percentile; the unbounded window runs over distinct values,
+    not rows."""
+    d = t(spark, sf_dir, "documents")
+    s = d.where(F.col("lang").isin("en", "de")).select(
+        F.col("n_chars").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("isa"),
+    )
+    tot = s.agg(
+        F.sum("isa").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("isa")).cast("long").alias("n2"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("isa").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("isa")).cast("long").alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v",
+        F.sum("a").over(w).cast("long").alias("c1"),
+        F.sum("b").over(w).cast("long").alias("c2"),
+    )
+    dd = c.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("c1").cast("decimal(38,0)") * F.col("n2")
+            - F.col("c2").cast("decimal(38,0)") * F.col("n1")
+        ).alias("diff"),
+    )
+    return (
+        dd.orderBy(F.desc("diff"), F.asc("v"))
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            F.col("v").alias("ks_at_value"),
+            F.floor(
+                F.col("diff").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                * 1000000
+            )
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+    )
+
+
+@register(
+    "q_feat_target_encode",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS cat, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS DOUBLE) AS st
+        FROM g
+    )
+    SELECT o.o_orderkey, o.o_orderpriority AS cat,
+           (CAST(g.s AS DOUBLE) + 10.0 * (tot.st / tot.nt))
+               / (n + 10.0) AS enc_smooth,
+           CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               / (n - 1.0) AS enc_loo
+    FROM orders o
+    JOIN g ON o.o_orderpriority = g.cat
+    CROSS JOIN tot
+    """,
+)
+def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding for a categorical feature (the GBDT/tabular-ML
+    staple): per-category smoothed target mean (prior weight m=10) plus
+    the LEAVE-ONE-OUT encoding that prevents target leakage in training
+    folds — LOO is (sum - own)/(n-1) from EXACT decimal sums, so no
+    per-row re-aggregation and no float drift. The category stats table
+    is attribute-domain-sized, broadcast back onto the scan: one
+    aggregation + one map-side join at any scale."""
+    o = t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec2("o_totalprice")).alias("s")
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("s").cast("double").alias("st")
+    )
+    return (
+        o.join(
+            F.broadcast(g), o["o_orderpriority"] == g["cat"]
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderkey",
+            "cat",
+            (
+                (F.col("s").cast("double") + F.lit(10.0) * (F.col("st") / F.col("nt")))
+                / (F.col("n") + F.lit(10.0))
+            ).alias("enc_smooth"),
+            (
+                (F.col("s") - dec2("o_totalprice")).cast("double")
+                / (F.col("n") - F.lit(1.0))
+            ).alias("enc_loo"),
+        )
     )

@@ -1416,3 +1416,205 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q_graph_label_prop",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ), sets AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i+1])) AS s
+        FROM toks
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ), l0 AS (
+        SELECT DISTINCT u AS node, u AS label FROM edges
+    ), v1 AS (
+        SELECT e.v, l.label, COUNT(*) AS cnt
+        FROM edges e JOIN l0 l ON l.node = e.u GROUP BY e.v, l.label
+    ), l1 AS (
+        SELECT v AS node, label FROM (
+            SELECT v, label, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label ASC) AS rn FROM v1) WHERE rn = 1
+    ), v2 AS (
+        SELECT e.v, l.label, COUNT(*) AS cnt
+        FROM edges e JOIN l1 l ON l.node = e.u GROUP BY e.v, l.label
+    ), l2 AS (
+        SELECT v AS node, label FROM (
+            SELECT v, label, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label ASC) AS rn FROM v2) WHERE rn = 1
+    )
+    SELECT node AS doc_id, CAST(label AS BIGINT) AS community FROM l2
+    """,
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (2 synchronous rounds) over
+    the near-duplicate graph — the clustering used for template/boilerplate
+    family discovery where connected components over-merge (LPA respects
+    edge density, CC only reachability). Each round is the same
+    aggregate-message shape as q_graph_pagerank: edges join labels, vote
+    count per (node, label), deterministic argmax (count desc, label asc)
+    — one shuffle per round, map-side combinable, edge list checkpointed
+    once (cluster.py discipline). Ties and vote counts are integers, so
+    the oracle is conclusive for the whole iterative algorithm."""
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="lang", threshold=0.7
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(2):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("u"), F.col("label").alias("nl")),
+                "u",
+            )
+            .groupBy("v", "nl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("nl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), F.col("nl").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("community")
+    )
+
+
+@register(
+    "q_rank_ndcg",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    p AS (SELECT e AS pe, label AS plabel FROM v WHERE vec_id = 0),
+    ranked AS (
+        SELECT vec_id, label, plabel,
+               list_cosine_similarity(e, pe) AS cosine
+        FROM v CROSS JOIN p WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    ), pos AS (
+        SELECT vec_id,
+               CASE WHEN label = plabel THEN 2 ELSE 0 END AS rel,
+               row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM ranked
+    ), terms AS (
+        SELECT rel, rn,
+               CAST(floor((power(2.0, rel) - 1.0) * ln(2.0) / ln(rn + 1.0)
+                          * 1000000000) AS DECIMAL(28,0)) AS gq,
+               row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS irn
+        FROM pos
+    ), ideal AS (
+        SELECT CAST(floor((power(2.0, rel) - 1.0) * ln(2.0) / ln(irn + 1.0)
+                          * 1000000000) AS DECIMAL(28,0)) AS iq
+        FROM terms
+    ), agg AS (
+        SELECT CAST((SELECT SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) FROM pos)
+                    AS BIGINT) AS n_relevant,
+               CAST(SUM(gq) AS DECIMAL(38,0)) AS dcg_q,
+               (SELECT CAST(SUM(iq) AS DECIMAL(38,0)) FROM ideal) AS idcg_q
+        FROM terms
+    )
+    SELECT n_relevant,
+           CAST(dcg_q AS BIGINT) AS dcg_ppb,
+           CAST(idcg_q AS BIGINT) AS idcg_ppb,
+           CASE WHEN idcg_q > 0
+                THEN CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)
+                ELSE 0.0 END AS ndcg
+    FROM agg
+    """,
+)
+def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the dense retrieval list (probe = vec_id 0, graded
+    relevance = 2 for probe-label matches) — the ranking-quality metric
+    an embedding-retrieval pipeline reports. Ideal DCG uses the
+    retrieved set's own relevances re-sorted (the standard @k variant
+    that needs no second scan). Float discipline: each log-discounted
+    gain term is floor-quantized to 1e-9 BEFORE summation, so the sums
+    are exact decimals in any order and the final NDCG is one double
+    division of exact integers. The only data-sized work is the top-k
+    scan; everything after operates on 10 rows."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine_similarity, to_double_array
+
+    e = t(spark, sf_dir, "embeddings")
+    v = ensure_parallelism(e).select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    )
+    p = v.where(F.col("vec_id") == 0).select(
+        F.col("e").alias("pe"), F.col("label").alias("plabel")
+    )
+    ranked = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(p))
+        .select(
+            "vec_id",
+            "label",
+            "plabel",
+            cosine_similarity(F.col("e"), F.col("pe")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .localCheckpoint()
+    )
+    pos = ranked.select(
+        "vec_id",
+        F.when(F.col("label") == F.col("plabel"), 2).otherwise(0).alias("rel"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("rn"),
+    )
+
+    def gain(rank_col):
+        return F.floor(
+            (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+            * F.log(F.lit(2.0))
+            / F.log(rank_col + F.lit(1.0))
+            * F.lit(1000000000)
+        ).cast("decimal(28,0)")
+
+    terms = pos.select(
+        "rel",
+        gain(F.col("rn")).alias("gq"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel"), F.asc("vec_id")))
+        .alias("irn"),
+    )
+    agg = terms.agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("n_relevant"),
+        F.sum("gq").cast("decimal(38,0)").alias("dcg_q"),
+        F.sum(gain(F.col("irn"))).cast("decimal(38,0)").alias("idcg_q"),
+    )
+    return agg.select(
+        "n_relevant",
+        F.col("dcg_q").cast("long").alias("dcg_ppb"),
+        F.col("idcg_q").cast("long").alias("idcg_ppb"),
+        F.when(
+            F.col("idcg_q") > 0,
+            F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
