@@ -2272,26 +2272,10 @@ _BPE_ORACLE = rf"""
 """
 
 
-@register("q_tok_bpe_learn", oracle=_BPE_ORACLE)
-def q_tok_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding merge learning — the tokenizer-training inner loop
-    (learn the top-3 merges over the corpus vocabulary). Classic BPE
-    trains on the (word, freq) table, and so does this: after ONE
-    corpus-sized aggregation, every iteration touches only the vocabulary
-    (corpus-size-independent — millions of rows at 100 TB, not billions).
-
-    The greedy left-to-right non-overlapping merge is executed by plain
-    string replace over a TWO-space-delimited symbol string with
-    single-space-flanked patterns: ' a  n ' consumes one space from each
-    side's pair, so ADJACENT merge sites (which share only a delimiter,
-    e.g. banana -> b,an,an,a) no longer conflict, while truly overlapping
-    sites (shared symbol, e.g. aaa) resolve left-to-right exactly like
-    reference BPE. replace() is left-to-right non-overlapping in both the
-    JVM and DuckDB, so the oracle is conclusive for the whole iterative
-    algorithm. The best pair per round is a 1-row DataFrame cross-joined
-    back (broadcast of one row) — no driver-side collect; ties break on
-    the pair string so the merge sequence is total-ordered."""
-    d = t(spark, sf_dir, "documents")
+def _bpe_merge_rounds(d: DataFrame, rounds: int = 3):
+    """Shared BPE trainer core: returns (per-round best-pair DataFrames,
+    final vocab representation after all merges). See q_tok_bpe_learn for
+    the 2-space representation argument."""
     words = (
         ensure_parallelism(d)
         .select(F.explode(tokenize(normalize_text("text"))).alias("word"))
@@ -2307,7 +2291,7 @@ def q_tok_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bests: list[DataFrame] = []
-    for rnd in (1, 2, 3):
+    for rnd in range(1, rounds + 1):
         s = F.split(F.trim(F.col("rep")), "  ")
         n = F.size(s)
         idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
@@ -2348,10 +2332,70 @@ def q_tok_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             F.replace(F.col("rep"), F.col("patt"), F.col("mrep")).alias("rep"),
         )
+    return bests, r
+
+
+@register("q_tok_bpe_learn", oracle=_BPE_ORACLE)
+def q_tok_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge learning — the tokenizer-training inner loop
+    (learn the top-3 merges over the corpus vocabulary). Classic BPE
+    trains on the (word, freq) table, and so does this: after ONE
+    corpus-sized aggregation, every iteration touches only the vocabulary
+    (corpus-size-independent — millions of rows at 100 TB, not billions).
+
+    The greedy left-to-right non-overlapping merge is executed by plain
+    string replace over a TWO-space-delimited symbol string with
+    single-space-flanked patterns: ' a  n ' consumes one space from each
+    side's pair, so ADJACENT merge sites (which share only a delimiter,
+    e.g. banana -> b,an,an,a) no longer conflict, while truly overlapping
+    sites (shared symbol, e.g. aaa) resolve left-to-right exactly like
+    reference BPE. replace() is left-to-right non-overlapping in both the
+    JVM and DuckDB, so the oracle is conclusive for the whole iterative
+    algorithm. The best pair per round is a 1-row DataFrame cross-joined
+    back (broadcast of one row) — no driver-side collect; ties break on
+    the pair string so the merge sequence is total-ordered."""
+    d = t(spark, sf_dir, "documents")
+    bests, _ = _bpe_merge_rounds(d, rounds=3)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+_BPE_APPLY_ORACLE = _BPE_ORACLE[: _BPE_ORACLE.index("), b3 AS (")] + """), b3 AS (
+        SELECT pair, f,
+               ' ' || replace(pair, ' ', '  ') || ' ' AS patt,
+               ' ' || replace(pair, ' ', '') || ' ' AS mrep
+        FROM p3 ORDER BY f DESC, pair ASC LIMIT 1
+    ), r3 AS (
+        SELECT word, freq, replace(rep, b.patt, b.mrep) AS rep
+        FROM r2 CROSS JOIN b3 b
+    )
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(length(word) AS BIGINT) AS n_sym_char,
+           CAST(len(string_split(trim(rep), '  ')) AS BIGINT) AS n_sym_bpe
+    FROM r3
+"""
+
+
+@register("q_tok_apply", oracle=_BPE_APPLY_ORACLE)
+def q_tok_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the inference counterpart of q_tok_bpe_learn: apply the
+    3 learned merges to the vocabulary and report each word's subword
+    token count vs its character count (the compression the tokenizer
+    buys). Encoding at corpus scale is exactly this vocab-table map
+    followed by a broadcast join onto the token stream, so the vocab
+    form IS the scale path; the merge-rule derivation shares
+    _bpe_merge_rounds with the trainer, and the oracle replays the same
+    three replace rounds, making learn→apply verified end-to-end."""
+    d = t(spark, sf_dir, "documents")
+    _, r = _bpe_merge_rounds(d, rounds=3)
+    return r.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.length("word").cast("long").alias("n_sym_char"),
+        F.size(F.split(F.trim(F.col("rep")), "  ")).cast("long").alias("n_sym_bpe"),
+    )
 
 
 @register(

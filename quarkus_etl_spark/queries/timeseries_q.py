@@ -853,3 +853,72 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt").cast("double") / F.col("total")).alias("observed_p"),
         benford_ppm.alias("benford_ppm"),
     )
+
+
+@register(
+    "q_join_pit",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click'
+    ), ordered AS (
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pv
+        FROM clicks
+    ), changes AS (
+        SELECT * FROM ordered WHERE pv IS NULL OR pv <> value
+    ), vers AS (
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT)
+                   AS version,
+               ts AS valid_from, value AS dim_value
+        FROM changes
+    ), p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.valid_from AS asof_ts,
+           v.version AS asof_version,
+           v.dim_value AS asof_dim_value
+    FROM p ASOF LEFT JOIN vers v
+      ON p.user_id = v.user_id AND v.valid_from <= p.ts
+    """,
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — the feature-store primitive: each
+    purchase is enriched with the SCD2 dimension version (built from the
+    user's click-value change log, the q_scd2_build shape) that was in
+    effect AT the purchase instant. Because SCD2 validity intervals
+    partition time per key, PIT containment equals 'latest valid_from at
+    or before ts', so the scale-safe union+window as-of join
+    (operators/asof.py — ONE shuffle, no interval blow-up) answers it
+    exactly; DuckDB's native ASOF JOIN is the oracle."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = clicks.select(
+        "user_id", "ts", "event_id", "value", F.lag("value").over(w).alias("pv")
+    ).where(F.col("pv").isNull() | (F.col("pv") != F.col("value")))
+    vers = changes.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.col("value").alias("dim_value"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        p,
+        vers,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_value_cols=["version", "dim_value"],
+        how="left",
+    )
