@@ -2591,3 +2591,105 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.min("true_count")).cast("long").alias("overestimate"),
         )
     )
+
+
+@register(
+    "q_span_corrupt",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, w, pos FROM (
+            SELECT doc_id, unnest(tk) AS w,
+                   generate_subscripts(tk, 1) - 1 AS pos
+            FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+        ) WHERE w <> ''
+    ), marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(pos // 3 AS VARCHAR)), 1, 4)
+                          AS BIGINT) % 20 < 3
+                    THEN 1 ELSE 0 END AS masked
+        FROM toks
+    ), runs AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         = pos - 1 THEN 0 ELSE 1 END AS run_start
+        FROM marked WHERE masked = 1
+    )
+    SELECT m.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(m.masked) AS BIGINT) AS n_masked,
+           CAST(COALESCE(MIN(r.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(SUM(m.masked) AS DOUBLE) / COUNT(*) AS masked_frac
+    FROM marked m
+    LEFT JOIN (
+        SELECT doc_id, CAST(SUM(run_start) AS BIGINT) AS n_spans
+        FROM runs GROUP BY doc_id
+    ) r ON m.doc_id = r.doc_id
+    GROUP BY m.doc_id
+    """,
+)
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: deterministically mask ~15% of
+    each document's tokens in 3-token blocks (md5 of (doc, block) — the
+    same mask on every engine and every rerun, unlike rand()), then
+    report the denoising-objective statistics: token count, masked
+    count, number of SENTINEL SPANS (maximal masked runs — adjacent
+    blocks merge, counted by the gaps-and-islands run-start trick), and
+    the masked fraction. Map-side hash marking + one bounded window per
+    doc + one aggregation; the mask decision never leaves the scan
+    stage, so the plan is corruption-for-free at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id",
+            F.posexplode(tokenize(normalize_text("text"))).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    blk = F.floor(F.col("pos") / 3).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), blk.cast("string")
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    marked = toks.select(
+        "doc_id", "pos", F.when(h % 20 < 3, 1).otherwise(0).alias("masked")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.where(F.col("masked") == 1)
+        .withColumn(
+            "run_start",
+            F.when(F.lag("pos").over(w) == F.col("pos") - 1, 0).otherwise(1),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("run_start").cast("long").alias("n_spans"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("masked").cast("long").alias("n_masked"),
+            (F.sum("masked").cast("double") / F.count(F.lit(1))).alias("masked_frac"),
+        )
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            "masked_frac",
+        )
+    )
