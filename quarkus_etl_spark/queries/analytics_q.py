@@ -675,3 +675,118 @@ def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("enc_loo"),
         )
     )
+
+
+@register(
+    "q_win_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(s) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_funnels,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT) AS n_error_bursts
+    FROM seq
+    """,
+)
+def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each user's
+    time-ordered event-type initials collapse into one string, and
+    behavioral patterns become regexes — view->clicks->purchase funnels
+    (v c* p) and error bursts (ee+), counted with non-overlapping scan
+    semantics that Java regex and RE2 share. The per-user sequence is
+    built by an ORDER-pinned aggregation (struct sort keyed on
+    (ts, event_id) — deterministic under any partial-agg order); per-key
+    state is the user's own history, the same bound a MATCH_RECOGNIZE
+    engine carries. One shuffle; patterns evaluate scan-fused."""
+    ev = t(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("rec")), lambda r: r.getField("c")
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("int").alias("seq_len"),
+        F.regexp_count("s", F.lit("vc*p")).cast("long").alias("n_funnels"),
+        F.regexp_count("s", F.lit("ee+")).cast("long").alias("n_error_bursts"),
+    )
+
+
+@register(
+    "q_dq_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(o_orderkey) AS n_filled,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(o_orderstatus),
+           COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(o_orderpriority),
+           COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(o_totalprice),
+           COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the dataset-onboarding summary (null rate,
+    cardinality, bounds) every ingestion pipeline snapshots before and
+    after a load. All four column profiles compute in ONE pass over one
+    scan (Catalyst collapses the union of same-source aggregates into
+    multi-aggregate projections; distinct counts expand per column), and
+    bounds are rendered as strings through the exact DECIMAL path for
+    floats so the hash is format-stable. The profile output is
+    O(columns), never O(rows)."""
+    o = t(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax=None):
+        mn = minmax[0] if minmax else F.min(col).cast("string")
+        mx = minmax[1] if minmax else F.max(col).cast("string")
+        return o.agg(
+            F.count(col).alias("n_filled"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_str"),
+            mx.alias("max_str"),
+        ).select(F.lit(col).alias("col"), "n_filled", "n_null", "n_distinct",
+                 "min_str", "max_str")
+
+    money = (
+        F.min(dec2("o_totalprice")).cast("string"),
+        F.max(dec2("o_totalprice")).cast("string"),
+    )
+    out = prof("o_orderkey")
+    for part in (prof("o_orderstatus"), prof("o_orderpriority"),
+                 prof("o_totalprice", money)):
+        out = out.unionByName(part)
+    return out
