@@ -75,6 +75,10 @@ def main() -> None:
             "q_split_leakage",
             "q_agg_percentile",  # histogram + bracket-filter agg codegen
             "q_outlier_mad",  # two chained percentile passes
+            "q_emb_kmeans",  # iterative fold/agg shapes (2 Lloyd rounds)
+            "q_graph_label_prop",  # vote-round join/window shapes
+            "q_sim_mmr",  # greedy-round join shapes
+            "q_tok_bpe_learn",  # merge-round explode/replace shapes
         ):
             try:
                 materialize(queries[warm_name](spark, tiny))
