@@ -762,41 +762,3 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_n").alias("n_rows"),
         )
     )
-
-
-@register(
-    "q_scan_merge_schema",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity,
-           CAST(NULL AS DOUBLE) AS l_discount
-    FROM lineitem WHERE l_linenumber <= 2
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
-    FROM lineitem WHERE l_linenumber > 2
-    """,
-)
-def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution on read: two parquet generations of the same
-    dataset — the older written WITHOUT l_discount, the newer WITH it —
-    merged by `mergeSchema` into one scan where old rows surface NULL for
-    the added column. This is the append-only schema-evolution contract a
-    long-lived lake table relies on (the reference's dynamic
-    ResultSetMetaData inference per job, ClassMapMapper.kt:26-33, is the
-    row-stream analog). Spark reads each footer and unions by name; the
-    oracle states the expected result relationally. Column order is
-    pinned by an explicit select (merge order is footer-dependent)."""
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
-    )
-    root = _scratch(sf_dir, "evolving_lineitem.parquet")
-    li.where(F.col("l_linenumber") <= 2).drop("l_discount").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/gen=0")
-    li.where(F.col("l_linenumber") > 2).write.mode("overwrite").parquet(
-        f"{root}/gen=1"
-    )
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(f"{root}/gen=0", f"{root}/gen=1")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-    )
