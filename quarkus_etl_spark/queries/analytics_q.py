@@ -722,7 +722,7 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seq.select(
         "user_id",
-        F.length("s").cast("int").alias("seq_len"),
+        F.length("s").cast("long").alias("seq_len"),
         F.regexp_count("s", F.lit("vc*p")).cast("long").alias("n_funnels"),
         F.regexp_count("s", F.lit("ee+")).cast("long").alias("n_error_bursts"),
     )
@@ -761,32 +761,48 @@ def q_win_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler — the dataset-onboarding summary (null rate,
     cardinality, bounds) every ingestion pipeline snapshots before and
-    after a load. All four column profiles compute in ONE pass over one
-    scan (Catalyst collapses the union of same-source aggregates into
-    multi-aggregate projections; distinct counts expand per column), and
-    bounds are rendered as strings through the exact DECIMAL path for
-    floats so the hash is format-stable. The profile output is
-    O(columns), never O(rows)."""
+    after a load. All four column profiles compute in ONE aggregation
+    over ONE scan: a single agg() carries every measure (count,
+    count-distinct, min, max per column — Catalyst plans the multiple
+    distinct aggregates via Expand), and the 1-row result reshapes into
+    one row per column with an explode of 4 structs — no per-column
+    re-scan. Bounds render as strings through the exact DECIMAL path for
+    floats so the hash is format-stable; output is O(columns), never
+    O(rows)."""
     o = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
 
-    def prof(col: str, minmax=None):
-        mn = minmax[0] if minmax else F.min(col).cast("string")
-        mx = minmax[1] if minmax else F.max(col).cast("string")
-        return o.agg(
-            F.count(col).alias("n_filled"),
-            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
-            F.countDistinct(col).alias("n_distinct"),
-            mn.alias("min_str"),
-            mx.alias("max_str"),
-        ).select(F.lit(col).alias("col"), "n_filled", "n_null", "n_distinct",
-                 "min_str", "max_str")
+    def measures(c):
+        mn = (
+            F.min(dec2(c)).cast("string")
+            if c == "o_totalprice"
+            else F.min(c).cast("string")
+        )
+        mx = (
+            F.max(dec2(c)).cast("string")
+            if c == "o_totalprice"
+            else F.max(c).cast("string")
+        )
+        return [
+            F.count(c).alias(f"nf_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            mn.alias(f"mn_{c}"),
+            mx.alias(f"mx_{c}"),
+        ]
 
-    money = (
-        F.min(dec2("o_totalprice")).cast("string"),
-        F.max(dec2("o_totalprice")).cast("string"),
+    agg = o.agg(*[m for c in cols for m in measures(c)])
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"nf_{c}").alias("n_filled"),
+                F.col(f"nn_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
     )
-    out = prof("o_orderkey")
-    for part in (prof("o_orderstatus"), prof("o_orderpriority"),
-                 prof("o_totalprice", money)):
-        out = out.unionByName(part)
-    return out
+    return agg.select(F.explode(rows).alias("p")).select("p.*")

@@ -31,6 +31,11 @@ def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and its DuckDB oracle) to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} (a second register() "
+                "would silently shadow the graded implementation)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

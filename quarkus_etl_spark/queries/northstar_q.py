@@ -1522,12 +1522,12 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), terms AS (
         SELECT rel, rn,
                CAST(floor((power(2.0, rel) - 1.0) * ln(2.0) / ln(rn + 1.0)
-                          * 1000000000) AS DECIMAL(28,0)) AS gq,
+                          * 1000000000 + 0.5) AS DECIMAL(28,0)) AS gq,
                row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS irn
         FROM pos
     ), ideal AS (
         SELECT CAST(floor((power(2.0, rel) - 1.0) * ln(2.0) / ln(irn + 1.0)
-                          * 1000000000) AS DECIMAL(28,0)) AS iq
+                          * 1000000000 + 0.5) AS DECIMAL(28,0)) AS iq
         FROM terms
     ), agg AS (
         SELECT CAST((SELECT SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) FROM pos)
@@ -1588,11 +1588,16 @@ def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gain(rank_col):
+        # floor(x + 0.5): the true gains at rn in {1,3,7} are EXACT grid
+        # integers (3*ln2/ln2^k), so a bare floor sits on the boundary and
+        # a 1-ulp libm ln() divergence flips the digit; the half-grid
+        # offset restores maximal margin (same trick as q_emb_quantize).
         return F.floor(
             (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
             * F.log(F.lit(2.0))
             / F.log(rank_col + F.lit(1.0))
             * F.lit(1000000000)
+            + F.lit(0.5)
         ).cast("decimal(28,0)")
 
     terms = pos.select(

@@ -921,4 +921,8 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="valid_from",
         right_value_cols=["version", "dim_value"],
         how="left",
+        # two same-instant change events would otherwise make both
+        # engines' pick unspecified; largest version wins, matching the
+        # SCD2 'latest state at ts' semantics
+        tiebreak="version",
     )

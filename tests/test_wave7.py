@@ -6,15 +6,12 @@ order, assignment optimality, rate algebra)."""
 
 from __future__ import annotations
 
-import hashlib
 import math
+import re
 
 from pyspark.sql import functions as F
 
 from quarkus_etl_spark.queries import all_query_callables
-
-SF = "/root/testdata/sf0.001"
-
 
 def _q(name):
     return all_query_callables()[name]
@@ -32,7 +29,7 @@ def test_bpe_greedy_merge_matches_reference_impl(spark, sf_dir):
     words = {}
     for (text,) in docs.select("text").collect():
         for w in text.strip().lower().split():
-            if w.isalpha():
+            if re.fullmatch("[a-z]+", w):
                 words[w] = words.get(w, 0) + 1
 
     def pair_counts(reps):
