@@ -1623,3 +1623,47 @@ def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ndcg"),
     )
+
+
+@register(
+    "q_dedup_soft",
+    oracle=_CLUSTER_CTES
+    + """
+    , sizes AS (
+        SELECT cluster_id, COUNT(*) AS csize FROM comp GROUP BY cluster_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+           1.0 / COALESCE(s.csize, 1) AS weight
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+    """,
+)
+def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup — duplicate DOWN-WEIGHTING instead of removal: every doc
+    gets sampling weight 1/|its near-dup cluster| (singletons weigh 1),
+    so a training epoch sees each duplicated CONTENT once in expectation
+    while no individual document is discarded. Rides the oracle-verified
+    connected components (q_dedup_cluster) plus one bounded aggregation
+    and two keyed joins; the weight is a single IEEE division of exact
+    integers. The output contract (doc_id, cluster_size, weight) is what
+    a weighted-sampling data loader (q_sample_weighted) consumes
+    directly."""
+    from ..operators.cluster import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    withc = d.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+    )
+    return (
+        withc.join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("csize"), F.lit(1)).cast("long").alias("cluster_size"),
+            (F.lit(1.0) / F.coalesce(F.col("csize"), F.lit(1))).alias("weight"),
+        )
+    )

@@ -926,3 +926,174 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SCD2 'latest state at ts' semantics
         tiebreak="version",
     )
+
+
+@register(
+    "q_time_acf",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, value,
+               lead(value, 1) OVER w AS v1,
+               lead(value, 2) OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), moments AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   AS m,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx
+        FROM events GROUP BY event_type
+    ), lags AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN v1 IS NOT NULL
+                        THEN CAST(value AS DECIMAL(18,2))
+                             * CAST(v1 AS DECIMAL(18,2)) END) AS DOUBLE) AS sxy1,
+               CAST(SUM(CASE WHEN v1 IS NOT NULL
+                        THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa1,
+               CAST(SUM(CASE WHEN v1 IS NOT NULL
+                        THEN CAST(v1 AS DECIMAL(18,2)) END) AS DOUBLE) AS sb1,
+               CAST(SUM(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN v2 IS NOT NULL
+                        THEN CAST(value AS DECIMAL(18,2))
+                             * CAST(v2 AS DECIMAL(18,2)) END) AS DOUBLE) AS sxy2,
+               CAST(SUM(CASE WHEN v2 IS NOT NULL
+                        THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa2,
+               CAST(SUM(CASE WHEN v2 IS NOT NULL
+                        THEN CAST(v2 AS DECIMAL(18,2)) END) AS DOUBLE) AS sb2,
+               CAST(SUM(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM ordered GROUP BY event_type
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           (l.sxy1 - m.m * l.sa1 - m.m * l.sb1 + l.n1 * m.m * m.m)
+               / (m.sxx - 2.0 * m.m * m.sx + m.n * m.m * m.m) AS acf1,
+           (l.sxy2 - m.m * l.sa2 - m.m * l.sb2 + l.n2 * m.m * m.m)
+               / (m.sxx - 2.0 * m.m * m.sx + m.n * m.m * m.m) AS acf2
+    FROM moments m JOIN lags l ON m.event_type = l.event_type
+    """,
+)
+def q_time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation at lags 1 and 2 per event stream — the seasonality /
+    burstiness detector behind forecasting and anomaly models. Every sum
+    that feeds the estimator is EXACT: 2-dp values and their pairwise
+    products ride DECIMAL (products are DECIMAL(36,4) — still exact), so
+    acf = (sxy - m*sa - m*sb + k*m^2) / (sxx - 2*m*sx + n*m^2) is a fixed
+    chain of IEEE ops on bit-identical doubles. One window pass builds
+    the lag pairs (lead), two domain-bounded aggregations finish — the
+    same single-shuffle shape as the sessionize family."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        "value",
+        F.lead("value", 1).over(w).alias("v1"),
+        F.lead("value", 2).over(w).alias("v2"),
+    )
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("m"),
+        F.sum(dec2("value") * dec2("value")).cast("double").alias("sxx"),
+        F.sum(dec2("value")).cast("double").alias("sx"),
+    )
+
+    def lag_sums(vc, suffix):
+        has = F.col(vc).isNotNull()
+        return [
+            F.sum(F.when(has, dec2("value") * dec2(vc))).cast("double").alias(f"sxy{suffix}"),
+            F.sum(F.when(has, dec2("value"))).cast("double").alias(f"sa{suffix}"),
+            F.sum(F.when(has, dec2(vc))).cast("double").alias(f"sb{suffix}"),
+            F.sum(F.when(has, 1).otherwise(0)).cast("long").alias(f"n{suffix}"),
+        ]
+
+    lags = ordered.groupBy("event_type").agg(
+        *lag_sums("v1", "1"), *lag_sums("v2", "2")
+    )
+    den = (
+        F.col("sxx")
+        - F.lit(2.0) * F.col("m") * F.col("sx")
+        + F.col("n") * F.col("m") * F.col("m")
+    )
+
+    def acf(suffix):
+        return (
+            F.col(f"sxy{suffix}")
+            - F.col("m") * F.col(f"sa{suffix}")
+            - F.col("m") * F.col(f"sb{suffix}")
+            + F.col(f"n{suffix}") * F.col("m") * F.col("m")
+        ) / den
+
+    return moments.join(lags, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        acf("1").alias("acf1"),
+        acf("2").alias("acf2"),
+    )
+
+
+@register(
+    "q_win_drawdown",
+    oracle="""
+    WITH cum AS (
+        SELECT event_type, ts, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                    (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS c
+        FROM events
+    ), dd AS (
+        SELECT event_type, ts, event_id,
+               CAST(MAX(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - c
+                    AS DECIMAL(28,2)) AS drawdown
+        FROM cum
+    )
+    SELECT event_type, ts AS dd_ts,
+           CAST(drawdown AS DOUBLE) AS max_drawdown
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY drawdown DESC, ts ASC,
+                                              event_id ASC) AS rn
+        FROM dd
+    ) WHERE rn = 1
+    """,
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per stream: running-peak-minus-current over the
+    cumulative series — the monitoring/finance metric whose plan is a
+    running max OF a running sum (two stacked unbounded frames sharing
+    one sort). Both cumulatives stay in exact DECIMAL end-to-end (the
+    drawdown itself is a decimal subtraction — zero float involvement
+    until the final output cast), so the argmax row (full-key tiebreak)
+    is bit-determined. One shuffle; same per-key O(1) state as the CUSUM
+    changepoint."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(dec2("value")).over(w).cast("decimal(28,2)").alias("c"),
+    )
+    dd = cum.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.max("c").over(w) - F.col("c")).cast("decimal(28,2)").alias("drawdown"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("drawdown"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        dd.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("dd_ts"),
+            F.col("drawdown").cast("double").alias("max_drawdown"),
+        )
+    )
