@@ -44,12 +44,17 @@ class EtlJob:
     name: str
     extract: str
     write: str | WriteTarget | None = None
+    # DAG extension (the reference runs strictly sequentially,
+    # EtlMain.kt:28-37; depends_on adds explicit ordering so independent
+    # jobs may run concurrently under JobRunner.run_dag)
+    depends_on: tuple[str, ...] = ()
 
 
 def jobs_from_dicts(raw: list[dict]) -> list[EtlJob]:
     out: list[EtlJob] = []
     for d in raw:
         write = d.get("write")
+        depends_on = tuple(d.get("depends_on", ()) or ())
         if isinstance(write, dict):
             write = WriteTarget(
                 format=write.get("format", "parquet"),
@@ -59,7 +64,8 @@ def jobs_from_dicts(raw: list[dict]) -> list[EtlJob]:
                 options=dict(write.get("options", {})),
                 partition_by=tuple(write.get("partition_by", ())),
             )
-        out.append(EtlJob(name=d["name"], extract=d["extract"], write=write))
+        out.append(EtlJob(name=d["name"], extract=d["extract"], write=write,
+                          depends_on=depends_on))
     return out
 
 

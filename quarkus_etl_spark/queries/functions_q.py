@@ -350,3 +350,39 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.missing", "string").alias("missing_str"),
         F.try_parse_json("props").isNotNull().alias("is_valid"),
     )
+
+
+@register(
+    "q_fn_collate",
+    oracle="""
+    WITH planted AS (
+        SELECT lang,
+               CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+                   AS variant
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(DISTINCT variant) AS n_distinct_binary,
+           COUNT(DISTINCT lower(variant)) AS n_distinct_ci
+    FROM planted GROUP BY lang
+    """,
+)
+def q_fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): distinct counts
+    under binary vs case-insensitive (UTF8_LCASE) collation over a
+    deterministically case-mangled column. The collated distinct is the
+    engine-native form of `lower()`-normalized matching — the DuckDB
+    oracle states the same semantics with lower(); only counts are
+    emitted (a collated GROUP BY's representative value is
+    engine-chosen, so values themselves are not hash-stable)."""
+    d = t(spark, sf_dir, "documents")
+    variant = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    planted = d.select("lang", variant.alias("variant"))
+    return planted.groupBy("lang").agg(
+        F.countDistinct("variant").alias("n_distinct_binary"),
+        F.countDistinct(F.collate(F.col("variant"), "UTF8_LCASE")).alias(
+            "n_distinct_ci"
+        ),
+    )

@@ -249,3 +249,46 @@ def test_python_datasource_partitions_and_determinism(spark):
     assert a == b
     row = dict(zip(df.columns, a[0]))
     assert row["country"] in {"USA", "Canada", "UK", "Australia", "Germany"}
+
+
+def test_job_dag_respects_dependencies_and_parallelizes(spark, sf_dir):
+    """run_dag: a dependent job sees the table its upstream created; two
+    independent branches both complete; unknown deps and cycles raise."""
+    import pytest
+
+    from quarkus_etl_spark.config import EtlJob
+    from quarkus_etl_spark.jobs import JobRunner
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "dag_nation"
+    )
+    spark.sql("DROP TABLE IF EXISTS dag_stage")
+    jobs = [
+        EtlJob(
+            name="stage",
+            extract="SELECT N_NATIONKEY, N_NAME FROM dag_nation",
+            write="CREATE TABLE dag_stage AS SELECT * FROM etl_source",
+        ),
+        EtlJob(
+            name="count_stage",
+            extract="SELECT count(*) AS C FROM dag_stage",
+            depends_on=("stage",),
+        ),
+        EtlJob(name="independent", extract="SELECT 1 AS ONE"),
+    ]
+    runner = JobRunner(spark)
+    results = {r.name: r for r in runner.run_dag(jobs)}
+    assert set(results) == {"stage", "count_stage", "independent"}
+    assert results["stage"].rows == 25
+    assert spark.sql("SELECT C FROM (SELECT count(*) AS C FROM dag_stage)").first()["C"] == 25
+
+    with pytest.raises(ValueError, match="unknown jobs"):
+        runner.run_dag([EtlJob(name="a", extract="SELECT 1", depends_on=("zz",))])
+    with pytest.raises(ValueError, match="cycle"):
+        runner.run_dag(
+            [
+                EtlJob(name="a", extract="SELECT 1", depends_on=("b",)),
+                EtlJob(name="b", extract="SELECT 1", depends_on=("a",)),
+            ]
+        )
+    spark.sql("DROP TABLE IF EXISTS dag_stage")
