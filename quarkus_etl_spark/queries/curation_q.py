@@ -2693,3 +2693,125 @@ def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "masked_frac",
         )
     )
+
+
+@register(
+    "q_agg_countmin_merge",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, t.w AS word FROM
+        (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents), unnest(tk) AS t(w)
+        WHERE t.w <> ''
+    ), half AS (SELECT CAST(max(doc_id) // 2 AS BIGINT) AS h FROM documents),
+    tc AS (SELECT word, COUNT(*) AS true_count FROM toks GROUP BY word),
+    grid AS (SELECT i FROM range(4) AS r(i)),
+    tca AS (
+        SELECT word, COUNT(*) AS cnt FROM toks, half
+        WHERE doc_id <= h GROUP BY word
+    ), tcb AS (
+        SELECT word, COUNT(*) AS cnt FROM toks, half
+        WHERE doc_id > h GROUP BY word
+    ), cms_a AS (
+        SELECT g.i AS i,
+               CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || t.word),
+                                   1, 4) AS BIGINT) % 64 AS bucket,
+               CAST(SUM(t.cnt) AS BIGINT) AS c
+        FROM tca t CROSS JOIN grid g GROUP BY 1, 2
+    ), cms_b AS (
+        SELECT g.i AS i,
+               CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || t.word),
+                                   1, 4) AS BIGINT) % 64 AS bucket,
+               CAST(SUM(t.cnt) AS BIGINT) AS c
+        FROM tcb t CROSS JOIN grid g GROUP BY 1, 2
+    ), merged AS (
+        SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS c FROM (
+            SELECT * FROM cms_a UNION ALL SELECT * FROM cms_b
+        ) GROUP BY i, bucket
+    ), probes AS (
+        SELECT word, true_count FROM tc
+        ORDER BY true_count DESC, word ASC LIMIT 10
+    ), pb AS (
+        SELECT p.word, p.true_count, g.i AS i,
+               CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || p.word),
+                                   1, 4) AS BIGINT) % 64 AS bucket
+        FROM probes p CROSS JOIN grid g
+    )
+    SELECT pb.word,
+           CAST(MIN(pb.true_count) AS BIGINT) AS true_count,
+           CAST(MIN(m.c) AS BIGINT) AS cms_est_merged
+    FROM pb JOIN merged m ON pb.i = m.i AND pb.bucket = m.bucket
+    GROUP BY pb.word
+    """,
+)
+def q_agg_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch MERGEABILITY — the property that makes sketches
+    the 100 TB answer: two partition-local sketches (corpus halves by
+    doc_id) combine by plain cell-wise addition into a sketch identical
+    to the single-pass one, so a 1000-executor build is embarrassingly
+    parallel with a d*w-cell combine. The query builds both half
+    sketches, merges them, and answers the same heavy-hitter point
+    queries as q_agg_countmin — the driver hash then pins
+    merge(build(A), build(B)) == build(A ∪ B) cell-for-cell (the
+    estimates here EQUAL q_agg_countmin's by construction)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id", F.explode(tokenize(normalize_text("text"))).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    half = d.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("h"))
+    toks = toks.crossJoin(F.broadcast(half))
+    grid = spark.range(4).select(F.col("id").cast("long").alias("i"))
+
+    def bucket(word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.col("i").cast("string"), F.lit(":"), word_col),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    def half_cells(pred):
+        tc_h = (
+            toks.where(pred)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return (
+            tc_h.crossJoin(F.broadcast(grid))
+            .groupBy("i", bucket(F.col("word")).alias("bucket"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+
+    merged = (
+        half_cells(F.col("doc_id") <= F.col("h"))
+        .unionByName(half_cells(F.col("doc_id") > F.col("h")))
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    tc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = tc.orderBy(F.desc("true_count"), F.asc("word")).limit(10)
+    pb = probes.crossJoin(F.broadcast(grid)).select(
+        "word", "true_count", "i", bucket(F.col("word")).alias("bucket")
+    )
+    return (
+        pb.join(F.broadcast(merged), ["i", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.min("true_count").cast("long").alias("true_count"),
+            F.min("c").cast("long").alias("cms_est_merged"),
+        )
+    )

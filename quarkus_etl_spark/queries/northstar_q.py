@@ -1667,3 +1667,117 @@ def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.coalesce(F.col("csize"), F.lit(1))).alias("weight"),
         )
     )
+
+
+@register(
+    "q_emb_pq",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+        FROM embeddings
+        QUALIFY row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
+    ), cb AS (
+        SELECT s.c, v.e AS ce FROM seeds s JOIN v ON v.vec_id = s.vec_id
+    ), dists AS (
+        SELECT v.vec_id, cb.c,
+               list_aggregate(list_transform(range(1, 17), j ->
+                   CAST(floor((v.e[j] - cb.ce[j]) * (v.e[j] - cb.ce[j])
+                              * 1e12) AS BIGINT)), 'sum') AS d0,
+               list_aggregate(list_transform(range(17, 33), j ->
+                   CAST(floor((v.e[j] - cb.ce[j]) * (v.e[j] - cb.ce[j])
+                              * 1e12) AS BIGINT)), 'sum') AS d1,
+               list_aggregate(list_transform(range(33, 49), j ->
+                   CAST(floor((v.e[j] - cb.ce[j]) * (v.e[j] - cb.ce[j])
+                              * 1e12) AS BIGINT)), 'sum') AS d2,
+               list_aggregate(list_transform(range(49, 65), j ->
+                   CAST(floor((v.e[j] - cb.ce[j]) * (v.e[j] - cb.ce[j])
+                              * 1e12) AS BIGINT)), 'sum') AS d3
+        FROM v CROSS JOIN cb
+    ), picks AS (
+        SELECT vec_id,
+               MIN(CASE WHEN rn0 = 1 THEN c END) AS c0,
+               MIN(CASE WHEN rn1 = 1 THEN c END) AS c1,
+               MIN(CASE WHEN rn2 = 1 THEN c END) AS c2,
+               MIN(CASE WHEN rn3 = 1 THEN c END) AS c3,
+               MIN(CASE WHEN rn0 = 1 THEN d0 END)
+                 + MIN(CASE WHEN rn1 = 1 THEN d1 END)
+                 + MIN(CASE WHEN rn2 = 1 THEN d2 END)
+                 + MIN(CASE WHEN rn3 = 1 THEN d3 END) AS distortion
+        FROM (
+            SELECT *,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d0, c) AS rn0,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d1, c) AS rn1,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d3, c) AS rn3
+            FROM dists
+        ) GROUP BY vec_id
+    )
+    SELECT vec_id,
+           CAST(((c0 * 4 + c1) * 4 + c2) * 4 + c3 AS BIGINT) AS pq_code,
+           CAST(distortion AS BIGINT) AS distortion_q
+    FROM picks
+    """,
+)
+def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE: the 64-dim embedding splits into 4
+    sub-vectors of 16 dims, each assigned to its nearest codeword from a
+    4-entry deterministic codebook (the md5-seeded vectors q_emb_kmeans
+    also uses) — emitting a 1-byte PQ code (4 subspaces x 2 bits) plus
+    the exact quantized distortion. This is the serving-path compression
+    of IVF-PQ indexes (256x smaller than f64 here); training the
+    codebook is q_emb_kmeans run per subspace. Plan: ONE broadcast cross
+    join (n x 4 rows) computing all 4 sliced LONG folds per pair, one
+    hash agg taking 4 struct-argmins — no explode, no shuffle beyond the
+    n-row agg; same scale behavior as the kmeans assign pass."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import to_double_array
+
+    e = t(spark, sf_dir, "embeddings")
+    v = ensure_parallelism(e).select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+    md5 = F.md5(F.encode(F.col("vec_id").cast("string"), "UTF-8"))
+    seeds = (
+        e.select("vec_id", md5.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(4)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    cb = seeds.join(v, "vec_id").select("c", F.col("e").alias("ce"))
+
+    def subdist(s):
+        sl_e = F.slice(F.col("e"), s * 16 + 1, 16)
+        sl_c = F.slice(F.col("ce"), s * 16 + 1, 16)
+        return F.aggregate(
+            F.zip_with(sl_e, sl_c, lambda x, c: F.floor((x - c) * (x - c) * F.lit(1e12))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dists = v.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        *[F.struct(subdist(s).alias("d"), F.col("c").alias("c")).alias(f"s{s}") for s in range(4)],
+    )
+    picks = dists.groupBy("vec_id").agg(
+        *[F.min(f"s{s}").alias(f"m{s}") for s in range(4)]
+    )
+    code = (
+        (
+            (F.col("m0.c") * 4 + F.col("m1.c")) * 4 + F.col("m2.c")
+        ) * 4
+        + F.col("m3.c")
+    ).cast("long")
+    distortion = sum(F.col(f"m{s}.d") for s in range(4)).cast("long")
+    return picks.select(
+        "vec_id", code.alias("pq_code"), distortion.alias("distortion_q")
+    )
