@@ -120,25 +120,71 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_agg_stats", "q_fn_string", "q_fn_date",
     "q_fn_cond", "q_fn_cast", "q_fn_array", "q_fn_map", "q_fn_json",
     "q_win_rank",
+    # --- CORRECTNESS_r02.json: 50 graded, 50 passed (hash-conclusive).
+    "q_tpch_q10_shape", "q_tpch_q18_shape", "q_agg_percentile",
+    "q_agg_collect", "q_agg_histogram", "q_agg_mode", "q_agg_grouping_id",
+    "q_join_null_safe", "q_agg_cond_bool", "q_fn_bitwise", "q_agg_linreg",
+    "q_agg_corr", "q_stats_ttest", "q_fn_math", "q_fn_struct", "q_fn_hof",
+    "q_fn_variant", "q_fn_collate", "q_win_topk_per_group", "q_win_lag_lead",
+    "q_win_running", "q_win_ntile", "q_win_first_last", "q_win_distribution",
+    "q_win_moving", "q_win_islands", "q_win_ema", "q_subq_scalar",
+    "q_subq_in", "q_subq_exists_corr", "q_cte", "q_udf_scalar",
+    "q_udf_pandas", "q_tpch_q2_shape", "q_tpch_q4_shape", "q_tpch_q6_shape",
+    "q_tpch_q7_shape", "q_tpch_q8_shape", "q_tpch_q9_shape",
+    "q_tpch_q11_shape", "q_tpch_q12_shape", "q_tpch_q13_shape",
+    "q_tpch_q14_shape", "q_tpch_q15_shape", "q_tpch_q16_shape",
+    "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q20_shape",
+    "q_tpch_q21_shape", "q_tpch_q22_shape",
 })
+
+# SURVEY.md §2-declared queries still without any driver verdict after r2
+# (VERDICT r2 "What's missing" #1). These take the very front of the window
+# so round 3 closes out the original declaration before Tier-C+ extras.
+_GRADE_FIRST = (
+    # UDF/UDTF family (declared, ungraded)
+    "q_udaf_grouped", "q_udtf_explode", "q_udtf_python", "q_udf_arrow",
+    "q_udf_cogroup", "q_udf_mapinarrow", "q_udf_window_pandas",
+    # Streaming (all 10 declared, ungraded)
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_dedup", "q_stream_live_tumbling", "q_stream_live_dedup",
+    "q_stream_live_join", "q_stream_live_sliding", "q_stream_live_session",
+    "q_stream_live_static_join",
+    # Sinks and scans (declared, ungraded)
+    "q_sink_parquet", "q_sink_orc", "q_sink_csv_quoted", "q_scan_csv",
+    "q_scan_json", "q_etl_job", "q_multimodal_cols",
+    # Core Tier-C north-star names (declared, ungraded)
+    "q_join_asof", "q_dedup_exact", "q_dedup_ngram", "q_sim_topk",
+    "q_sim_pairs", "q_text_stats", "q_text_ngrams", "q_dedup_embed",
+    "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
+    # Highest-value Tier-C+ next (dedup/cluster family rides the new LSH
+    # routing; tfidf/bm25; time-series core)
+    "q_dedup_cluster", "q_dedup_canonical", "q_dedup_minhash",
+    "q_text_tfidf", "q_text_bm25", "q_sessionize", "q_time_rollup",
+    "q_time_gapfill", "q_join_interval", "q_win_range_frame",
+    "q_sample_hash", "q_merge_upsert", "q_table_diff", "q_dq_checks",
+)
 
 
 def _graded_last(d: dict) -> dict:
-    """Grading-priority order, registration order preserved within each
-    group: (1) not-yet-graded queries WITH an oracle — the driver window
-    turns each into a conclusive hash verdict; (2) not-yet-graded rows-only
-    queries — their window slot only yields the weaker ran+rows record;
-    (3) queries with a conclusive prior-round verdict."""
+    """Grading-priority order: (0) the explicit _GRADE_FIRST list — §2-declared
+    queries still without a driver verdict; (1) other not-yet-graded queries
+    WITH an oracle, registration order — each window slot becomes a conclusive
+    hash verdict; (2) not-yet-graded rows-only queries — weaker ran+rows
+    record; (3) queries with a conclusive prior-round verdict."""
 
-    def prio(name: str) -> int:
+    rank0 = {n: i for i, n in enumerate(_GRADE_FIRST)}
+
+    def prio(name: str) -> tuple[int, int]:
+        if name in rank0 and name not in _PREVIOUSLY_GRADED:
+            return (0, rank0[name])
         if name in _PREVIOUSLY_GRADED:
-            return 2
-        return 0 if name in ORACLES else 1
+            return (3, 0)
+        return (1, 0) if name in ORACLES else (2, 0)
 
-    out: dict = {}
-    for p in (0, 1, 2):
-        out.update({k: v for k, v in d.items() if prio(k) == p})
-    return out
+    names = sorted(d, key=lambda n: (prio(n), 0))
+    # sorted() is stable, so within each priority group the original
+    # registration order is preserved.
+    return {n: d[n] for n in names}
 
 
 def all_query_callables() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
