@@ -54,7 +54,15 @@ def jobs_from_dicts(raw: list[dict]) -> list[EtlJob]:
     out: list[EtlJob] = []
     for d in raw:
         write = d.get("write")
-        depends_on = tuple(d.get("depends_on", ()) or ())
+        deps_raw = d.get("depends_on", ()) or ()
+        if isinstance(deps_raw, str):
+            # A bare string would iterate char-by-char into ('s','t','a',...)
+            # and surface later as a confusing unknown-jobs DAG error.
+            raise TypeError(
+                f"job {d.get('name')!r}: depends_on must be a list of job "
+                f"names, got the bare string {deps_raw!r}"
+            )
+        depends_on = tuple(deps_raw)
         if isinstance(write, dict):
             write = WriteTarget(
                 format=write.get("format", "parquet"),

@@ -88,9 +88,14 @@ class JobRunner:
                     f"job {job.name}: write SQL must start with one of {_WRITE_SQL_PREFIXES}"
                 )
             references_source = "etl_source" in stmt.lower()
-            with self._sql_write_lock:
-                if references_source:
+            if references_source:
+                # The shared etl_source view name is the only cross-job
+                # mutable state; scope the lock to jobs that actually use
+                # it so DDL/static-SQL branches stay parallel under run_dag.
+                with self._sql_write_lock:
                     observed.createOrReplaceTempView("etl_source")
+                    self.spark.sql(stmt)
+            else:
                 self.spark.sql(stmt)
             # Pure DDL (the reference's job-0 `tableCreate` shape,
             # application.properties:12-15) never runs the extract, so the

@@ -635,8 +635,10 @@ def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey, o.o_orderpriority AS cat,
            (CAST(g.s AS DOUBLE) + 10.0 * (tot.st / tot.nt))
                / (n + 10.0) AS enc_smooth,
-           CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
-               / (n - 1.0) AS enc_loo
+           CASE WHEN n > 1 THEN
+               CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                   / (n - 1.0)
+           END AS enc_loo
     FROM orders o
     JOIN g ON o.o_orderpriority = g.cat
     CROSS JOIN tot
@@ -669,9 +671,12 @@ def q_feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("s").cast("double") + F.lit(10.0) * (F.col("st") / F.col("nt")))
                 / (F.col("n") + F.lit(10.0))
             ).alias("enc_smooth"),
-            (
+            # singleton categories would give 0.0/0.0 -> NaN on both
+            # engines (a hash-stability hazard); emit NULL instead
+            F.when(
+                F.col("n") > 1,
                 (F.col("s") - dec2("o_totalprice")).cast("double")
-                / (F.col("n") - F.lit(1.0))
+                / (F.col("n") - F.lit(1.0)),
             ).alias("enc_loo"),
         )
     )

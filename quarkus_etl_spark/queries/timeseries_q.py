@@ -868,13 +868,22 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM clicks
     ), changes AS (
         SELECT * FROM ordered WHERE pv IS NULL OR pv <> value
-    ), vers AS (
+    ), vers_all AS (
         SELECT user_id,
                CAST(row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS BIGINT)
                    AS version,
                ts AS valid_from, value AS dim_value
         FROM changes
+    ), vers AS (
+        -- one row per (user_id, valid_from): DuckDB's native ASOF JOIN has
+        -- no tiebreak for same-instant versions, so resolve 'latest version
+        -- wins' BEFORE the join on both engines
+        SELECT user_id, version, valid_from, dim_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                                         ORDER BY version DESC) AS rn
+            FROM vers_all
+        ) WHERE rn = 1
     ), p AS (
         SELECT event_id, user_id, ts, value FROM events
         WHERE event_type = 'purchase'
@@ -904,11 +913,20 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = clicks.select(
         "user_id", "ts", "event_id", "value", F.lag("value").over(w).alias("pv")
     ).where(F.col("pv").isNull() | (F.col("pv") != F.col("value")))
-    vers = changes.select(
+    vers_all = changes.select(
         "user_id",
         F.row_number().over(w).cast("long").alias("version"),
         F.col("ts").alias("valid_from"),
         F.col("value").alias("dim_value"),
+    )
+    # Same-instant SCD2 versions (two click-value changes at one
+    # (user_id, ts)) resolve 'latest version wins' on BOTH engines before
+    # the as-of join — the oracle's native ASOF has no tiebreak of its own.
+    wv = Window.partitionBy("user_id", "valid_from").orderBy(F.col("version").desc())
+    vers = (
+        vers_all.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
     p = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"

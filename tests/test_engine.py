@@ -57,6 +57,18 @@ def test_jobs_from_dicts_roundtrip():
     assert jobs[1].write.mode == "overwrite"
 
 
+def test_jobs_from_dicts_rejects_bare_string_depends_on():
+    # {"depends_on": "stage"} must fail at parse time, not iterate
+    # char-by-char into ('s','t','a','g','e') and surface later as a
+    # confusing unknown-jobs DAG error
+    import pytest
+
+    with pytest.raises(TypeError, match="depends_on"):
+        jobs_from_dicts(
+            [{"name": "b", "extract": "SELECT 1", "depends_on": "stage"}]
+        )
+
+
 def test_jobs_from_properties(tmp_path):
     # the reference's own config shape (application.properties:12-21)
     props = tmp_path / "application.properties"

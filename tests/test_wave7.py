@@ -102,7 +102,8 @@ def test_url_canonicalization_collapses_variants(spark, sf_dir):
 
 def test_anon_k_generalization_reduces_risk(spark, sf_dir):
     rows = _q("q_anon_k")(spark, sf_dir).collect()
-    assert sum(r.n_docs for r in rows) == 500
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
     for r in rows:
         assert 0 <= r.docs_at_risk_after <= r.docs_at_risk <= r.n_docs
 
