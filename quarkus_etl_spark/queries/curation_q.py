@@ -392,8 +392,10 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
     )
     SELECT tf.doc_id, tf.term, tf.tf,
-           ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0 AS idf,
-           tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf
+           CAST(floor((ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0)
+                      * 1000000 + 0.5) AS BIGINT) AS idf_ppm,
+           CAST(floor(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0)
+                      * 1000000 + 0.5) AS BIGINT) AS tfidf_ppm
     FROM tf JOIN df USING (term) CROSS JOIN n
     WHERE tf.tf >= 3
     """,
@@ -405,8 +407,10 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies aggregate FROM the tf table (no second corpus scan);
     the tiny df/N sides broadcast back onto tf. The tf >= 3 cut keeps the
     grader's row count focused and mirrors real min-count pruning.
-    Determinism: idf is one ln + arithmetic on exact integers — identical
-    doubles on both engines."""
+    Determinism: idf is ln over exact integers, but ln is libm-dependent
+    across hosts, so outputs are half-up ppm-quantized (floor(x*1e6+0.5),
+    the q_dq_benford discipline) on BOTH engines — a last-ulp libm skew
+    cannot move a value across the grid midpoint."""
     d = t(spark, sf_dir, "documents")
     n_docs = d.count()  # tiny scalar, cached table; a literal in the plan
     toks = ensure_parallelism(d).select(
@@ -422,8 +426,10 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "term",
             "tf",
-            idf.alias("idf"),
-            (F.col("tf") * idf).alias("tfidf"),
+            F.floor(idf * 1000000 + F.lit(0.5)).cast("long").alias("idf_ppm"),
+            F.floor((F.col("tf") * idf) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("tfidf_ppm"),
         )
     )
 
@@ -785,15 +791,14 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     two label joins shuffle only candidate ids; the label side is a
     scan-fused projection of documents (no second derivation), and AQE
     broadcasts whichever side collapses below the threshold. The pair
-    GENERATOR is the oracle-checked exact-Jaccard operator (quadratic per
-    block — right at audit scale, measured linear-in-pairs to 10x); for a
-    100 TB corpus swap in the LSH pair generator (operators/dedup.py
-    minhash path, same (id_a, id_b) contract) — the audit aggregate is
-    generator-agnostic."""
-    from ..operators.dedup import ngram_jaccard_pairs
+    GENERATOR routes by corpus size (near_dup_edges auto): the exhaustive
+    exact-Jaccard plan at audit/oracle scale, MinHash-LSH candidates with
+    exact verification above SPARK_GRAFT_EXHAUSTIVE_MAX_DOCS — the audit
+    aggregate is generator-agnostic (same (id_a, id_b) contract)."""
+    from ..operators.dedup import near_dup_edges
 
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    pairs = near_dup_edges(
         d, "doc_id", "text", block_col="lang", threshold=0.7
     ).select("id_a", "id_b")
     spl = ensure_parallelism(d).select("doc_id", _split_col().alias("split"))
@@ -1986,24 +1991,27 @@ def q_stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
     ), scored AS (
         SELECT tf.doc_id, tf.term,
-               tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf
+               CAST(floor(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0)
+                          * 1000000 + 0.5) AS BIGINT) AS tfidf_ppm
         FROM tf JOIN df USING (term) CROSS JOIN n
     ), ranked AS (
-        SELECT doc_id, term, tfidf,
+        SELECT doc_id, term, tfidf_ppm,
                ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY tfidf DESC, term ASC) AS rn
+                                  ORDER BY tfidf_ppm DESC, term ASC) AS rn
         FROM scored
     )
-    SELECT doc_id, term, tfidf, rn AS kp_rank FROM ranked WHERE rn <= 3
+    SELECT doc_id, term, tfidf_ppm, rn AS kp_rank FROM ranked WHERE rn <= 3
     """,
 )
 def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyphrase extraction: each document's top-3 terms by TF-IDF — the
     per-doc closing step over the corpus statistic q_text_tfidf already
     verifies. The rank window is bounded (per-doc state = 3 rows at any
-    scale); tfidf ties break on the term string so the rank is total.
-    The idf double is one ln + arithmetic on exact integers — identical
-    on both engines, so ORDERING by it is cross-engine safe."""
+    scale). Ranking happens on the half-up ppm-QUANTIZED score (the
+    q_dq_benford discipline): ln is libm-dependent across hosts, and a
+    raw-double ORDER BY would let a last-ulp skew flip two near-tied
+    ranks; on the ppm grid near-ties collapse to exact ties and break
+    deterministically on the term string."""
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
@@ -2019,13 +2027,17 @@ def q_text_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it measurably fits, else this is a shuffle join on the Zipf-skewed
     # term key — the AQE skew-split case.
     scored = tf.join(df_t, "term").select(
-        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+        "doc_id",
+        "term",
+        F.floor((F.col("tf") * idf) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("tfidf_ppm"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_ppm"), F.asc("term"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("doc_id", "term", "tfidf", F.col("rn").alias("kp_rank"))
+        .select("doc_id", "term", "tfidf_ppm", F.col("rn").alias("kp_rank"))
     )
 
 

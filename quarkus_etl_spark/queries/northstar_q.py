@@ -19,6 +19,7 @@ from ..operators.dedup import (
     dedup_exact,
     incremental_jaccard_pairs,
     minhash_near_dup_pairs,
+    near_dup_edges,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -182,7 +183,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import connected_components
 
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    pairs = near_dup_edges(d, "doc_id", "text", block_col="lang", threshold=0.7)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -204,7 +205,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import dedup_keep_canonical
 
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    pairs = near_dup_edges(d, "doc_id", "text", block_col="lang", threshold=0.7)
     return dedup_keep_canonical(
         d.select("doc_id", "lang", "n_chars"), pairs, "doc_id"
     )
@@ -729,7 +730,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     each message quantizes to DECIMAL(18,9) BEFORE the order-sensitive
     sum, so partial-aggregation order cannot skew the double."""
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    pairs = near_dup_edges(
         d, "doc_id", "text", block_col="lang", threshold=0.7
     ).select("id_a", "id_b")
     # The pair graph is referenced by every superstep: localCheckpoint
@@ -800,7 +801,7 @@ def q_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines implement textbook Levenshtein, so distance and the derived
     similarity ratio hash-match exactly."""
     d = t(spark, sf_dir, "documents")
-    cand = ngram_jaccard_pairs(
+    cand = near_dup_edges(
         d, "doc_id", "text", block_col="lang", threshold=0.5
     ).select("id_a", "id_b")
     norm = ensure_parallelism(d).select(
@@ -853,7 +854,7 @@ def q_dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import dedup_keep_best
 
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    pairs = near_dup_edges(d, "doc_id", "text", block_col="lang", threshold=0.7)
     return dedup_keep_best(
         d.select("doc_id", "lang", "n_chars"), pairs, "doc_id", "n_chars"
     )
@@ -1085,10 +1086,23 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked per source with a bounded window — at scale the per-source
     state is k rows, and blocking bounds the quadratic term exactly like
     the dedup family. Scores match DuckDB list_cosine_similarity
-    bit-for-bit (functions.vectors fold discipline)."""
+    bit-for-bit (functions.vectors fold discipline).
+
+    Size routing (VERDICT r2 #3): the exact half-matrix is quadratic per
+    block, so above SPARK_GRAFT_EXACT_KNN_MAX_VECS (default 50k) this
+    delegates to the sign-LSH candidate plan (knn_graph_ann — identical
+    output schema, recall floor pytest-pinned). Below it — including the
+    oracle gate — the exact plan runs and hash-matches DuckDB."""
+    import os
+
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "embeddings")
+    max_exact = int(os.environ.get("SPARK_GRAFT_EXACT_KNN_MAX_VECS", "50000"))
+    if e.count() > max_exact:
+        from ..operators.similarity import knn_graph_ann
+
+        return knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label")
     pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=-1.0)
     m = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cosine"
@@ -1469,7 +1483,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (cluster.py discipline). Ties and vote counts are integers, so
     the oracle is conclusive for the whole iterative algorithm."""
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
+    pairs = near_dup_edges(
         d, "doc_id", "text", block_col="lang", threshold=0.7
     ).select("id_a", "id_b")
     edges = (
@@ -1653,7 +1667,7 @@ def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import connected_components
 
     d = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    pairs = near_dup_edges(d, "doc_id", "text", block_col="lang", threshold=0.7)
     comp = connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     withc = d.select("doc_id").join(

@@ -1,0 +1,139 @@
+"""Size-based strategy routing (VERDICT r2 next-round #2/#3): the
+graph/cluster family must ride the exhaustive exact-Jaccard edge build at
+oracle scale and the MinHash-LSH candidate plan above the corpus-size
+threshold; q_knn_graph must delegate to the sign-LSH ANN plan above the
+vector-count threshold. These tests pin BOTH directions of the routing and
+the LSH path's precision contract (every emitted edge carries the exact
+exhaustive jaccard value)."""
+
+from __future__ import annotations
+
+import pytest
+
+from quarkus_etl_spark.operators.dedup import near_dup_edges, ngram_jaccard_pairs
+from quarkus_etl_spark.plans import plan_string
+
+
+def _docs(spark, sf_dir):
+    from quarkus_etl_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_lsh_edges_are_subset_with_identical_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_edges(
+            d, "doc_id", "text", block_col="lang", threshold=0.7,
+            strategy="exhaustive",
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_edges(
+            d, "doc_id", "text", block_col="lang", threshold=0.7, strategy="lsh"
+        ).collect()
+    }
+    # precision 1.0: every LSH edge is a true edge with the exact value
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # recall at fixture density (64 hashes / 16 bands, t=0.7 -> band-collision
+    # probability ~0.99 per true pair) must be near-total
+    assert len(lsh) >= 0.9 * len(exact) > 0
+
+
+def test_near_dup_edges_auto_routes_by_corpus_size(spark, sf_dir, monkeypatch):
+    d = _docs(spark, sf_dir)
+    # fixture corpus is far below the default threshold -> exhaustive
+    # (the log-bucketed self-join; no minhash signature columns in plan)
+    auto_small = near_dup_edges(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    assert "array_min" not in plan_string(auto_small)
+    # force the threshold below the corpus size -> LSH candidates
+    monkeypatch.setenv("SPARK_GRAFT_EXHAUSTIVE_MAX_DOCS", "1")
+    auto_big = near_dup_edges(d, "doc_id", "text", block_col="lang", threshold=0.7)
+    assert "array_min" in plan_string(auto_big)
+
+
+def test_ngram_jaccard_auto_routes_to_exact_prefix(spark, sf_dir, monkeypatch):
+    """q_dedup_ngram's auto route must stay EXACT on both sides of the
+    threshold: exhaustive below, AllPairs prefix filtering above — same
+    result multiset either way."""
+    d = _docs(spark, sf_dir)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", block_col="lang", threshold=0.7
+        ).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_EXHAUSTIVE_MAX_DOCS", "1")
+    routed = ngram_jaccard_pairs(
+        d, "doc_id", "text", block_col="lang", threshold=0.7
+    )
+    assert "array_min" not in plan_string(routed)  # prefix, not LSH
+    assert {(r.id_a, r.id_b): r.jaccard for r in routed.collect()} == exact
+
+
+def test_graph_family_consumes_the_router():
+    """Source-level pin: every cluster/graph consumer builds its pair graph
+    through near_dup_edges (auto-routed), never ngram_jaccard_pairs
+    directly — the CC rounds localCheckpoint, so the edge plan is not
+    visible in the final output's lineage and must be pinned here."""
+    import inspect
+
+    from quarkus_etl_spark.queries import curation_q, northstar_q
+
+    for fn in (
+        northstar_q.q_dedup_cluster,
+        northstar_q.q_dedup_canonical,
+        northstar_q.q_dedup_canonical_best,
+        northstar_q.q_dedup_soft,
+        northstar_q.q_graph_pagerank,
+        northstar_q.q_graph_label_prop,
+        northstar_q.q_text_fuzzy,
+        curation_q.q_split_leakage,
+    ):
+        src = inspect.getsource(fn)
+        assert "near_dup_edges(" in src, fn.__name__
+        assert "ngram_jaccard_pairs(" not in src, fn.__name__
+
+
+def test_graph_family_valid_under_lsh_edge_build(spark, sf_dir, monkeypatch):
+    """With the threshold forced low, the cluster query runs on LSH
+    candidates end-to-end and still produces a structurally valid
+    clustering (cluster id == component minimum)."""
+    from quarkus_etl_spark.queries.northstar_q import q_dedup_cluster
+
+    monkeypatch.setenv("SPARK_GRAFT_EXHAUSTIVE_MAX_DOCS", "1")
+    out = q_dedup_cluster(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    # cluster id is the component minimum, so it can never exceed the member
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+        assert r.cluster_id <= r.doc_id
+    for cid, members in by_cluster.items():
+        assert min(members) == cid
+
+
+def test_knn_graph_routes_to_ann_above_threshold(spark, sf_dir, monkeypatch):
+    from quarkus_etl_spark.queries.northstar_q import q_knn_graph
+
+    exact_cols = q_knn_graph(spark, sf_dir).columns
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_KNN_MAX_VECS", "1")
+    routed = q_knn_graph(spark, sf_dir)
+    assert routed.columns == exact_cols  # identical output contract
+    rows = routed.collect()
+    assert len(rows) > 0
+    assert all(1 <= r.nn_rank <= 3 for r in rows)
+
+
+@pytest.mark.parametrize("bad", ["bogus", "LSH "])
+def test_unknown_strategy_raises(spark, sf_dir, bad):
+    d = _docs(spark, sf_dir)
+    with pytest.raises(ValueError, match="strategy"):
+        near_dup_edges(
+            d, "doc_id", "text", block_col="lang", threshold=0.7, strategy=bad
+        ).collect()
