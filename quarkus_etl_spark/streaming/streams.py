@@ -266,6 +266,55 @@ def stream_static_enrich(
     return stream_df.join(F.broadcast(dim_df), on, how)
 
 
+class WelfordProcessor:
+    """The per-key stateful processor behind user_stats_tws, hoisted to
+    module scope so its CONTRACT (state round-trip via the handle's
+    ValueState, multi-batch Welford merge, emitted frame schema) is
+    pytest-exercised directly even where the tws Python runner's protobuf
+    dependency is absent (see tests/test_streaming.py). Subclasses
+    StatefulProcessor lazily at class-construction time below — the base
+    class import is dependency-free; only the RUNNER needs protobuf."""
+
+    def init(self, handle) -> None:
+        self._stats = handle.getValueState("stats", "n long, mean double, m2 double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd  # noqa: PLC0415
+
+        prev = self._stats.get()
+        n, mean, m2 = prev if prev is not None else (0, 0.0, 0.0)
+        for pdf in rows:
+            for v in pdf["value"]:
+                n += 1
+                d = float(v) - mean
+                mean += d / n
+                m2 += d * (float(v) - mean)
+        self._stats.update((n, mean, m2))
+        var = m2 / (n - 1) if n > 1 else 0.0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "mean_value": [mean],
+                "var_value": [var],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _welford_processor_instance():
+    """WelfordProcessor as a pyspark StatefulProcessor subclass (dynamic
+    subclassing keeps module import free of pyspark.streaming internals)."""
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+    )
+
+    cls = type("WelfordStatefulProcessor", (WelfordProcessor, StatefulProcessor), {})
+    return cls()
+
+
 def user_stats_tws(
     events: DataFrame,
     watermark: str = "10 minutes",
@@ -287,45 +336,11 @@ def user_stats_tws(
     single-pass and numerically stable, so per-key state is three numbers
     regardless of stream length; the watermark + Update mode bound what a
     micro-batch reprocesses."""
-    import pandas as pd  # noqa: PLC0415
-
-    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class WelfordProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._stats = handle.getValueState("stats", "n long, mean double, m2 double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            prev = self._stats.get()
-            n, mean, m2 = prev if prev is not None else (0, 0.0, 0.0)
-            for pdf in rows:
-                for v in pdf["value"]:
-                    n += 1
-                    d = float(v) - mean
-                    mean += d / n
-                    m2 += d * (float(v) - mean)
-            self._stats.update((n, mean, m2))
-            var = m2 / (n - 1) if n > 1 else 0.0
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "mean_value": [mean],
-                    "var_value": [var],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
-            statefulProcessor=WelfordProcessor(),
+            statefulProcessor=_welford_processor_instance(),
             outputStructType="user_id long, n_events long, mean_value double, var_value double",
             outputMode="Update",
             timeMode="EventTime",
