@@ -167,23 +167,22 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition scoring: fraction of duplicated word bigrams + most-common
     token mass, thresholded to a filter flag. Both signals are per-row
-    column algebra (the token histogram is a transform-over-distinct fold,
-    O(n·distinct) per row — bounded by document length), so the operator is
-    map-only: no explode, no shuffle, at any corpus size."""
+    column algebra (the token count is a per-row-adaptive
+    histogram/sorted-run fold — see functions/text.py max_token_count), so
+    the operator is map-only: no explode, no shuffle, at any corpus size."""
     d = t(spark, sf_dir, "documents")
     tk = tokenize(normalize_text("text"))
     base = ensure_parallelism(d).select("doc_id", tk.alias("tk"), ngrams(tk, 2).alias("bg"))
-    # Max token frequency via transform-over-distinct: O(L·V) per row.
-    # Measured at 500k replicated docs (L≈56): 50 s, vs 66 s for a
-    # sort+boundary zip_with and 118 s for a struct-state aggregate fold —
-    # for short web/doc-shaped rows the naive histogram's tight codegen
-    # beats the asymptotically-better forms; past L ~ thousands of tokens
-    # (books), switch to the sorted-run formulation: same output, O(L log L).
-    counts = F.transform(
-        F.array_distinct("tk"), lambda w: F.size(F.filter(F.col("tk"), lambda x: x == w))
-    )
+    # Max token frequency: per-ROW adaptive (functions/text.py
+    # max_token_count) — transform-over-distinct histogram below 1024
+    # tokens (measured 50 s vs 66 s sorted at 500k web-shaped docs, L≈56),
+    # sorted-run O(L log L) above (book-length docs, where the O(L·V)
+    # histogram explodes). Same exact integer either way; parity-pinned by
+    # tests/test_routing.py.
+    from ..functions.text import max_token_count
+
     dup_frac = F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg")
-    top_frac = F.array_max(counts) / F.size("tk")
+    top_frac = max_token_count(F.col("tk")) / F.size("tk")
     return base.select(
         "doc_id",
         dup_frac.alias("dup_bigram_frac"),

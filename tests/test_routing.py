@@ -130,6 +130,48 @@ def test_knn_graph_routes_to_ann_above_threshold(spark, sf_dir, monkeypatch):
     assert all(1 <= r.nn_rank <= 3 for r in rows)
 
 
+def test_max_token_count_strategies_agree(spark, sf_dir):
+    """The histogram and sorted-run forms must produce the IDENTICAL
+    integer on every fixture doc and on synthetic long docs that cross the
+    per-row switch (a token's multiplicity equals its sorted-run length)."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.functions.text import (
+        MAX_TOKEN_HIST_LEN,
+        _max_count_hist,
+        _max_count_sorted,
+        max_token_count,
+        normalize_text,
+        tokenize,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        tokenize(normalize_text("text")).alias("tk")
+    )
+    # synthetic docs longer than the switch threshold: the fixture corpus is
+    # short-doc-shaped, so without these the sorted branch never executes
+    long_docs = spark.range(20).select(
+        F.flatten(
+            F.array_repeat(
+                F.split(F.lit("alpha beta gamma delta beta"), " "),
+                (MAX_TOKEN_HIST_LEN // 5) + 20,
+            )
+        ).alias("tk")
+    )
+    for frame in (d, long_docs):
+        diff = (
+            frame.select(
+                _max_count_hist(F.col("tk")).alias("h"),
+                _max_count_sorted(F.col("tk")).alias("s"),
+                max_token_count(F.col("tk")).alias("a"),
+            )
+            .where((F.col("h") != F.col("s")) | (F.col("a") != F.col("h")))
+            .count()
+        )
+        assert diff == 0
+
+
 @pytest.mark.parametrize("bad", ["bogus", "LSH "])
 def test_unknown_strategy_raises(spark, sf_dir, bad):
     d = _docs(spark, sf_dir)
