@@ -435,3 +435,97 @@ def knn_graph_ann(
             F.col("__rn").alias("nn_rank"),
         )
     )
+
+
+# Exact-pairwise routing threshold (q_sim_pairs / q_dedup_embed): the
+# blocked half-matrix is quadratic per block — measured 1109 s at 200k
+# vectors on local[32] — so above this count the pair generators delegate
+# to sign-LSH bucketed candidates with exact-cosine verification
+# (precision 1.0 at the threshold, recall bounded by the bucket S-curve).
+EXACT_PAIRWISE_MAX_VECS = 50_000
+
+
+def fits_exact_pairwise(df: DataFrame) -> bool:
+    import os
+
+    limit = int(
+        os.environ.get("SPARK_GRAFT_EXACT_PAIRWISE_MAX_VECS", EXACT_PAIRWISE_MAX_VECS)
+    )
+    return df.count() <= limit
+
+
+def ann_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+    n_planes: int | None = None,
+    seed: int = 42,
+    target_bucket: int = 200,
+) -> DataFrame:
+    """APPROXIMATE all-pairs at cosine >= threshold: the scale path for
+    `pairwise_similar`. Same multi-probe sign-LSH candidate plan as
+    knn_graph_ann — each vector probes its own bucket plus all hamming-1
+    neighbors, and the `probe.id < base.id` conjunct makes every unordered
+    pair appear EXACTLY once (same-bucket pairs surface only from the
+    smaller id's self-probe; one-bit-apart pairs only from the smaller id's
+    neighbor-probe) — verified with the exact cosine fold, so every emitted
+    pair carries the identical value the exhaustive plan would produce.
+    Auto-sized P = log2(n/target) keeps expected bucket size constant as
+    data grows (fixed P goes quadratic — measured, see knn_graph_ann)."""
+    if n_planes is None:
+        n_rows = max(df.count(), 1)
+        n_planes = max(3, math.ceil(math.log2(max(n_rows / target_bucket, 1.0))))
+    planes = random_hyperplanes(64, n_planes, seed)
+    cols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
+    if block_col is not None:
+        cols.append(F.col(block_col).alias("__blk"))
+    base = ensure_parallelism(df.select(*cols)).withColumn(
+        "__n", l2_norm(F.col("__v"))
+    )
+    bucketed = add_lsh_bucket(base, "__v", planes, out_col="__b")
+    probe_cols = [
+        F.col(id_col).alias("__pid"),
+        F.col("__v").alias("__pv"),
+        F.col("__n").alias("__pn"),
+        F.explode(
+            F.array(
+                F.col("__b"),
+                *[F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+        ).alias("__pb"),
+    ]
+    if block_col is not None:
+        probe_cols.insert(3, F.col("__blk").alias("__pblk"))
+    probes = bucketed.select(*probe_cols)
+    raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
+    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    cond = (F.col("__pb") == F.col("__b")) & (F.col("__pid") < F.col(id_col))
+    if block_col is not None:
+        cond = cond & (F.col("__pblk") == F.col("__blk"))
+    return (
+        probes.join(bucketed, cond)
+        .select(
+            F.col("__pid").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def similar_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Size-routed pair generation: exact blocked half-matrix below
+    EXACT_PAIRWISE_MAX_VECS (the oracle-checked plan), sign-LSH candidates
+    with exact verification above. Identical (id_a, id_b, cosine) contract
+    and identical values on every emitted pair."""
+    if fits_exact_pairwise(df):
+        return pairwise_similar(df, id_col, vec_col, block_col, threshold)
+    return ann_pairs(df, id_col, vec_col, threshold, block_col=block_col)

@@ -263,9 +263,15 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise cosine >= 0.4 within label blocks (the fixture
     embeddings are near-orthogonal random vectors; 0.4 sits in the top
-    ~0.05% of the within-label cosine distribution)."""
+    ~0.05% of the within-label cosine distribution). Size-routed: above
+    SPARK_GRAFT_EXACT_PAIRWISE_MAX_VECS (50k; exact half-matrix measured
+    1109 s at 200k vecs) the pairs come from sign-LSH candidates with
+    exact-cosine verification — identical values on every emitted pair,
+    recall S-curve-bounded (operators/similarity.py ann_pairs)."""
+    from ..operators.similarity import similar_pairs_auto
+
     e = t(spark, sf_dir, "embeddings")
-    return pairwise_similar(e, "vec_id", "embedding", "label", threshold=0.4)
+    return similar_pairs_auto(e, "vec_id", "embedding", "label", threshold=0.4)
 
 
 @register(
@@ -289,9 +295,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold matches DuckDB list_cosine_similarity bit-for-bit), so unlike the
     MinHash/SimHash members this one is fully oracle-checked end-to-end."""
     from ..operators.dedup import drop_near_duplicates
+    from ..operators.similarity import similar_pairs_auto
 
     e = t(spark, sf_dir, "embeddings")
-    pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=0.4)
+    pairs = similar_pairs_auto(e, "vec_id", "embedding", "label", threshold=0.4)
     return drop_near_duplicates(e.select("vec_id", "label"), pairs, "vec_id")
 
 

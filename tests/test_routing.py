@@ -130,6 +130,56 @@ def test_knn_graph_routes_to_ann_above_threshold(spark, sf_dir, monkeypatch):
     assert all(1 <= r.nn_rank <= 3 for r in rows)
 
 
+def test_ann_pairs_subset_with_identical_cosine(spark, sf_dir):
+    """The sign-LSH pair generator must emit a SUBSET of the exact pairs,
+    each with the identical cosine, each exactly once (the probe.id <
+    base.id conjunct), with near-total recall at fixture scale."""
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.similarity import ann_pairs, pairwise_similar
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in pairwise_similar(
+            e, "vec_id", "embedding", "label", threshold=0.4
+        ).collect()
+    }
+    ann_rows = ann_pairs(
+        e, "vec_id", "embedding", 0.4, block_col="label", n_planes=4
+    ).collect()
+    ann = {(r.id_a, r.id_b): r.cosine for r in ann_rows}
+    assert len(ann_rows) == len(ann)  # each pair exactly once
+    assert set(ann) <= set(exact)
+    for k, v in ann.items():
+        assert v == exact[k]
+    # Recall floor: the fixture's qualifying pairs sit AT the 0.4 threshold,
+    # which is mid-S-curve for sign-LSH (per-plane collision 1-acos(.4)/pi
+    # ~= 0.63; same-bucket + hamming-1 multiprobe at 4 planes ~= 0.53
+    # expected) — so with only ~5 exact pairs assert survival, not a high
+    # ratio. TRUE near-dups (cosine > 0.9, the dedup case) collide with
+    # probability > 0.99 — that is the regime the router targets.
+    assert len(ann) >= 1 and len(exact) > 0
+
+
+def test_sim_pairs_routes_to_ann_above_threshold(spark, sf_dir, monkeypatch):
+    from quarkus_etl_spark.queries.northstar_q import q_dedup_embed, q_sim_pairs
+
+    exact_cols = q_sim_pairs(spark, sf_dir).columns
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_PAIRWISE_MAX_VECS", "1")
+    routed = q_sim_pairs(spark, sf_dir)
+    assert routed.columns == exact_cols
+    assert routed.count() > 0
+    # dedup_embed rides the same router and must still resolve survivors
+    total = q_dedup_embed(spark, sf_dir).count()
+    assert 0 < total <= load_table_count(spark, sf_dir)
+
+
+def load_table_count(spark, sf_dir):
+    from quarkus_etl_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings").count()
+
+
 def test_max_token_count_strategies_agree(spark, sf_dir):
     """The histogram and sorted-run forms must produce the IDENTICAL
     integer on every fixture doc and on synthetic long docs that cross the
