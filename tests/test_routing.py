@@ -130,6 +130,53 @@ def test_knn_graph_routes_to_ann_above_threshold(spark, sf_dir, monkeypatch):
     assert all(1 <= r.nn_rank <= 3 for r in rows)
 
 
+def test_incremental_lsh_subset_with_identical_jaccard(spark, sf_dir):
+    """The asymmetric LSH plan must emit a subset of the exact incremental
+    pairs with identical jaccard values, and the auto route must flip to it
+    when the combined corpus exceeds the threshold."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.dedup import incremental_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    delta = d.where(F.col("doc_id") % 5 == 0)
+    exact = {
+        (r.id_exist, r.id_new): r.jaccard
+        for r in incremental_jaccard_pairs(
+            corpus, delta, "doc_id", "text", "lang", 0.7, strategy="exact"
+        ).collect()
+    }
+    lsh = {
+        (r.id_exist, r.id_new): r.jaccard
+        for r in incremental_jaccard_pairs(
+            corpus, delta, "doc_id", "text", "lang", 0.7, strategy="lsh"
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert len(lsh) >= 0.9 * len(exact) > 0  # t=0.7: band collision ~0.99
+
+
+def test_incremental_auto_routes_by_size(spark, sf_dir, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.dedup import incremental_jaccard_pairs
+    from quarkus_etl_spark.plans import plan_string
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    delta = d.where(F.col("doc_id") % 5 == 0)
+    small = incremental_jaccard_pairs(corpus, delta, "doc_id", "text", "lang", 0.7)
+    assert "array_min" not in plan_string(small)  # exact plan
+    monkeypatch.setenv("SPARK_GRAFT_EXHAUSTIVE_MAX_DOCS", "1")
+    big = incremental_jaccard_pairs(corpus, delta, "doc_id", "text", "lang", 0.7)
+    assert "array_min" in plan_string(big)  # minhash signatures present
+
+
 def test_ann_pairs_subset_with_identical_cosine(spark, sf_dir):
     """The sign-LSH pair generator must emit a SUBSET of the exact pairs,
     each with the identical cosine, each exactly once (the probe.id <
