@@ -91,6 +91,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP -> TIMESTAMP_NTZ casting goes through the SESSION
+        # timezone: on a host session that is not UTC the converted wall
+        # time would shift by the TZ offset relative to the naive nanos
+        # DuckDB reads — pin UTC here (runtime conf, same pattern as
+        # nanosAsLong) so the fixture's ts is engine- and host-independent.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

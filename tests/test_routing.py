@@ -130,6 +130,36 @@ def test_knn_graph_routes_to_ann_above_threshold(spark, sf_dir, monkeypatch):
     assert all(1 <= r.nn_rank <= 3 for r in rows)
 
 
+def test_events_ts_is_session_timezone_independent(spark, sf_dir):
+    """The driver builds its OWN SparkSession whose timezone we don't
+    control; the events nanos->NTZ conversion must yield the same wall
+    time DuckDB reads from the naive parquet nanos regardless of the
+    session TZ (load_table pins UTC as a runtime conf)."""
+    import duckdb
+
+    from quarkus_etl_spark import catalog as cat
+
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # bypass the table cache: it would return the UTC-session plan
+    cat._TABLE_CACHE.pop((cat._session_key(sess), sf_dir, "events"), None)
+    got = {
+        r.event_id: r.ts
+        for r in cat.load_table(sess, sf_dir, "events")
+        .select("event_id", "ts")
+        .orderBy("event_id")
+        .limit(20)
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_id, CAST(ts AS TIMESTAMP) FROM "
+            f"read_parquet('{sf_dir}/events.parquet') ORDER BY event_id LIMIT 20"
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_incremental_lsh_subset_with_identical_jaccard(spark, sf_dir):
     """The asymmetric LSH plan must emit a subset of the exact incremental
     pairs with identical jaccard values, and the auto route must flip to it
