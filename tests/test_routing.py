@@ -130,6 +130,42 @@ def test_knn_graph_routes_to_ann_above_threshold(spark, sf_dir, monkeypatch):
     assert all(1 <= r.nn_rank <= 3 for r in rows)
 
 
+def test_lsh_paths_never_plan_nested_loops(spark, sf_dir):
+    """Every LSH candidate plan must join on equi-keys (bucket/band/id):
+    if a refactor breaks an equality conjunct, Catalyst silently falls back
+    to BroadcastNestedLoopJoin/CartesianProduct — the quadratic the router
+    exists to avoid. Pin their absence in all three generators."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        near_dup_edges,
+    )
+    from quarkus_etl_spark.operators.similarity import ann_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    plans = [
+        plan_string(
+            near_dup_edges(d, "doc_id", "text", block_col="lang",
+                           threshold=0.7, strategy="lsh")
+        ),
+        plan_string(
+            incremental_jaccard_pairs(
+                d.where(F.col("doc_id") % 5 != 0),
+                d.where(F.col("doc_id") % 5 == 0),
+                "doc_id", "text", "lang", 0.7, strategy="lsh",
+            )
+        ),
+        plan_string(ann_pairs(e, "vec_id", "embedding", 0.4,
+                              block_col="label", n_planes=4)),
+    ]
+    for p in plans:
+        assert "CartesianProduct" not in p, p[:2000]
+        assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
 def test_events_ts_is_session_timezone_independent(spark, sf_dir):
     """The driver builds its OWN SparkSession whose timezone we don't
     control; the events nanos->NTZ conversion must yield the same wall
