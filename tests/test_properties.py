@@ -262,3 +262,72 @@ def test_zorder_quantize_edges(spark):
     rows = df.collect()
     assert [r["q4"] for r in rows] == [0, 8, 15]
     assert all(0 <= r["qconst"] <= 15 for r in rows)
+
+
+def _py_jaccard_pairs(docs, threshold):
+    """Reference pair generator: docs = [(id, block, text)] -> exact word-
+    bigram-set Jaccard pairs (id_a < id_b) at/above threshold."""
+    import itertools
+
+    feats = {}
+    for did, blk, text in docs:
+        toks = text.lower().split()
+        feats[did] = (blk, {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)})
+    out = {}
+    for (ia, (ba, sa)), (ib, (bb, sb)) in itertools.combinations(
+        sorted(feats.items()), 2
+    ):
+        if ba != bb or not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out[(ia, ib)] = j
+    return out
+
+
+def test_near_dup_edges_strategies_on_random_corpora(spark):
+    """On seeded random corpora with planted near-duplicates: exhaustive ==
+    prefix == the Python reference exactly, and the LSH plan emits a subset
+    with identical values. Exercises shapes the fixture corpus doesn't
+    (tiny blocks, empty docs, single-token docs)."""
+    from quarkus_etl_spark.operators.dedup import near_dup_edges
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    did = 0
+    for _ in range(120):
+        n = rng.randint(0, 12)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        blk = rng.choice(["en", "fr"])
+        docs.append((did, blk, text))
+        did += 1
+        if rng.random() < 0.4 and n > 3:
+            # planted near-duplicate: perturb one token
+            toks = text.split()
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            docs.append((did, blk, " ".join(toks)))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    want = _py_jaccard_pairs(docs, 0.6)
+    for strategy in ("exhaustive", "prefix"):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in near_dup_edges(
+                df, "doc_id", "text", block_col="lang", threshold=0.6,
+                strategy=strategy,
+            ).collect()
+        }
+        assert set(got) == set(want), strategy
+        for k, v in got.items():
+            assert math.isclose(v, want[k], rel_tol=1e-12), (strategy, k)
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_dup_edges(
+            df, "doc_id", "text", block_col="lang", threshold=0.6, strategy="lsh"
+        ).collect()
+    }
+    assert set(lsh) <= set(want)
+    for k, v in lsh.items():
+        assert math.isclose(v, want[k], rel_tol=1e-12)
