@@ -130,18 +130,24 @@ def main() -> None:
     }
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
+    # Key order matters: the driver's record of this line keeps only a TAIL
+    # window (BENCH_r02.json shows the head — metric/value — truncated away
+    # and parsed: None), so the big per-query dict goes first and every
+    # headline number is REPEATED at the end where any tail capture sees it.
     result = {
         "metric": "full_inventory_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
-        "n_queries": len(names),
-        "bench_runs": len(totals_per_run),
-        "totals_per_run": totals_per_run,
-        "per_query_stat": "min_over_runs",
         "streaming_note": "wall includes one-shot micro-batch startup; see rows_per_sec",
         "streaming": streaming,
+        "per_query_stat": "min_over_runs",
+        "totals_per_run": totals_per_run,
+        "bench_runs": len(totals_per_run),
+        "n_queries": len(names),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+        "sf": float(sf),
+        "total_sec": total,
     }
     print(json.dumps(result))
     spark.stop()
