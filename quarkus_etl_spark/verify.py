@@ -45,7 +45,10 @@ def _canon(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return ("float", "NaN")
-        return ("float", v)
+        # distinguish -0.0 from +0.0: Python == and hash() conflate them,
+        # a bit-level value hash does not — same strictness rationale as
+        # the type tags above.
+        return ("float", v, math.copysign(1.0, v))
     if isinstance(v, int):
         return ("int", v)
     if isinstance(v, decimal.Decimal):
