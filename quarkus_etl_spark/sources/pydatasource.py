@@ -93,6 +93,12 @@ class AddressDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # The DataSource class is pickled BY REFERENCE to the create-instance
+    # worker; when the harness imports this package by path from a foreign
+    # cwd, workers need the addPyFile zip to import it (catalog.py).
+    from ..catalog import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     spark.dataSource.register(AddressDataSource)
 
 
