@@ -135,33 +135,67 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_tpch_q14_shape", "q_tpch_q15_shape", "q_tpch_q16_shape",
     "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q20_shape",
     "q_tpch_q21_shape", "q_tpch_q22_shape",
-})
-
-# SURVEY.md §2-declared queries still without any driver verdict after r2
-# (VERDICT r2 "What's missing" #1). These take the very front of the window
-# so round 3 closes out the original declaration before Tier-C+ extras.
-_GRADE_FIRST = (
-    # UDF/UDTF family (declared, ungraded)
+    # --- CORRECTNESS_r03.json: 50 graded, 50 passed (hash-conclusive).
     "q_udaf_grouped", "q_udtf_explode", "q_udtf_python", "q_udf_arrow",
     "q_udf_cogroup", "q_udf_mapinarrow", "q_udf_window_pandas",
-    # Streaming (all 10 declared, ungraded)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_dedup", "q_stream_live_tumbling", "q_stream_live_dedup",
     "q_stream_live_join", "q_stream_live_sliding", "q_stream_live_session",
-    "q_stream_live_static_join",
-    # Sinks and scans (declared, ungraded)
-    "q_sink_parquet", "q_sink_orc", "q_sink_csv_quoted", "q_scan_csv",
-    "q_scan_json", "q_etl_job", "q_multimodal_cols",
-    # Core Tier-C north-star names (declared, ungraded)
-    "q_join_asof", "q_dedup_exact", "q_dedup_ngram", "q_sim_topk",
-    "q_sim_pairs", "q_text_stats", "q_text_ngrams", "q_dedup_embed",
-    "q_text_langid", "q_text_quality", "q_text_fingerprint", "q_text_tokens",
-    # Highest-value Tier-C+ next (dedup/cluster family rides the new LSH
-    # routing; tfidf/bm25; time-series core)
-    "q_dedup_cluster", "q_dedup_canonical", "q_dedup_minhash",
-    "q_text_tfidf", "q_text_bm25", "q_sessionize", "q_time_rollup",
-    "q_time_gapfill", "q_join_interval", "q_win_range_frame",
+    "q_stream_live_static_join", "q_sink_parquet", "q_sink_orc",
+    "q_sink_csv_quoted", "q_scan_csv", "q_scan_json", "q_etl_job",
+    "q_multimodal_cols", "q_join_asof", "q_dedup_exact", "q_dedup_ngram",
+    "q_sim_topk", "q_sim_pairs", "q_text_stats", "q_text_ngrams",
+    "q_dedup_embed", "q_text_langid", "q_text_quality", "q_text_fingerprint",
+    "q_text_tokens", "q_dedup_cluster", "q_dedup_canonical",
+    "q_dedup_minhash", "q_text_tfidf", "q_text_bm25", "q_sessionize",
+    "q_time_rollup", "q_time_gapfill", "q_join_interval", "q_win_range_frame",
     "q_sample_hash", "q_merge_upsert", "q_table_diff", "q_dq_checks",
+})
+
+# The grading backlog after r3 (VERDICT r3 "Next round" #1): every oracled
+# query with no driver verdict yet, 88 names. The window is ~50/round, so the
+# first ~50 here land in CORRECTNESS_r04 and the rest in r05. Ordered by
+# family value: embeddings/graph (incl. the kmeans scale-lever rework),
+# dedup/similarity extensions, text/corpus curation, training prep, then the
+# analytics/time-series/lifecycle tail.
+_GRADE_FIRST = (
+    # Embedding family (incl. q_emb_kmeans — the one flagged perf-weak item)
+    "q_emb_centroid", "q_emb_covariance", "q_emb_quantize", "q_emb_pq",
+    "q_emb_kmeans", "q_knn_graph",
+    # Graph family (rides the routed edge builder)
+    "q_graph_pagerank", "q_graph_triangles", "q_graph_label_prop",
+    # Dedup extensions (+ q_dedup_simhash newly oracled this round)
+    "q_dedup_canonical_best", "q_dedup_incremental", "q_dedup_soft",
+    "q_dedup_url", "q_dedup_simhash", "q_chunk_dedup", "q_decontaminate",
+    # Similarity extensions (+ q_sim_ann_lsh newly oracled this round)
+    "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
+    "q_rank_ndcg",
+    # Text analysis tail
+    "q_text_chunk", "q_text_pii", "q_text_repetition", "q_text_html",
+    "q_text_url", "q_text_fuzzy", "q_text_colloc", "q_text_keyphrase",
+    "q_text_postings", "q_text_bigram_lp", "q_text_unigram_lp",
+    # Corpus curation
+    "q_corpus_stats", "q_corpus_entropy", "q_corpus_curate",
+    "q_corpus_pipeline",
+    # Training prep
+    "q_pack_sequences", "q_split_assign", "q_split_leakage",
+    "q_span_corrupt", "q_tok_bpe_learn", "q_tok_apply", "q_vocab_build",
+    # Mixtures / sampling / features / privacy
+    "q_mix_rebalance", "q_mix_temperature", "q_quota_sample",
+    "q_sample_stratified", "q_sample_weighted", "q_oversample",
+    "q_feat_hash", "q_feat_scale", "q_anon_k",
+    # --- ~window boundary: the rest queues for r05 ---
+    "q_feat_target_encode", "q_agg_incremental", "q_agg_countmin",
+    "q_agg_countmin_merge", "q_funnel", "q_funnel_window",
+    "q_retention_cohort", "q_attribution", "q_scd2_build", "q_time_ohlc",
+    "q_time_acf", "q_time_changepoint", "q_time_interp", "q_time_lttb",
+    "q_time_seasonal", "q_dq_anomaly", "q_dq_benford", "q_dq_freshness",
+    "q_dq_profile", "q_drift_tvd", "q_outlier_mad", "q_stats_chi2",
+    "q_stats_gini", "q_stats_ks", "q_win_concurrency", "q_win_drawdown",
+    "q_win_pattern", "q_win_session_native", "q_join_pit", "q_join_bucketed",
+    "q_join_skew_salted", "q_shard_manifest", "q_zorder_key",
+    "q_scan_csv_dirty", "q_scan_jdbc_live", "q_scan_merge_schema",
+    "q_scan_partitioned", "q_gen_pysource",
 )
 
 
