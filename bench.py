@@ -116,18 +116,29 @@ def main() -> None:
     # as rows/s over the fixture's events volume so per-row regressions
     # aren't masked by startup noise (steady-state rates at 10M events are
     # in SCALE.md).
-    from quarkus_etl_spark.catalog import load_table as _lt
+    streaming: dict[str, dict] = {}
+    live_names = [
+        n for n in names
+        if n.startswith("q_stream_live_") and timings.get(n, -1) > 0
+    ]
+    if live_names:
+        # Only touch the events fixture when a live query actually ran: a
+        # custom-subset run without it must still print its timings even if
+        # the fixture is absent.
+        try:
+            from quarkus_etl_spark.catalog import load_table as _lt
 
-    n_events = _lt(spark, sf_dir, "events").count()
-    streaming = {
-        name: {
-            "wall_sec": timings[name],
-            "input_rows": n_events,
-            "rows_per_sec": round(n_events / timings[name], 1),
-        }
-        for name in names
-        if name.startswith("q_stream_live_") and timings.get(name, -1) > 0
-    }
+            n_events = _lt(spark, sf_dir, "events").count()
+            streaming = {
+                name: {
+                    "wall_sec": timings[name],
+                    "input_rows": n_events,
+                    "rows_per_sec": round(n_events / timings[name], 1),
+                }
+                for name in live_names
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: streaming-rate section skipped: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     # Key order matters: the driver's record of this line keeps only a TAIL

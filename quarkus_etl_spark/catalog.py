@@ -76,6 +76,27 @@ def _session_key(spark: SparkSession) -> str:
 
 
 _WORKER_IMPORTS_READY: set[str] = set()
+_SESSION_CONFS_READY: set[str] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the engine-contract runtime confs once per session, at FIRST
+    fixture load — not as a side effect of loading one particular table.
+
+    UTC session timezone is part of this engine's semantics (NTZ<->instant
+    casts, watermark comparisons, date_trunc on instants all assume it; the
+    DuckDB oracle reads naive timestamps). Pinning it on the first
+    load_table call — whatever the table — makes every query in a session
+    see the same timezone instead of host-tz-before-events / UTC-after
+    (order-dependent results on non-UTC hosts). get_spark() already sets
+    both confs at construction; this covers the grading harness's vanilla
+    session, where they are runtime-settable."""
+    key = _session_key(spark)
+    if key in _SESSION_CONFS_READY:
+        return
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _SESSION_CONFS_READY.add(key)
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:
@@ -122,6 +143,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (session, sf_dir, table): repeated queries skip the parquet-footer
     schema read (a driver-side file-listing + footer parse per call that
     adds up across an 80-query suite)."""
+    ensure_session_confs(spark)
     ensure_worker_imports(spark)
     key = (_session_key(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
@@ -129,17 +151,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # TIMESTAMP -> TIMESTAMP_NTZ casting goes through the SESSION
-        # timezone: on a host session that is not UTC the converted wall
-        # time would shift by the TZ offset relative to the naive nanos
-        # DuckDB reads — pin UTC here (runtime conf, same pattern as
-        # nanosAsLong) so the fixture's ts is engine- and host-independent.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            # Epoch nanos -> the UTC wall time as TIMESTAMP_NTZ, as pure
+            # interval arithmetic on an NTZ base: no session-timezone
+            # dependence at all (a timestamp_micros().cast('timestamp_ntz')
+            # would shift by the session TZ offset), so the plan stays
+            # correct even if a caller later changes the session timezone.
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
     else:
         df = spark.read.parquet(path)

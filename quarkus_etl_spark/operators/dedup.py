@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import char_shingles, normalize_text
-from ..plans.tuning import ensure_parallelism
+from ..plans.tuning import ensure_parallelism, log_route, routing_count
 
 
 # --------------------------------------------------------------------------
@@ -342,6 +342,8 @@ def ngram_jaccard_pairs(
         strategy = (
             "exhaustive" if _fits_exhaustive(df) else "prefix"
         )
+        # Both branches exact -> never approximate; DEBUG record only.
+        log_route("ngram_jaccard_pairs", strategy, approximate=False)
     if strategy == "exhaustive":
         return _jaccard_exhaustive(sets, id_col, threshold)
     if strategy == "prefix":
@@ -361,8 +363,10 @@ EXHAUSTIVE_MAX_DOCS = 20_000
 def _fits_exhaustive(df: DataFrame) -> bool:
     import os
 
+    # Env read stays at call time (tests flip it per-case); the count is
+    # cached per (session, plan) by routing_count.
     limit = int(os.environ.get("SPARK_GRAFT_EXHAUSTIVE_MAX_DOCS", EXHAUSTIVE_MAX_DOCS))
-    return df.count() <= limit
+    return routing_count(df) <= limit
 
 
 def near_dup_edges(
@@ -390,6 +394,7 @@ def near_dup_edges(
     sets = _ngram_sets(df, id_col, text_col, block_col, n)
     if strategy == "auto":
         strategy = "exhaustive" if _fits_exhaustive(df) else "lsh"
+        log_route("near_dup_edges", strategy, approximate=strategy == "lsh")
     if strategy == "exhaustive":
         return _jaccard_exhaustive(sets, id_col, threshold)
     if strategy == "prefix":
@@ -518,10 +523,13 @@ def incremental_jaccard_pairs(
     if strategy == "auto":
         strategy = (
             "exact"
-            if existing.count() + incoming.count()
+            if routing_count(existing) + routing_count(incoming)
             <= int(__import__("os").environ.get(
                 "SPARK_GRAFT_EXHAUSTIVE_MAX_DOCS", EXHAUSTIVE_MAX_DOCS))
             else "lsh"
+        )
+        log_route(
+            "incremental_jaccard_pairs", strategy, approximate=strategy == "lsh"
         )
     if strategy == "lsh":
         return _incremental_lsh(sa, sb, id_col, threshold)

@@ -28,7 +28,7 @@ from ..functions.vectors import (
     l2_norm,
     to_double_array,
 )
-from ..plans.tuning import ensure_parallelism
+from ..plans.tuning import ensure_parallelism, log_route, routing_count
 
 
 def brute_force_topk(
@@ -156,6 +156,33 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+# Cap for the auto-sized plane count: 2^32 buckets covers n/target up to
+# ~4.3e9 (≈860 billion vectors at target_bucket=200) and keeps the
+# multi-probe fan-out (1+P per row) bounded. Bucket ids are bigint so the
+# cap is about probe cost, not bit width.
+AUTO_PLANES_MAX = 32
+
+
+def _auto_planes(df: DataFrame, target_bucket: int) -> int:
+    """P = log2(n/target): expected bucket population stays ~target at any
+    scale (fixed P goes quadratic — measured, see knn_graph_ann). The
+    count() is a plan-build-time action — metadata-cheap on raw scans;
+    callers passing derived frames pay one evaluation of their plan."""
+    n_rows = max(routing_count(df), 1)
+    p = math.ceil(math.log2(max(n_rows / target_bucket, 1.0)))
+    return min(max(3, p), AUTO_PLANES_MAX)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the data (one limit-1 scan at plan build).
+    Hyperplanes must match the data's dim: a mismatched constant would
+    null every dot product and silently hash all rows to one bucket."""
+    row = df.select(F.size(to_double_array(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot derive vector dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def add_lsh_bucket(
     df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "bucket"
 ) -> DataFrame:
@@ -167,7 +194,9 @@ def add_lsh_bucket(
         dot = F.aggregate(
             F.zip_with(v, const_vec(p), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
-        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("int")
+        # bigint, not int: the auto-sized plane count grows with data volume
+        # and 1 << i exceeds int32 from i=31 (ANSI mode would error the cast).
+        bit = F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
         bucket = bit if bucket is None else bucket + bit
     return df.withColumn(out_col, bucket)
 
@@ -384,16 +413,9 @@ def knn_graph_ann(
         # P MUST grow with n: the per-bucket population is n_block/2^P and
         # candidate volume is quadratic in it, so a fixed P turns the
         # bucket join quadratic as data grows (measured: P=3 fine at 20k
-        # vectors, effectively unbounded at 200k). P = log2(n/target)
-        # keeps expected bucket size ~target at any scale; the one count()
-        # is a plan-build-time metadata-cheap action, same as tfidf's
-        # n_docs.
-        import math as _math
-
-        n_rows = max(df.count(), 1)
-        n_planes = max(3, _math.ceil(_math.log2(max(n_rows / target_bucket, 1.0))))
-    planes = random_hyperplanes(64, n_planes, seed)  # dim fixed by the
-    # embeddings schema contract (64); planes are seed-deterministic.
+        # vectors, effectively unbounded at 200k).
+        n_planes = _auto_planes(df, target_bucket)
+    planes = random_hyperplanes(_vec_dim(df, vec_col), n_planes, seed)
     cols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("__blk"))
@@ -451,7 +473,7 @@ def fits_exact_pairwise(df: DataFrame) -> bool:
     limit = int(
         os.environ.get("SPARK_GRAFT_EXACT_PAIRWISE_MAX_VECS", EXACT_PAIRWISE_MAX_VECS)
     )
-    return df.count() <= limit
+    return routing_count(df) <= limit
 
 
 def ann_pairs(
@@ -475,9 +497,8 @@ def ann_pairs(
     Auto-sized P = log2(n/target) keeps expected bucket size constant as
     data grows (fixed P goes quadratic — measured, see knn_graph_ann)."""
     if n_planes is None:
-        n_rows = max(df.count(), 1)
-        n_planes = max(3, math.ceil(math.log2(max(n_rows / target_bucket, 1.0))))
-    planes = random_hyperplanes(64, n_planes, seed)
+        n_planes = _auto_planes(df, target_bucket)
+    planes = random_hyperplanes(_vec_dim(df, vec_col), n_planes, seed)
     cols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("__blk"))
@@ -527,5 +548,7 @@ def similar_pairs_auto(
     with exact verification above. Identical (id_a, id_b, cosine) contract
     and identical values on every emitted pair."""
     if fits_exact_pairwise(df):
+        log_route("similar_pairs_auto", "exact", approximate=False)
         return pairwise_similar(df, id_col, vec_col, block_col, threshold)
+    log_route("similar_pairs_auto", "ann", approximate=True)
     return ann_pairs(df, id_col, vec_col, threshold, block_col=block_col)

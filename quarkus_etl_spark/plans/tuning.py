@@ -14,6 +14,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_ROUTING_COUNT_CACHE: dict[tuple[str, int], int] = {}
+
+_route_logger = __import__("logging").getLogger("quarkus_etl_spark.routing")
+
+
+def log_route(op: str, strategy: str, approximate: bool, detail: str = "") -> None:
+    """Record a size-routing decision in run artifacts. The approximate
+    branches (LSH candidates, ANN) keep per-pair values exact but can
+    shrink the emitted SET (recall < 1), so a silent switch would be
+    undiagnosable from results alone — WARN when approximate, DEBUG when
+    exact."""
+    msg = f"routing: {op} -> {strategy}{f' ({detail})' if detail else ''}"
+    if approximate:
+        _route_logger.warning(
+            "%s — recall-bounded candidate generation; emitted pair SET may "
+            "be smaller than the exhaustive plan (values on every emitted "
+            "pair are exact)",
+            msg,
+        )
+    else:
+        _route_logger.debug(msg)
+
+
+def routing_count(df: DataFrame) -> int:
+    """Row count for size-based plan routing (exhaustive-vs-LSH thresholds,
+    auto plane sizing), cached per (session, analyzed-plan semantic hash).
+
+    On a raw parquet scan count() is a metadata-only action; on a derived
+    frame it executes the upstream plan — callers should route on the raw
+    input where possible, and this cache at least makes repeated routing
+    decisions over the same logical input (the common case: every dedup/
+    graph query re-derives the same corpus frame) pay once per session."""
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:  # pragma: no cover - Connect or API drift
+        return df.count()
+    n = _ROUTING_COUNT_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        _ROUTING_COUNT_CACHE[key] = n
+    return n
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession

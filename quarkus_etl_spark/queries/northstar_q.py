@@ -1112,10 +1112,14 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     max_exact = int(os.environ.get("SPARK_GRAFT_EXACT_KNN_MAX_VECS", "50000"))
-    if e.count() > max_exact:
+    from ..plans.tuning import log_route, routing_count
+
+    if routing_count(e) > max_exact:
         from ..operators.similarity import knn_graph_ann
 
+        log_route("q_knn_graph", "ann", approximate=True)
         return knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label")
+    log_route("q_knn_graph", "exact", approximate=False)
     pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=-1.0)
     m = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cosine"
