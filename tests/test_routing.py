@@ -342,3 +342,79 @@ def test_unknown_strategy_raises(spark, sf_dir, bad):
         near_dup_edges(
             d, "doc_id", "text", block_col="lang", threshold=0.7, strategy=bad
         ).collect()
+
+
+def test_kmeans_pruned_assignment_exact_at_full_probe(spark, sf_dir):
+    """The IVF-pruned Lloyd assignment (q_emb_kmeans's large-k route) scores
+    candidates with the SAME quantized metric as the exhaustive plan, so with
+    nprobe == n_cells (every cell probed) it must be bit-identical to the
+    all-centroid argmin; at nprobe < n_cells it may only lose rows to
+    unprobed cells — scores on agreeing rows stay identical."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.functions.vectors import to_double_array
+    from quarkus_etl_spark.operators.kmeans import (
+        kmeans_assign_pruned,
+        quantized_sq_dist,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    cents = (
+        v.orderBy("vec_id")
+        .limit(9)
+        .select(F.col("vec_id").cast("long").alias("cluster"), F.col("e").alias("carr"))
+    )
+    exact = {
+        r.vec_id: r.cluster
+        for r in (
+            v.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                F.struct(
+                    quantized_sq_dist(F.col("e"), F.col("carr")).alias("dist"),
+                    F.col("cluster").alias("cluster"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"))
+        ).collect()
+    }
+    # full probe (C = isqrt(9) = 3 cells, nprobe=3): exactly the exhaustive
+    full = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign_pruned(v, cents, nprobe=3).collect()
+    }
+    assert full == exact
+    # pruned probe: every vector still gets exactly one assignment, and a
+    # large majority agree with the exhaustive argmin (fixture clusters are
+    # separable; the floor is empirical with margin)
+    part = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign_pruned(v, cents, nprobe=1).collect()
+    }
+    assert set(part) == set(exact)
+    agree = sum(1 for k, c in part.items() if exact[k] == c) / len(exact)
+    assert agree >= 0.6, agree
+
+
+def test_emb_kmeans_routes_to_pruned_above_k_threshold(spark, sf_dir, monkeypatch):
+    """Registered-entry routing pin (both directions): at fixture k=4 the
+    exact plan runs (the oracle-graded shape); forcing the threshold below k
+    sends BOTH Lloyd assignments through the pruned operator — and because
+    k=4 yields C=2 coarse cells with the default nprobe=2 (full probe), the
+    routed output must be bit-identical to the exact baseline."""
+    from quarkus_etl_spark.queries.northstar_q import q_emb_kmeans
+
+    baseline = {
+        r.cluster: (r.n_members, r.centroid_checksum)
+        for r in q_emb_kmeans(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_KMEANS_MAX_K", "1")
+    routed = {
+        r.cluster: (r.n_members, r.centroid_checksum)
+        for r in q_emb_kmeans(spark, sf_dir).collect()
+    }
+    assert routed == baseline
