@@ -207,13 +207,35 @@ def minhash_near_dup_pairs(
 SIMHASH_BITS = 64
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _md5_h64(f):
+    """Engine-portable 64-bit feature hash: the first 16 hex chars of md5,
+    assembled as (hi32 << 32) | lo32. Both halves fit a signed long before
+    the shift, and the assembled bit pattern equals DuckDB's
+    (CAST('0x'||substr(md5(f),1,8) AS UBIGINT) << 32) | lo — signed-vs-
+    unsigned container differs, bit pattern (all that SimHash uses) does
+    not."""
+    hi = F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(f), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_family: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over the token+bigram set: per bit, majority vote of
     feature hashes (+1/-1); fingerprint assembles the positive bits. 64 bits
-    (xxhash64) keeps random-document hamming distances near 32, so a
-    radius-3 search stays selective even over a small shared vocabulary."""
-    from ..functions.text import ngram_hashes
+    keeps random-document hamming distances near 32, so a radius-3 search
+    stays selective even over a small shared vocabulary.
 
+    hash_family: "xxhash64" (default — JVM-native, no n-gram strings ever
+    materialize; the production path) or "md5" (engine-portable, mirrors
+    the q_dedup_minhash pattern so DuckDB can replicate the fingerprint
+    bit-for-bit; materializes bigram strings — the conclusive-oracle pin,
+    not the cheap path)."""
+    from ..functions.text import ngram_hashes, ngrams
+
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown simhash hash_family: {hash_family!r}")
     one = F.lit(1).cast("long")
     # ZERO-shuffle: hash the feature set once per row, then each bit's
     # majority is a per-row filter-count over the hashed array — no explode,
@@ -227,10 +249,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     toks = F.split(F.col("__txt"), "\\s+")
-    hashed = F.array_union(
-        F.array_distinct(F.transform(toks, lambda x: F.xxhash64(x))),
-        F.array_distinct(ngram_hashes(toks, 2)),
-    )
+    if hash_family == "md5":
+        feats = F.array_union(toks, ngrams(toks, 2))
+        hashed = F.transform(feats, _md5_h64)
+    else:
+        hashed = F.array_union(
+            F.array_distinct(F.transform(toks, lambda x: F.xxhash64(x))),
+            F.array_distinct(ngram_hashes(toks, 2)),
+        )
     base = pre.select(F.col(id_col), hashed.alias("__f")).withColumn("__n", F.size("__f"))
     fingerprint = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
@@ -243,7 +269,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
@@ -252,7 +282,7 @@ def simhash_near_dup_pairs(
     exact band — candidates come from equality joins, never a cross join."""
     bands = max_hamming + 1
     width = SIMHASH_BITS // bands
-    fp = simhash(df, id_col, text_col)
+    fp = simhash(df, id_col, text_col, hash_family=hash_family)
     banded = fp.select(
         id_col,
         "simhash",

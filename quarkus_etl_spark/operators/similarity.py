@@ -156,6 +156,27 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def md5_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """ENGINE-PORTABLE hyperplane family: entry (i, d) is uniform in [-1, 1)
+    derived from the first 32 bits of md5("i:d") — the exact double DuckDB
+    computes from (CAST('0x'||substr(md5(i||':'||d),1,8) AS BIGINT)
+    / 4294967296.0) * 2 - 1, so an oracle can rebuild the planes in SQL and
+    replicate every bucket bit-for-bit (list_dot_product's fold is
+    left-to-right like ours — verified over the full fixture). Uniform-cube
+    directions are a valid sign-LSH family (any sign-symmetric component
+    distribution works); the Gaussian family stays the production default."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+             / 4294967296.0) * 2 - 1
+            for d in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
 # Cap for the auto-sized plane count: 2^32 buckets covers n/target up to
 # ~4.3e9 (≈860 billion vectors at target_bucket=200) and keeps the
 # multi-probe fan-out (1+P per row) bounded. Bucket ids are bigint so the
@@ -218,13 +239,21 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
+    plane_family: str = "gauss",
 ) -> DataFrame:
     """ANN top-k: score only vectors in the probe's bucket (plus hamming-1
     neighbor buckets when multiprobe) — candidate set ~n/2^planes * (1 +
     planes). Recall is approximate by design; exactness is brute_force_topk's
-    job."""
+    job. plane_family "md5" swaps in the engine-portable hyperplanes so an
+    SQL oracle can replicate the candidate set exactly."""
+    if plane_family not in ("gauss", "md5"):
+        raise ValueError(f"unknown plane_family: {plane_family!r}")
     dim = len(probe)
-    planes = random_hyperplanes(dim, n_planes, seed)
+    planes = (
+        md5_hyperplanes(dim, n_planes)
+        if plane_family == "md5"
+        else random_hyperplanes(dim, n_planes, seed)
+    )
     target = _bucket_of(probe, planes)
     probe_buckets = [target] + ([target ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
     bucketed = add_lsh_bucket(df, vec_col, planes)

@@ -99,12 +99,68 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
 
 
-@register("q_dedup_simhash")  # hash-majority fingerprint → rows-only
+@register(
+    "q_dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(coalesce(lower(text), ''),
+                                                '\\s+', ' ', 'g')), ' ') AS tk
+        FROM documents
+    ), feats AS (
+        SELECT DISTINCT doc_id, f FROM (
+            SELECT doc_id, unnest(tk) AS f FROM toks
+            UNION ALL
+            SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS f
+            FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+        )
+    ), h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) * 4294967296::UBIGINT
+               + CAST(('0x' || substr(md5(f), 9, 8)) AS UBIGINT) AS h64
+        FROM feats
+    ), bits AS (
+        SELECT doc_id, i AS bit,
+               COUNT(*) FILTER (WHERE (h64 >> i) & 1 = 1) AS pos,
+               COUNT(*) AS n
+        FROM h, unnest(generate_series(0, 63)) AS b(i)
+        GROUP BY doc_id, i
+    ), fp AS (
+        SELECT doc_id,
+               bit_or(CASE WHEN pos * 2 > n
+                           THEN CAST(power(2, bit) AS UBIGINT)
+                           ELSE 0::UBIGINT END) AS simhash
+        FROM bits GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, simhash, b AS band_idx,
+               (simhash >> (b * 16)) & 65535 AS band_val
+        FROM fp, unnest(generate_series(0, 3)) AS bb(b)
+    ), sized AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        FROM banded
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sized a
+    JOIN sized b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                AND a.doc_id < b.doc_id
+    WHERE a.bsz <= 1000 AND b.bsz <= 1000
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit, token+bigram features) near-dup pairs at
-    hamming <= 3 via pigeonhole 16-bit banding."""
+    hamming <= 3 via pigeonhole 16-bit banding — with the ENGINE-PORTABLE
+    md5 hash family (h64 = first 64 bits of md5(feature)), so the whole
+    fingerprint -> banding -> bucket-join pipeline is hash-verified
+    against DuckDB value-for-value, the same pattern q_dedup_minhash
+    established. The production operator default stays xxhash64
+    (JVM-native, never materializes bigram strings); THIS query is the
+    conclusive correctness pin for the identical algorithm."""
     d = t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3, hash_family="md5"
+    )
 
 
 @register(
@@ -302,12 +358,61 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_near_duplicates(e.select("vec_id", "label"), pairs, "vec_id")
 
 
-@register("q_sim_ann_lsh")  # approximate recall → rows-only
+@register(
+    "q_sim_ann_lsh",
+    oracle="""
+    WITH pv AS (
+        SELECT i, d,
+               (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                         CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0) * 2 - 1 AS g
+        FROM generate_series(0, 7) s(i), generate_series(0, 63) t(d)
+    ), planes AS (
+        SELECT i, list(g ORDER BY d) AS p FROM pv GROUP BY i
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), probe AS (
+        SELECT e AS pe FROM v WHERE vec_id = 0
+    ), bucketed AS (
+        SELECT vec_id,
+               SUM(CASE WHEN list_dot_product(e, p) >= 0
+                        THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS bucket
+        FROM v, planes GROUP BY vec_id
+    ), pbucket AS (
+        SELECT SUM(CASE WHEN list_dot_product(pe, p) >= 0
+                        THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS b
+        FROM probe, planes
+    ), targets AS (
+        SELECT b FROM pbucket
+        UNION ALL
+        SELECT xor(b, CAST(power(2, i) AS BIGINT))
+        FROM pbucket, generate_series(0, 7) s(i)
+    )
+    SELECT v.vec_id, list_cosine_similarity(v.e, (SELECT pe FROM probe)) AS cosine
+    FROM v JOIN bucketed USING (vec_id)
+    WHERE bucketed.bucket IN (SELECT b FROM targets)
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH bucketing (+multi-probe) — the
-    scale path: candidates shrink ~2^8 with seeded-deterministic planes."""
+    scale path: candidates shrink ~2^8 with seeded-deterministic planes.
+    Uses the ENGINE-PORTABLE md5 plane family (operators/similarity.py
+    md5_hyperplanes), so the oracle rebuilds the identical hyperplanes in
+    SQL and pins the bucketing + multiprobe + top-k pipeline exactly —
+    every dot-product sign, bucket id, and emitted cosine is hash-verified
+    (the fold orders match DuckDB bit-for-bit). The Gaussian family remains
+    the production default in lsh_topk."""
     e = t(spark, sf_dir, "embeddings")
-    return lsh_topk(e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10, n_planes=8)
+    return lsh_topk(
+        e,
+        "embedding",
+        "vec_id",
+        _probe_vec(spark, sf_dir),
+        k=10,
+        n_planes=8,
+        plane_family="md5",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -36,8 +36,6 @@ def test_registry_is_superset_with_oracles():
     allowed_rows_only = {
         "q_agg_approx_distinct",  # HLL sketch
         "q_dedup_near",  # LSH recall
-        "q_dedup_simhash",  # hash-majority fingerprint
-        "q_sim_ann_lsh",  # approximate recall
         "q_sim_ann_ivf",  # approximate recall
         "q_gen_addresses",  # engine-hash generator
         "q_sample",  # engine-specific PRNG
