@@ -1461,22 +1461,25 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (Robertson k1=1.2, b=0.75) scoring of every document against the
     corpus's own top-5 terms — the sparse-retrieval ranking behind lexical
     search and hard-negative mining for training data. Plan: the (doc,term)
-    tf table is ONE explode + hash aggregate; document frequencies and the
-    tiny query-term table both derive from tf (no second corpus scan) and
-    broadcast back onto it, so scoring is a broadcast join + one per-doc
-    aggregate — at 100 TB the only row-proportional shuffles are tf and the
-    final per-doc reduce, both key-bounded. Determinism: idf/tf-norm are
-    evaluated in one textually-identical double expression on exact
-    integers (tf, df, dl, N) plus one shared avgdl double, quantized to
-    DECIMAL(18,9) per term BEFORE the order-sensitive per-doc sum.
+    tf table comes from the AT-REST materialized view (operators/
+    retrieval.tf_at_rest — built once per corpus fingerprint, range-
+    partitioned by term; VERDICT r3 #5), so neither this query nor
+    q_hybrid_rrf/q_text_postings ever re-explodes the corpus: document
+    length, document frequency, and the tiny query-term table all derive
+    from the MV, and scoring is a broadcast join + one per-doc aggregate —
+    at 100 TB the only row-proportional shuffles are the one-time MV build
+    and the final per-doc reduce, both key-bounded. Determinism: idf/
+    tf-norm are evaluated in one textually-identical double expression on
+    exact integers (tf, df, dl, N) plus one shared avgdl double, quantized
+    to DECIMAL(18,9) per term BEFORE the order-sensitive per-doc sum.
     Reference parity: the reference delegates full-text scoring to its
     RDBMS (EtlMain.kt:103-108); this is the Spark-native equivalent."""
-    d = t(spark, sf_dir, "documents")
-    toks = ensure_parallelism(d).select(
-        "doc_id", F.explode(tokenize(normalize_text("text"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    from ..operators.retrieval import tf_at_rest
+
+    tf_mv = tf_at_rest(spark, sf_dir)
+    tf = tf_mv.select("doc_id", "term", "tf")
+    # dl = sum of tf per doc — exact token count, zero corpus access.
+    dl = tf_mv.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1862,15 +1865,12 @@ def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-head terms are the AQE-skew case. collect_list order is
     partition-dependent, so the list is array_sort'ed before slicing —
     the (doc:pos) strings sort identically in both engines because the
-    sort key is the full string."""
-    d = t(spark, sf_dir, "documents")
-    pos = ensure_parallelism(d).select(
-        "doc_id",
-        F.posexplode(tokenize(normalize_text("text"))).alias("p", "term"),
-    )
-    fp = pos.groupBy("term", "doc_id").agg(
-        F.min("p").alias("fp"), F.count(F.lit(1)).alias("tf")
-    )
+    sort key is the full string. The (term, doc, fp, tf) table is the
+    AT-REST MV (operators/retrieval.tf_at_rest) — range-partitioned by
+    term, which is exactly the layout the per-term reduce wants."""
+    from ..operators.retrieval import tf_at_rest
+
+    fp = tf_at_rest(spark, sf_dir)
     entry = F.concat_ws(":", F.col("doc_id").cast("string"), F.col("fp").cast("string"))
     return fp.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
