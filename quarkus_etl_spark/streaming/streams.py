@@ -20,6 +20,16 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..config import WriteTarget
 from ..sources.writers import write_dataframe
+from ..vendor import ensure_protobuf
+
+# The tws runner (user_stats_tws) speaks a protobuf state protocol; make
+# `google.protobuf` importable BEFORE pyspark's state clients load their
+# generated module. At module-import time so it also runs on WORKERS when
+# the pickled-by-reference WelfordProcessor is unpickled there (worker
+# unpickles the UDF before constructing StatefulProcessorApiClient).
+# Prefers a real protobuf install; the vendored minimal runtime only fills
+# the gap (quarkus_etl_spark/vendor/gproto).
+ensure_protobuf()
 
 # Watermarks require TIMESTAMP (instant) semantics — Spark rejects
 # TIMESTAMP_NTZ event time — so streaming schemas use `timestamp`; with the

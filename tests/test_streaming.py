@@ -226,8 +226,8 @@ def test_user_stats_tws_builds_plan_and_schema(spark, events_dir):
 
 
 def test_welford_processor_contract_without_runner(spark, sf_dir):
-    """The tws PROCESSOR contract, exercised directly (the Python runner
-    needs google.protobuf, absent from this image; the processor logic —
+    """The tws PROCESSOR contract, exercised directly (independent of the
+    runner's protobuf transport; the processor logic —
     state round-trip through the handle's ValueState, multi-batch Welford
     merge, emitted schema — is the part this repo owns and it must hold
     runner or no runner). Feeds each user's rows in several batches across
@@ -304,12 +304,17 @@ def test_user_stats_tws_matches_batch(spark, sf_dir, events_dir):
     """transformWithStateInPandas (RocksDB state store): the final emitted
     per-user stats must equal the batch count/mean/variance.
 
-    The tws Python runner speaks a protobuf state protocol; this image
-    ships no `google.protobuf`, so the end-to-end leg lights up the moment
-    the dependency appears (same explicit-gate pattern as the multimodal
-    codec stubs)."""
+    The tws Python runner speaks a protobuf state protocol; the vendored
+    minimal runtime (quarkus_etl_spark/vendor/gproto) satisfies it in this
+    image, so this e2e leg EXECUTES for real — Python-side encoding parsed
+    by the JVM's genuine protobuf and vice versa, RocksDB state store,
+    cross-language wire parity. The importorskip stays only as a guard for
+    environments where neither real nor vendored protobuf can load."""
     import pytest
 
+    from quarkus_etl_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     pytest.importorskip("google.protobuf")
     from quarkus_etl_spark.streaming.streams import user_stats_tws
 
