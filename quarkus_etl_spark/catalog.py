@@ -66,13 +66,27 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _session_key(spark: SparkSession) -> str:
-    """Stable per-JVM-application key — `id(spark)` can be recycled by the
-    allocator after a session is GC'd, which would serve plans bound to a
-    dead session."""
-    try:
-        return spark.sparkContext.applicationId
-    except Exception:  # pragma: no cover - context being torn down
-        return str(id(spark))
+    """Stable PER-SESSION key. applicationId alone is wrong: it is shared
+    by spark.newSession() siblings, so a plan cached under one session
+    could be served to another — DataFrames are session-bound, and the
+    sibling may carry different runtime confs (found via a session-
+    timezone test poisoning the shared events cache). `id(spark)` alone is
+    also wrong (the allocator recycles ids after GC). A uuid stamped onto
+    the session object dies with it, so recycled ids can never alias."""
+    key = getattr(spark, "_qes_session_key", None)
+    if key is None:
+        import uuid
+
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:  # pragma: no cover - context being torn down
+            app = "app"
+        key = f"{app}:{uuid.uuid4().hex[:12]}"
+        try:
+            spark._qes_session_key = key
+        except Exception:  # pragma: no cover - exotic session proxies
+            key = f"{app}:{id(spark)}"
+    return key
 
 
 _WORKER_IMPORTS_READY: set[str] = set()

@@ -176,8 +176,12 @@ def test_events_ts_is_session_timezone_independent(spark, sf_dir):
     from quarkus_etl_spark import catalog as cat
 
     sess = spark.newSession()
+    # first load pins UTC (once per session); override AFTERWARDS so the
+    # assertion genuinely runs under a foreign timezone
+    cat.load_table(sess, sf_dir, "events")
     sess.conf.set("spark.sql.session.timeZone", "America/New_York")
-    # bypass the table cache: it would return the UTC-session plan
+    assert sess.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    # bypass the table cache: it would return the already-built plan
     cat._TABLE_CACHE.pop((cat._session_key(sess), sf_dir, "events"), None)
     got = {
         r.event_id: r.ts
