@@ -93,22 +93,48 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     pass_guard_sec = float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_SEC", "420"))
     totals_per_run: list[float] = []
+    all_runs: dict[str, list[float]] = {}
+
+    def time_one(name: str) -> float:
+        start = time.monotonic()
+        try:
+            materialize(queries[name](spark, sf_dir))
+            secs = round(time.monotonic() - start, 4)
+            all_runs.setdefault(name, []).append(secs)
+            prev = timings.get(name)
+            timings[name] = secs if prev is None or prev < 0 else min(prev, secs)
+            return secs
+        except Exception as e:  # noqa: BLE001
+            timings.setdefault(name, -1.0)
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            return 0.0
+
     for run in range(n_runs):
         run_total = 0.0
         for name in names:
-            start = time.monotonic()
-            try:
-                materialize(queries[name](spark, sf_dir))
-                secs = round(time.monotonic() - start, 4)
-                run_total += secs
-                prev = timings.get(name)
-                timings[name] = secs if prev is None or prev < 0 else min(prev, secs)
-            except Exception as e:  # noqa: BLE001
-                timings.setdefault(name, -1.0)
-                print(f"bench error in {name}: {e}", file=sys.stderr)
+            run_total += time_one(name)
         totals_per_run.append(round(run_total, 4))
         if run_total > pass_guard_sec:
             break
+
+    # The 10 slowest get a THIRD pass and report a median-of-3 alongside the
+    # min: host noise is ±15% run-to-run, and the slowest queries dominate
+    # the regression scan, so a rank statistic there stops cross-round
+    # comparisons from chasing one lucky/unlucky pass. `queries` stays the
+    # min (the cross-round comparable); `slowest10_median3` is the noise-
+    # robust view of the head.
+    slowest10_median3: dict[str, float] = {}
+    if totals_per_run and totals_per_run[-1] <= pass_guard_sec:
+        slowest = sorted(
+            (n for n in names if timings.get(n, -1) > 0),
+            key=lambda n: -timings[n],
+        )[:10]
+        for name in slowest:
+            if len(all_runs.get(name, [])) < 3:
+                time_one(name)
+            runs = sorted(all_runs.get(name, []))
+            if runs:
+                slowest10_median3[name] = runs[len(runs) // 2]
 
     # The live-streaming queries execute a real micro-batch run whose wall
     # time is dominated by a one-shot ~2-4 s stream-startup constant (query
@@ -153,6 +179,7 @@ def main() -> None:
         "streaming_note": "wall includes one-shot micro-batch startup; see rows_per_sec",
         "streaming": streaming,
         "per_query_stat": "min_over_runs",
+        "slowest10_median3": slowest10_median3,
         "totals_per_run": totals_per_run,
         "bench_runs": len(totals_per_run),
         "n_queries": len(names),
