@@ -548,16 +548,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: scan -> filter -> project -> one hash-shuffle window ->
     explode. Nothing quadratic, nothing Python, one row-proportional
     exchange."""
-    from quarkus_etl_spark.functions.text import quality_score
+    from quarkus_etl_spark.functions.text import max_token_count, quality_score
 
     d = t(spark, sf_dir, "documents")
     tk = tokenize(normalize_text("text"))
-    counts = F.transform(
-        F.array_distinct("tk"), lambda w: F.size(F.filter(F.col("tk"), lambda x: x == w))
-    )
     scored = ensure_parallelism(d).select(
         "doc_id", "lang", "text", tk.alias("tk"), quality_score("text").alias("q")
-    ).withColumn("top_frac", F.array_max(counts) / F.size("tk"))
+    ).withColumn("top_frac", max_token_count(F.col("tk")) / F.size("tk"))
     kept = scored.where((F.col("q") >= 0.67) & (F.col("top_frac") < 0.15))
     bow = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("tk")))))
     from pyspark.sql.window import Window
