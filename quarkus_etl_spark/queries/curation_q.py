@@ -459,10 +459,12 @@ def q_text_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL decomposition — the provenance-filtering stage of corpus curation
     (keep/drop by domain, dedup by registered domain, strip tracking
     params). URLs are planted deterministically from the row's own columns
-    (the fixture corpus has none); Spark's builtin parse_url handles
-    host/path/query, a regexp gets the registered domain — all scan-fused
-    Column algebra, and the oracle replicates parse_url's exact semantics
-    with regexps."""
+    (the fixture corpus has none); each part is one scan-fused
+    regexp_extract, identical on both engines. Deliberately NOT Spark's
+    builtin parse_url: it rides java.net.URI, which returns NULL host for
+    RFC-invalid-but-ubiquitous hostnames (underscores — common in real
+    subdomains), a silent per-row data loss the adversarial fuzz sweep
+    (tools/fuzz_diff.py) caught on a mutated source value."""
     d = t(spark, sf_dir, "documents")
     url = F.concat_ws(
         "",
@@ -476,10 +478,10 @@ def q_text_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = d.select("doc_id", url.alias("url"))
     return u.select(
         "doc_id",
-        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
-        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
-        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
-        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(F.col("url"), r"://([^/]+)", 1).alias("host"),
+        F.regexp_extract(F.col("url"), r"://[^/]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract(F.col("url"), r"\?(.*)$", 1).alias("query"),
+        F.regexp_extract(F.col("url"), r"[?&]lang=([^&#]*)", 1).alias("lang_param"),
         F.regexp_extract(
             F.col("url"), r"://(?:[^/.]+\.)*([^/.]+\.[^/.]+)/", 1
         ).alias("reg_domain"),

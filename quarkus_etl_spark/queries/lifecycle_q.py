@@ -106,7 +106,7 @@ def q_gen_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_cols",
     oracle="""
     SELECT doc_id,
-           n_chars AS payload_bytes,
+           OCTET_LENGTH(ENCODE(text)) AS payload_bytes,
            lang AS meta_lang,
            CAST(n_chars AS BIGINT) AS meta_chars,
            LEN(STRING_SPLIT(text, ' ')) AS n_chunks
@@ -117,8 +117,9 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal-column plumbing: binary payload + typed struct metadata +
     array column survive a parquet round-trip intact (Tier C
     q_multimodal_cols). The payload here is utf-8 text bytes standing in for
-    an opaque media blob; byte length must equal the documents.n_chars
-    column computed upstream."""
+    an opaque media blob; payload_bytes is the true utf-8 octet length (≥
+    n_chars for multibyte text — the oracle encodes too, so both engines
+    count bytes, not chars)."""
     path = _scratch(sf_dir, "media.parquet")
     d = t(spark, sf_dir, "documents")
     media = d.select(

@@ -437,7 +437,11 @@ def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT bucket, event_type, CAST(v AS DOUBLE) AS v,
                CAST(count(*) OVER win AS BIGINT) AS n,
                CAST(sum(v) OVER win AS DOUBLE) AS sx,
-               CAST(sum(v * v) OVER win AS DOUBLE) AS sxx
+               -- one operand widened: DuckDB multiplies DECIMAL(18)s in
+               -- int64/int128 halves and overflows on ~1e14-unit cells
+               -- (fuzz_diff extreme-value class); (19,2)x(18,2)->(37,4)
+               -- is exact on both engines
+               CAST(sum(CAST(v AS DECIMAL(19,2)) * v) OVER win AS DOUBLE) AS sxx
         FROM c
         WINDOW win AS (PARTITION BY event_type ORDER BY bucket
                        ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
@@ -960,14 +964,14 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                    AS m,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))
+               CAST(SUM(CAST(value AS DECIMAL(19,2))
                         * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx
         FROM events GROUP BY event_type
     ), lags AS (
         SELECT event_type,
                CAST(SUM(CASE WHEN v1 IS NOT NULL
-                        THEN CAST(value AS DECIMAL(18,2))
+                        THEN CAST(value AS DECIMAL(19,2))
                              * CAST(v1 AS DECIMAL(18,2)) END) AS DOUBLE) AS sxy1,
                CAST(SUM(CASE WHEN v1 IS NOT NULL
                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa1,
@@ -976,7 +980,7 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n1,
                CAST(SUM(CASE WHEN v2 IS NOT NULL
-                        THEN CAST(value AS DECIMAL(18,2))
+                        THEN CAST(value AS DECIMAL(19,2))
                              * CAST(v2 AS DECIMAL(18,2)) END) AS DOUBLE) AS sxy2,
                CAST(SUM(CASE WHEN v2 IS NOT NULL
                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sa2,
@@ -987,10 +991,12 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ordered GROUP BY event_type
     )
     SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
-           (l.sxy1 - m.m * l.sa1 - m.m * l.sb1 + l.n1 * m.m * m.m)
-               / (m.sxx - 2.0 * m.m * m.sx + m.n * m.m * m.m) AS acf1,
-           (l.sxy2 - m.m * l.sa2 - m.m * l.sb2 + l.n2 * m.m * m.m)
-               / (m.sxx - 2.0 * m.m * m.sx + m.n * m.m * m.m) AS acf2
+           CAST(floor((l.sxy1 - m.m * l.sa1 - m.m * l.sb1 + l.n1 * m.m * m.m)
+               / (m.sxx - 2.0 * m.m * m.sx + m.n * m.m * m.m)
+               * 1000000 + 0.5) AS BIGINT) AS acf1_ppm,
+           CAST(floor((l.sxy2 - m.m * l.sa2 - m.m * l.sb2 + l.n2 * m.m * m.m)
+               / (m.sxx - 2.0 * m.m * m.sx + m.n * m.m * m.m)
+               * 1000000 + 0.5) AS BIGINT) AS acf2_ppm
     FROM moments m JOIN lags l ON m.event_type = l.event_type
     """,
 )
@@ -1037,18 +1043,25 @@ def q_time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def acf(suffix):
-        return (
+        # half-up ppm quantization (the q_text_tfidf portability pattern):
+        # the raw ratio's inputs are exact-decimal sums cast to double, but
+        # above 2^53 units (extreme |value|, fuzz_diff phase 1) the two
+        # engines' decimal->double conversions can differ by 1 ulp, and the
+        # heavy cancellation in the estimator amplifies it into the printed
+        # digits. Integer ppm keeps the comparison conclusive.
+        raw = (
             F.col(f"sxy{suffix}")
             - F.col("m") * F.col(f"sa{suffix}")
             - F.col("m") * F.col(f"sb{suffix}")
             + F.col(f"n{suffix}") * F.col("m") * F.col("m")
         ) / den
+        return F.floor(raw * 1000000 + F.lit(0.5)).cast("long")
 
     return moments.join(lags, "event_type").select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        acf("1").alias("acf1"),
-        acf("2").alias("acf2"),
+        acf("1").alias("acf1_ppm"),
+        acf("2").alias("acf2_ppm"),
     )
 
 

@@ -1,0 +1,243 @@
+"""Adversarial-fixture differential sweep: mutate the parquet fixtures with
+seeded edge-case values, then run the FULL Spark-vs-DuckDB verify harness
+over the mutated copy.
+
+The driver only ever grades on its pristine fixtures, so this tool's job is
+different from verify.py's: it answers "do the two engines still agree when
+the data contains the edge cases real corpora have" — exact ties, duplicate
+timestamps, unicode/whitespace text, empty and single-token documents,
+near/exact duplicate docs, singleton group keys, zero/duplicate embeddings,
+extreme numeric values, quote/comma/newline-bearing strings. Any divergence
+is a latent correctness bug the fixture simply never exercised.
+
+Mutation classes are phased so a failure is attributable:
+  phase 1 (default): ties, duplicates, unicode, whitespace, singleton
+          blocks, numeric extremes, csv-hostile strings — values every
+          pipeline sees.
+  phase 2: empty text, single-token docs, zero vectors — degenerate but
+          well-typed rows.
+  phase 3: NULL text / NULL value / NULL props — missing-data semantics.
+
+Usage:
+  python -m tools.fuzz_diff [--seed 7] [--phase 2] [--base sf0.001] [query ...]
+
+Writes the mutated tables to .scratch/fuzz/seed<seed>_p<phase>/ and exits
+nonzero on any mismatch, printing the per-query verdicts like verify.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+UNICODE_TEXTS = [
+    "héllo wörld naïve café résumé ça és ému",
+    "你好 世界 数据 管道 质量 检查 你好 世界",
+    "Ωμέγα ἀλφα δέλτα σίγμα ωμέγα πάλιν",
+    "mixed 你好 wörld données 123 تجربة test",
+]
+CSV_HOSTILE = [
+    'quote " inside',
+    "comma, inside, twice",
+    "newline\ninside",
+    'all three: ", \n done',
+    "trailing space ",
+]
+
+
+def _mutate_documents(rows: list[dict], rng: random.Random, phase: int) -> None:
+    n = len(rows)
+    idx = list(range(n))
+    rng.shuffle(idx)
+    take = iter(idx)
+
+    def grab(k: int) -> list[int]:
+        return [next(take) for _ in range(k)]
+
+    pct = max(1, n // 100)
+    # phase 1: duplicates / near-duplicates / unicode / whitespace /
+    # repeated-token spam / singleton blocks
+    for i in grab(2 * pct):  # exact duplicate of another doc
+        src = rows[rng.randrange(n)]
+        rows[i]["text"] = src["text"]
+    for i in grab(2 * pct):  # near duplicate: last word changed
+        src = rows[rng.randrange(n)]
+        toks = (src["text"] or "x").split()
+        toks[-1:] = ["zzedit"]
+        rows[i]["text"] = " ".join(toks)
+    for i in grab(2 * pct):
+        rows[i]["text"] = rng.choice(UNICODE_TEXTS)
+    for i in grab(2 * pct):
+        rows[i]["text"] = "a  b\t\tc\n\n d   e\tf "
+    for i in grab(2 * pct):  # one token repeated: repetition-filter edge
+        rows[i]["text"] = " ".join(["spam"] * 50)
+    for i in grab(pct):  # book-length doc: sorted-run path
+        rows[i]["text"] = " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"]) for _ in range(3000)
+        )
+    for i in grab(pct):  # singleton language block
+        rows[i]["lang"] = "xx"
+    for i in grab(pct):
+        rows[i]["source"] = "src_only_once"
+    if phase >= 2:
+        for i in grab(pct):
+            rows[i]["text"] = ""
+        for i in grab(pct):
+            rows[i]["text"] = "solo"
+        for i in grab(pct):
+            rows[i]["text"] = "   "  # whitespace-only
+    if phase >= 3:
+        for i in grab(pct):
+            rows[i]["text"] = None
+    for r in rows:
+        r["n_chars"] = len(r["text"]) if r["text"] is not None else 0
+
+
+def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None:
+    n = len(rows)
+    idx = list(range(1, n))  # keep vec 0 (the probe) pristine
+    rng.shuffle(idx)
+    take = iter(idx)
+    pct = max(1, n // 100)
+    for _ in range(2 * pct):  # exact duplicate vectors (ties in cosine)
+        i = next(take)
+        src = rows[rng.randrange(n)]
+        rows[i]["embedding"] = list(src["embedding"])
+    for _ in range(pct):  # constant vector
+        i = next(take)
+        rows[i]["embedding"] = [0.5] * len(rows[i]["embedding"])
+    if phase >= 2:
+        for _ in range(pct):  # zero vector: norm-0 guards
+            i = next(take)
+            rows[i]["embedding"] = [0.0] * len(rows[i]["embedding"])
+    for _ in range(pct):
+        i = next(take)
+        rows[i]["label"] = 2**31 - 1
+
+
+def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
+    n = len(rows)
+    idx = list(range(n))
+    rng.shuffle(idx)
+    take = iter(idx)
+    pct = max(1, n // 100)
+    for _ in range(3 * pct):  # duplicate (user_id, ts): tiebreak stress
+        i = next(take)
+        src = rows[rng.randrange(n)]
+        rows[i]["user_id"] = src["user_id"]
+        rows[i]["ts"] = src["ts"]
+    for _ in range(2 * pct):
+        next_i = next(take)
+        rows[next_i]["value"] = rng.choice([0.0, 1e12, -1e12, 1e-12])
+    for _ in range(pct):
+        i = next(take)
+        rows[i]["props"] = rng.choice(['{}', '{"k": 0}', '{"k": -1, "m": {"x": 1}}'])
+    if phase >= 3:
+        for _ in range(pct):
+            i = next(take)
+            rows[i]["value"] = None
+        for _ in range(pct):
+            i = next(take)
+            rows[i]["props"] = None
+
+
+def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
+    n = len(rows)
+    idx = list(range(n))
+    rng.shuffle(idx)
+    take = iter(idx)
+    pct = max(1, n // 100)
+    for _ in range(3 * pct):  # exact-tie quantities: percentile/mode stress
+        i = next(take)
+        rows[i]["l_quantity"] = 25.0
+    for _ in range(2 * pct):  # tie prices
+        i = next(take)
+        rows[i]["l_extendedprice"] = 10000.0
+    for _ in range(pct):
+        i = next(take)
+        rows[i]["l_discount"] = 0.0
+    for _ in range(pct):  # duplicate ship dates within an order
+        i = next(take)
+        src = rows[rng.randrange(n)]
+        rows[i]["l_shipdate"] = src["l_shipdate"]
+
+
+def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
+    n = len(rows)
+    idx = list(range(n))
+    rng.shuffle(idx)
+    take = iter(idx)
+    pct = max(1, n // 100)
+    for _ in range(2 * pct):  # totalprice ties
+        i = next(take)
+        rows[i]["o_totalprice"] = 150000.0
+    for _ in range(2 * pct):  # duplicate orderdate (windows/asof ties)
+        i = next(take)
+        src = rows[rng.randrange(n)]
+        rows[i]["o_orderdate"] = src["o_orderdate"]
+    for _ in range(pct):  # csv-hostile priority strings
+        i = next(take)
+        rows[i]["o_orderpriority"] = rng.choice(CSV_HOSTILE)
+
+
+MUTATORS = {
+    "documents": _mutate_documents,
+    "embeddings": _mutate_embeddings,
+    "events": _mutate_events,
+    "lineitem": _mutate_lineitem,
+    "orders": _mutate_orders,
+}
+
+
+def build_fuzz_dir(base_dir: str, out_dir: str, seed: int, phase: int) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        src = f"{base_dir}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
+        table = pq.read_table(src)
+        mut = MUTATORS.get(name)
+        if mut is None:
+            pq.write_table(table, dst)
+            continue
+        rows = table.to_pylist()
+        mut(rows, random.Random(seed * 1009 + hash(name) % 997), phase)
+        out = pa.Table.from_pylist(rows, schema=table.schema)
+        pq.write_table(out, dst)
+    return out_dir
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3))
+    ap.add_argument("--base", default="/root/testdata/sf0.001")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    out_dir = os.path.join(
+        REPO, ".scratch", "fuzz", f"seed{args.seed}_p{args.phase}"
+    )
+    build_fuzz_dir(args.base, out_dir, args.seed, args.phase)
+    print(f"fuzz fixtures: {out_dir}")
+
+    from quarkus_etl_spark import verify
+
+    sys.argv = ["verify", out_dir, *args.queries]
+    return verify.main()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
