@@ -34,15 +34,28 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot_product(a, a))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """dot/(||a||*||b||), clamped to [-1, 1].
+def guarded_cosine(dot: Column, denom: Column) -> Column:
+    """Shared zero-norm-safe cosine closer: 0.0 when the norm product is 0
+    (zero vectors — failed-encoder rows every real embedding table has;
+    under ANSI the bare division would abort the whole job), else the raw
+    ratio clamped to [-1, 1]. CaseWhen short-circuits per row, so the
+    division never evaluates on the zero-denominator rows and the nonzero
+    path stays bit-identical to the unguarded fold. Oracles mirror the
+    convention with a CASE around list_cosine_similarity (whose own zero-
+    vector behavior — NaN clamped to -1.0 — is neither portable nor
+    meaningful)."""
+    raw = F.when(denom != 0.0, dot / denom).otherwise(F.lit(0.0))
+    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
 
-    Two details make this bit-identical to DuckDB's
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot/(||a||*||b||), clamped to [-1, 1]; 0.0 on zero-norm inputs.
+
+    Two details make the nonzero path bit-identical to DuckDB's
     `list_cosine_similarity`: the norm product is two sqrts multiplied (NOT
     sqrt-of-product), and the result is clamped — float rounding can push
     self-similarity to 1.0000000000000002, which DuckDB clips."""
-    raw = dot_product(a, b) / (l2_norm(a) * l2_norm(b))
-    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    return guarded_cosine(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def const_vec(vec: list[float]) -> Column:
@@ -71,5 +84,6 @@ def cosine_to_const(a: Column, vec: list[float], a_norm: Column | None = None) -
     + the row norm instead of three folds). Pass `a_norm` to reuse an
     already-computed row norm across many constants (IVF scoring)."""
     na = l2_norm(a) if a_norm is None else a_norm
-    raw = dot_product(a, const_vec(vec)) / (na * F.lit(py_l2_norm(vec)))
-    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    return guarded_cosine(
+        dot_product(a, const_vec(vec)), na * F.lit(py_l2_norm(vec))
+    )

@@ -25,6 +25,7 @@ from ..functions.vectors import (
     const_vec,
     cosine_to_const,
     dot_product,
+    guarded_cosine,
     l2_norm,
     to_double_array,
 )
@@ -68,8 +69,9 @@ def pairwise_similar(
     )
     base = pre.select(F.col(id_col), "__blk", "__v", l2_norm(F.col("__v")).alias("__n"))
     a, b = base.alias("a"), base.alias("b")
-    raw = dot_product(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n"))
-    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    sim = guarded_cosine(
+        dot_product(F.col("a.__v"), F.col("b.__v")), F.col("a.__n") * F.col("b.__n")
+    )
     return (
         a.join(
             b,
@@ -118,8 +120,9 @@ def batch_topk(
     p = probes.select(
         F.col(probe_id_col).alias("__pid"), to_double_array(probe_vec_col).alias("__pv")
     ).withColumn("__pn", l2_norm(F.col("__pv")))
-    raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
-    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    sim = guarded_cosine(
+        dot_product(F.col("__pv"), F.col("__v")), F.col("__pn") * F.col("__n")
+    )
     scored = base.crossJoin(F.broadcast(p)).select(
         "__pid",
         F.col(id_col),
@@ -491,8 +494,9 @@ def knn_graph_ann(
         if block_col is not None:
             probe_cols.insert(3, F.col("__blk").alias("__pblk"))
         probes = bucketed.select(*probe_cols)
-        raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
-        sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+        sim = guarded_cosine(
+            dot_product(F.col("__pv"), F.col("__v")), F.col("__pn") * F.col("__n")
+        )
         cond = (F.col("__pb") == F.col("__b")) & (F.col("__src") != F.col(id_col))
         if block_col is not None:
             cond = cond & (F.col("__pblk") == F.col("__blk"))
@@ -585,8 +589,9 @@ def ann_pairs(
     if block_col is not None:
         probe_cols.insert(3, F.col("__blk").alias("__pblk"))
     probes = bucketed.select(*probe_cols)
-    raw = dot_product(F.col("__pv"), F.col("__v")) / (F.col("__pn") * F.col("__n"))
-    sim = F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    sim = guarded_cosine(
+        dot_product(F.col("__pv"), F.col("__v")), F.col("__pn") * F.col("__n")
+    )
     cond = (F.col("__pb") == F.col("__b")) & (F.col("__pid") < F.col(id_col))
     if block_col is not None:
         cond = cond & (F.col("__pblk") == F.col("__blk"))

@@ -152,16 +152,21 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> tk[i] || ' ' || tk[i+1]) AS bg
         FROM toks
     )
-    SELECT doc_id,
-           1.0 - len(list_distinct(bg)) / len(bg) AS dup_bigram_frac,
-           list_aggregate(list_transform(list_distinct(tk),
-                                         w -> len(list_filter(tk, x -> x = w))),
-                          'max') / len(tk) AS top_token_frac,
-           (1.0 - len(list_distinct(bg)) / len(bg)) >= 0.30
-               OR list_aggregate(list_transform(list_distinct(tk),
-                                                w -> len(list_filter(tk, x -> x = w))),
-                                 'max') / len(tk) >= 0.15 AS repetitive
-    FROM g
+    , f AS (
+        SELECT doc_id,
+               CASE WHEN len(bg) > 0
+                    THEN 1.0 - len(list_distinct(bg)) / len(bg)
+                    ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN len(tk) > 0
+                    THEN list_aggregate(list_transform(list_distinct(tk),
+                                        w -> len(list_filter(tk, x -> x = w))),
+                                        'max') / len(tk)
+                    ELSE 0.0 END AS top_token_frac
+        FROM g
+    )
+    SELECT doc_id, dup_bigram_frac, top_token_frac,
+           dup_bigram_frac >= 0.30 OR top_token_frac >= 0.15 AS repetitive
+    FROM f
     """,
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,8 +186,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_routing.py.
     from ..functions.text import max_token_count
 
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg")
-    top_frac = max_token_count(F.col("tk")) / F.size("tk")
+    # Degenerate rows (empty text -> no tokens; single-token text -> no
+    # bigrams) score 0.0 on both signals instead of dividing by zero (ANSI
+    # abort on Spark, NULL on DuckDB): an empty doc isn't *repetitive*,
+    # it's the quality filter's problem. CaseWhen short-circuits, so the
+    # division never evaluates on the guarded rows.
+    dup_frac = F.when(
+        F.size("bg") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("bg")) / F.size("bg"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.size("tk") > 0, max_token_count(F.col("tk")) / F.size("tk")
+    ).otherwise(F.lit(0.0))
     return base.select(
         "doc_id",
         dup_frac.alias("dup_bigram_frac"),
@@ -204,7 +219,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
     scored AS (
         SELECT p.probe_id, c.vec_id,
-               list_cosine_similarity(c.e, p.pe) AS cosine
+               CASE WHEN list_dot_product(c.e, c.e) = 0 OR list_dot_product(p.pe, p.pe) = 0 THEN 0.0 ELSE list_cosine_similarity(c.e, p.pe) END AS cosine
         FROM p CROSS JOIN c
     )
     SELECT probe_id, vec_id, cosine FROM (
@@ -1580,7 +1595,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, n_chars,
                (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
                 + 0.5) / 4503599627370496.0 AS u
-        FROM documents
+        FROM documents WHERE n_chars > 0
     ), k AS (
         SELECT doc_id, lang, n_chars,
                CAST(-ln(u) / n_chars AS DECIMAL(18,9)) AS kq
@@ -1606,7 +1621,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties). Plan: scan-fused key computation, one hash shuffle on lang, and
     a per-group sort bounded by rank 20 (TopK per key at scale; the
     selection is one window pass, not a global sort)."""
-    d = t(spark, sf_dir, "documents")
+    # Zero-weight rows (empty docs) are excluded, not divided by: a
+    # weight-0 item has draw probability 0 in A-Res by definition.
+    d = t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
             "long"
@@ -1640,7 +1657,7 @@ _RRF_K, _RRF_TOPK, _RRF_OUT = 60, 100, 50
         FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_TOPK})
     ), den0 AS (
         SELECT vec_id,
-               list_cosine_similarity(embedding::DOUBLE[], p.probe) AS cosine
+               CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
         FROM embeddings
         CROSS JOIN (SELECT embedding::DOUBLE[] AS probe
                     FROM embeddings WHERE vec_id = 0) p

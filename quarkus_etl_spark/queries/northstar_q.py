@@ -293,7 +293,7 @@ def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     "q_sim_topk",
     oracle="""
     SELECT vec_id,
-           list_cosine_similarity(embedding::DOUBLE[], p.probe) AS cosine
+           CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
     FROM embeddings
     CROSS JOIN (SELECT embedding::DOUBLE[] AS probe FROM embeddings WHERE vec_id = 0) p
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
@@ -311,9 +311,9 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.e, b.e) AS cosine
+           CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    WHERE CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END >= 0.4
     """,
 )
 def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,7 +337,7 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers AS (
         SELECT DISTINCT b.vec_id
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        WHERE CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END >= 0.4
     )
     SELECT vec_id, label FROM embeddings
     WHERE vec_id NOT IN (SELECT vec_id FROM losers)
@@ -388,7 +388,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT xor(b, CAST(power(2, i) AS BIGINT))
         FROM pbucket, generate_series(0, 7) s(i)
     )
-    SELECT v.vec_id, list_cosine_similarity(v.e, (SELECT pe FROM probe)) AS cosine
+    SELECT v.vec_id, CASE WHEN list_dot_product(v.e, v.e) = 0 OR list_dot_product((SELECT pe FROM probe), (SELECT pe FROM probe)) = 0 THEN 0.0 ELSE list_cosine_similarity(v.e, (SELECT pe FROM probe)) END AS cosine
     FROM v JOIN bucketed USING (vec_id)
     WHERE bucketed.bucket IN (SELECT b FROM targets)
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
@@ -1181,7 +1181,7 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
     p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
-               list_cosine_similarity(a.e, b.e) AS c
+               CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     ), m AS (
         SELECT ia AS src, ib AS nbr, c FROM p
@@ -1467,7 +1467,7 @@ _MMR_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
     rel AS (
-        SELECT vec_id, e, list_cosine_similarity(e, pe) AS rel
+        SELECT vec_id, e, CASE WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS rel
         FROM v CROSS JOIN p WHERE vec_id <> 0
     ),
     cands AS (SELECT * FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 8),
@@ -1475,7 +1475,7 @@ _MMR_ORACLE = """
            ORDER BY rel DESC, vec_id ASC LIMIT 1),
     r1 AS (SELECT c.* FROM cands c
            WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
-    m2 AS (SELECT r.vec_id, MAX(list_cosine_similarity(r.e, s.e)) AS maxsim
+    m2 AS (SELECT r.vec_id, MAX(CASE WHEN list_dot_product(r.e, r.e) = 0 OR list_dot_product(s.e, s.e) = 0 THEN 0.0 ELSE list_cosine_similarity(r.e, s.e) END) AS maxsim
            FROM r1 r CROSS JOIN s1 s GROUP BY r.vec_id),
     sc2 AS (SELECT r.vec_id, r.e, r.rel,
                    0.7 * r.rel - 0.3 * m.maxsim AS score
@@ -1484,7 +1484,7 @@ _MMR_ORACLE = """
     sel AS (SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2),
     r2 AS (SELECT c.* FROM cands c
            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel)),
-    m3 AS (SELECT r.vec_id, MAX(list_cosine_similarity(r.e, s.e)) AS maxsim
+    m3 AS (SELECT r.vec_id, MAX(CASE WHEN list_dot_product(r.e, r.e) = 0 OR list_dot_product(s.e, s.e) = 0 THEN 0.0 ELSE list_cosine_similarity(r.e, s.e) END) AS maxsim
            FROM r2 r CROSS JOIN sel s GROUP BY r.vec_id),
     sc3 AS (SELECT r.vec_id, r.rel, 0.7 * r.rel - 0.3 * m.maxsim AS score
             FROM r2 r JOIN m3 m USING (vec_id)),
@@ -1660,7 +1660,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (SELECT e AS pe, label AS plabel FROM v WHERE vec_id = 0),
     ranked AS (
         SELECT vec_id, label, plabel,
-               list_cosine_similarity(e, pe) AS cosine
+               CASE WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS cosine
         FROM v CROSS JOIN p WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     ), pos AS (
