@@ -146,6 +146,9 @@ def token_chunks(tokens: Column, window: int = 20, stride: int = 15) -> Column:
     array of (chunk_id, start, chunk) structs for one posexplode — all
     per-row column algebra, zero shuffle at any scale."""
     starts = F.sequence(F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)), F.lit(stride))
+    # NULL token arrays chunk to NULL (zero rows after explode), not to one
+    # ghost chunk — same contract as `chunked` below.
+    starts = F.when(tokens.isNotNull(), starts)
     return F.transform(
         starts,
         lambda s, i: F.struct(
@@ -179,6 +182,11 @@ def chunked(df, tokens: Column, window: int = 20, stride: int = 15, keep=None):
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("__tk") - F.lit(1), F.lit(0)), F.lit(stride)
     )
+    # NULL token arrays (NULL text) produce ZERO chunks: greatest() silently
+    # drops the NULL size and would emit one ghost chunk per missing doc
+    # (fuzz_diff phase 3); posexplode of NULL emits nothing, matching the
+    # oracles' unnest-of-NULL.
+    starts = F.when(F.col("__tk").isNotNull(), starts)
     ex = base.select(*cols, "__tk", F.posexplode(starts).alias("chunk_id", "start_tok"))
     return ex.select(
         *cols,

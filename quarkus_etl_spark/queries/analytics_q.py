@@ -182,7 +182,11 @@ def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("bucket"),
         "event_type",
         "value",
-        _ord_key().alias("ord_key"),
+        # Masked ordering key: a NULL-valued tick isn't a price, so it must
+        # not become a bar's open/close. min_by/max_by skip NULL-ord rows
+        # (min/max ignore NULLs), exactly DuckDB arg_min/arg_max's
+        # NULL-value skipping (fuzz_diff phase 3).
+        F.when(F.col("value").isNotNull(), _ord_key()).alias("ord_key"),
     )
     return keyed.groupBy("bucket", "event_type").agg(
         F.min_by("value", "ord_key").alias("open_v"),

@@ -99,8 +99,11 @@ _SQL_AUG = (
 
 
 def _augmented_text() -> F.Column:
-    return F.concat_ws(
-        "",
+    # F.concat, NOT concat_ws: a NULL document must stay NULL through the
+    # augmentation (nothing to scan or redact), matching the oracle's
+    # null-propagating || chain — concat_ws would silently swallow the NULL
+    # and mint planted PII for a missing doc (fuzz_diff phase 3).
+    return F.concat(
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),

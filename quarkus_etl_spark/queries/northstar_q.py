@@ -84,9 +84,21 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the canonical bag-of-words key (sorted distinct token
     set) — the fixtures contain token-identical shuffled documents, so this
-    removes real duplicates; keep-min(doc_id) is deterministic."""
+    removes real duplicates; keep-min(doc_id) is deterministic.
+
+    NULL text keeps a NULL key (its own dedup group — Spark groupBy and
+    DuckDB PARTITION BY both pool NULLs): concat_ws silently swallows
+    NULL, which would alias a MISSING document to an EMPTY one and dedup
+    them against each other (fuzz_diff phase 3)."""
     d = t(spark, sf_dir, "documents")
-    bow = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(normalize_text("text"))))))
+    bow = F.when(
+        F.col("text").isNotNull(),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(tokenize(normalize_text("text"))))
+            )
+        ),
+    )
     keyed = d.select("doc_id", bow.alias("bow_key"), "lang")
     return dedup_exact(keyed, ["bow_key"], "doc_id").select("doc_id", "bow_key", "lang")
 

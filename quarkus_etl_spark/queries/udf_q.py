@@ -167,7 +167,13 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token string, pos bigint")
     class SplitWords:
         def eval(self, text: str):
-            for i, w in enumerate((text or "").split(" ")):
+            # NULL text fans out to ZERO rows — the same contract as the
+            # built-in posexplode(split(...)) form and the oracle's
+            # unnest-of-NULL ("" would instead mint one ghost token per
+            # missing doc; fuzz_diff phase 3).
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
                 yield w, i + 1
 
     ensure_views(spark, sf_dir)
@@ -365,7 +371,13 @@ def q_udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     @F.pandas_udf("long")
-    def cents_sum(v: pd.Series) -> int:
+    def cents_sum(v: pd.Series) -> int | None:
+        # SQL SUM semantics over the frame: NULLs are skipped, an all-NULL
+        # (or empty) frame sums to NULL — a bare astype would instead crash
+        # the Python worker on the NaN (fuzz_diff phase 3).
+        v = v.dropna()
+        if v.empty:
+            return None
         return int((v * 100).round().astype("int64").sum())
 
     ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")

@@ -43,10 +43,10 @@ def test_chunked_empty_and_degenerate(spark, empty_docs, messy_docs):
     by_doc: dict = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # null text -> one row with a null chunk (greatest(null,0)=0 keeps one
-    # start; the slice of a null array is null) — identical to the
+    # null text -> ZERO chunks (a missing doc has nothing to chunk; the
+    # oracles' unnest-of-NULL emits no rows) — identical to the
     # explode(token_chunks(...)) composition's behavior
-    assert len(by_doc[0]) == 1 and by_doc[0][0]["chunk"] is None
+    assert 0 not in by_doc
     # empty/whitespace text -> [""] single token -> exactly one chunk
     assert [len(by_doc[i]) for i in (1, 2, 3)] == [1, 1, 1]
     # 4 tokens, window 4 stride 3 -> starts 0 and 3 (ragged tail)
