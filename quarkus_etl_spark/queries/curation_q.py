@@ -484,8 +484,10 @@ def q_text_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     subdomains), a silent per-row data loss the adversarial fuzz sweep
     (tools/fuzz_diff.py) caught on a mutated source value."""
     d = t(spark, sf_dir, "documents")
-    url = F.concat_ws(
-        "",
+    # F.concat (null-propagating, like the oracle's || chain): a doc with
+    # missing source/lang metadata has NO derivable URL — every extracted
+    # part stays NULL rather than minting 'https://.example.com/...' ghosts.
+    url = F.concat(
         F.lit("https://"),
         F.col("source"),
         F.lit(".example.com/docs/"),

@@ -102,6 +102,10 @@ def _mutate_documents(rows: list[dict], rng: random.Random, phase: int) -> None:
     if phase >= 3:
         for i in grab(pct):
             rows[i]["text"] = None
+        for i in grab(pct):  # missing language metadata: NULL group/block key
+            rows[i]["lang"] = None
+        for i in grab(pct):
+            rows[i]["source"] = None
     for r in rows:
         r["n_chars"] = len(r["text"]) if r["text"] is not None else 0
 
@@ -126,6 +130,10 @@ def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None
     for _ in range(pct):
         i = next(take)
         rows[i]["label"] = 2**31 - 1
+    if phase >= 3:
+        for _ in range(pct):  # unlabeled vectors: NULL groupBy key
+            i = next(take)
+            rows[i]["label"] = None
 
 
 def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -152,6 +160,9 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
         for _ in range(pct):
             i = next(take)
             rows[i]["props"] = None
+        for _ in range(pct):  # untyped events: NULL groupBy key
+            i = next(take)
+            rows[i]["event_type"] = None
 
 
 def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
