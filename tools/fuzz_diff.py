@@ -16,10 +16,13 @@ Mutation classes are phased so a failure is attributable:
           pipeline sees.
   phase 2: empty text, single-token docs, zero vectors — degenerate but
           well-typed rows.
-  phase 3: NULL text / NULL value / NULL props — missing-data semantics.
+  phase 3: NULL text / value / props, plus NULL GROUP KEYS (lang, source,
+          event_type, label) — missing-data and missing-metadata semantics.
+  --tiny (orthogonal): pure truncation to single-digit row counts —
+          .first()-on-empty, empty-aggregation, all-rows-filtered paths.
 
 Usage:
-  python -m tools.fuzz_diff [--seed 7] [--phase 2] [--base sf0.001] [query ...]
+  python -m tools.fuzz_diff [--seed 7] [--phase 2] [--tiny] [--base sf0.001] [query ...]
 
 Writes the mutated tables to .scratch/fuzz/seed<seed>_p<phase>/ and exits
 nonzero on any mismatch, printing the per-query verdicts like verify.py.
@@ -213,12 +216,31 @@ MUTATORS = {
 }
 
 
-def build_fuzz_dir(base_dir: str, out_dir: str, seed: int, phase: int) -> str:
+# --mode tiny: degenerate-cardinality fixtures — single-digit row counts
+# expose .first()-on-empty, empty-aggregation, and all-rows-filtered paths
+# that normal scale factors never reach. Row 0 of documents/embeddings is
+# always kept (the probe/doc-0 parameters some queries fetch).
+TINY_ROWS = {
+    "documents": 7, "embeddings": 9, "events": 25,
+    "lineitem": 40, "orders": 20, "customer": 8, "part": 10,
+}
+
+
+def build_fuzz_dir(
+    base_dir: str, out_dir: str, seed: int, phase: int, tiny: bool = False
+) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         src = f"{base_dir}/{name}.parquet"
         dst = f"{out_dir}/{name}.parquet"
         table = pq.read_table(src)
+        if tiny:
+            # pure truncation: the mutators' grab budgets assume hundreds of
+            # rows, and degenerate CARDINALITY is the thing under test here
+            if name in TINY_ROWS:
+                table = table.slice(0, TINY_ROWS[name])
+            pq.write_table(table, dst)
+            continue
         mut = MUTATORS.get(name)
         if mut is None:
             pq.write_table(table, dst)
@@ -235,13 +257,16 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
+    ap.add_argument("--tiny", action="store_true",
+                    help="degenerate-cardinality tables (single-digit rows)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
+    suffix = "_tiny" if args.tiny else ""
     out_dir = os.path.join(
-        REPO, ".scratch", "fuzz", f"seed{args.seed}_p{args.phase}"
+        REPO, ".scratch", "fuzz", f"seed{args.seed}_p{args.phase}{suffix}"
     )
-    build_fuzz_dir(args.base, out_dir, args.seed, args.phase)
+    build_fuzz_dir(args.base, out_dir, args.seed, args.phase, tiny=args.tiny)
     print(f"fuzz fixtures: {out_dir}")
 
     from quarkus_etl_spark import verify
