@@ -1,0 +1,131 @@
+"""Pins for the NULL-semantics conventions fuzz_diff established (round 4):
+MISSING ≠ EMPTY everywhere, zero-norm cosine is 0.0, SQL-SUM NULL skipping
+in the pandas frame UDF. fuzz_diff proves these cross-engine on mutated
+fixtures; these tests pin the Spark-side conventions per-commit with inline
+frames so a refactor can't silently revert to the NULL-swallowing
+conveniences (concat_ws, greatest, `or ""`) that caused the original
+divergences.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_guarded_cosine_zero_norm_is_zero(spark):
+    from quarkus_etl_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], [1.0, 2.0]),   # zero left norm
+            (2, [1.0, 2.0], [0.0, 0.0]),   # zero right norm
+            (3, [0.0, 0.0], [0.0, 0.0]),   # both zero
+            (4, [1.0, 0.0], [1.0, 0.0]),   # identical -> 1.0
+            (5, [1.0, 0.0], [-1.0, 0.0]),  # opposite -> -1.0
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", cosine_similarity(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: 0.0, 3: 0.0, 4: 1.0, 5: -1.0}
+
+
+def test_cosine_to_const_zero_norm_is_zero(spark):
+    from quarkus_etl_spark.functions.vectors import cosine_to_const
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0])], "id long, a array<double>"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", cosine_to_const(F.col("a"), [1.0, 0.0]).alias("c")
+        ).collect()
+    }
+    assert got[1] == 0.0 and got[2] == pytest.approx(0.6)
+
+
+def test_null_tokens_chunk_to_zero_rows(spark):
+    from quarkus_etl_spark.functions.text import chunked, token_chunks
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ["a", "b", "c", "d"])], "doc_id long, tk array<string>"
+    )
+    out = chunked(df, F.col("tk"), window=4, stride=3, keep=["doc_id"]).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    # and the array-valued twin agrees: NULL in, NULL (no structs) out
+    tc = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", token_chunks(F.col("tk"), 4, 3).alias("c")
+        ).collect()
+    }
+    assert tc[0] is None and len(tc[1]) == 2
+
+
+def test_min_by_null_masked_ord_skips_null_values(spark):
+    # the q_time_ohlc open/close convention: a NULL-valued tick never
+    # becomes a bar's open/close (DuckDB arg_min/arg_max parity)
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 2.0)], "k long, v double"
+    )
+    ord_key = F.when(F.col("v").isNotNull(), F.col("k"))
+    row = df.agg(
+        F.min_by("v", ord_key).alias("open"), F.max_by("v", ord_key).alias("close")
+    ).collect()[0]
+    assert (row["open"], row["close"]) == (5.0, 2.0)
+
+
+def test_dedup_exact_null_text_keeps_null_group(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    rows = src.to_pylist()
+    # two NULL docs and one genuinely-empty doc: NULLs pool together,
+    # the empty doc stays its own group (missing != empty)
+    for i, txt in ((0, None), (1, None), (2, "")):
+        rows[i]["text"] = txt
+        rows[i]["n_chars"] = 0
+    import pyarrow as pa
+
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows, schema=src.schema), f"{d}/documents.parquet")
+    from quarkus_etl_spark.queries.northstar_q import q_dedup_exact
+
+    kept = q_dedup_exact(spark, d).collect()
+    null_rows = [r for r in kept if r["bow_key"] is None]
+    ids = {r["doc_id"] for r in kept}
+    assert len(null_rows) == 1 and null_rows[0]["doc_id"] == min(
+        rows[0]["doc_id"], rows[1]["doc_id"]
+    )
+    assert rows[2]["doc_id"] in ids  # the empty doc survives separately
+
+
+def test_pandas_frame_udf_sum_null_semantics(spark):
+    # pd must be a MODULE-level import: pandas_udf resolves the stringified
+    # `pd.Series` annotation against the function's globals
+    from pyspark.sql.window import Window
+
+    @F.pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int | None:
+        v = v.dropna()
+        if v.empty:
+            return None
+        return int((v * 100).round().astype("int64").sum())
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None), (1, 3, 2.5)], "k long, i long, v double"
+    )
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(-1, 0)
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", cents_sum("v").over(w).alias("s")).collect()
+    }
+    # frame {null} -> NULL; {null,null} -> NULL; {null,2.5} -> 250
+    assert got == {1: None, 2: None, 3: 250}
