@@ -95,6 +95,12 @@ def _mutate_documents(rows: list[dict], rng: random.Random, phase: int) -> None:
         rows[i]["lang"] = "xx"
     for i in grab(pct):
         rows[i]["source"] = "src_only_once"
+    # NOT mutated: doc_id uniqueness. The per-row operators (simhash,
+    # minhash signatures) hash each ROW zero-shuffle while the SQL oracles
+    # aggregate features per id — with two texts under one id the two
+    # views are legitimately different answers to an ill-posed input.
+    # Unique ids are the documented operator precondition; double-ingestion
+    # is exactly what the upstream exact-dedup stage exists to repair.
     if phase >= 2:
         for i in grab(pct):
             rows[i]["text"] = ""
@@ -156,6 +162,11 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
     for _ in range(pct):
         i = next(take)
         rows[i]["props"] = rng.choice(['{}', '{"k": 0}', '{"k": -1, "m": {"x": 1}}'])
+    for _ in range(pct):  # double-delivered event: duplicate event_id
+        i = next(take)
+        src = rows[rng.randrange(n)]
+        if src["event_id"] != rows[i]["event_id"]:
+            rows[i]["event_id"] = src["event_id"]
     if phase >= 3:
         for _ in range(pct):
             i = next(take)
@@ -187,6 +198,12 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
         i = next(take)
         src = rows[rng.randrange(n)]
         rows[i]["l_shipdate"] = src["l_shipdate"]
+    for _ in range(pct):  # returns/credits: negative money
+        i = next(take)
+        rows[i]["l_extendedprice"] = -rng.choice([1.0, 250.5, 9999.99])
+    for _ in range(pct):
+        i = next(take)
+        rows[i]["l_quantity"] = 0.0
 
 
 def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -205,6 +222,9 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
     for _ in range(pct):  # csv-hostile priority strings
         i = next(take)
         rows[i]["o_orderpriority"] = rng.choice(CSV_HOSTILE)
+    for _ in range(pct):  # credit orders: negative / zero totals
+        i = next(take)
+        rows[i]["o_totalprice"] = rng.choice([-1234.56, 0.0])
 
 
 MUTATORS = {
