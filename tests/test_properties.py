@@ -331,3 +331,105 @@ def test_near_dup_edges_strategies_on_random_corpora(spark):
     assert set(lsh) <= set(want)
     for k, v in lsh.items():
         assert math.isclose(v, want[k], rel_tol=1e-12)
+
+
+def _py_ares_sample(docs, per_group=20):
+    """A-Res reference: python md5 uniforms, exponential keys, top-N per
+    group — validates the engine-side md5 bit math end-to-end."""
+    import hashlib
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for doc_id, lang, n_chars in docs:
+        if n_chars <= 0:
+            continue
+        u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) + 0.5) / 4503599627370496.0
+        # DECIMAL(18,9) quantization; rounding MODE is moot (a tie at the
+        # 9th decimal of -ln(u)/w has ~0 measure)
+        kq = round(-math.log(u) / n_chars, 9)
+        by_lang[lang].append((kq, doc_id))
+    out = set()
+    for lang, items in by_lang.items():
+        for kq, doc_id in sorted(items)[:per_group]:
+            out.add((doc_id, lang))
+    return out
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """Three-way agreement (Spark / DuckDB oracle / pure Python) on the
+    reproducible weighted draw — pins the md5-uniform construction, the
+    exponential-key quantization, and per-group top-20 selection."""
+    import duckdb
+
+    from quarkus_etl_spark.queries.curation_q import q_sample_weighted
+
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in q_sample_weighted(spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert got == _py_ares_sample(docs)
+
+
+def _py_ohlc(events):
+    """OHLC reference with NULL-value skipping on open/close."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for event_id, ts, etype, value in events:
+        bucket = ts.replace(minute=0, second=0, microsecond=0)
+        groups[(bucket, etype)].append((ts, event_id, value))
+    out = {}
+    for key, rows in groups.items():
+        vals = [v for _, _, v in rows if v is not None]
+        nn = sorted((r for r in rows if r[2] is not None), key=lambda r: (r[0], r[1]))
+        out[key] = (
+            nn[0][2] if nn else None,
+            max(vals) if vals else None,
+            min(vals) if vals else None,
+            nn[-1][2] if nn else None,
+            len(rows),
+        )
+    return out
+
+
+def test_ohlc_matches_python_reference_with_nulls(spark):
+    rng = random.Random(5)
+    events = [
+        (
+            i,
+            EPOCH + dt.timedelta(seconds=rng.randrange(0, 6 * 3600)),
+            rng.choice(["a", "b"]),
+            None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 2),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        events, "event_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    df.createOrReplaceTempView("__ohlc_events")
+    from quarkus_etl_spark.queries.analytics_q import _ord_key
+
+    got = {
+        (r["bucket"], r["event_type"]): (
+            r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["n"]
+        )
+        for r in df.select(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+            "value",
+            F.when(F.col("value").isNotNull(), _ord_key()).alias("ord_key"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.min_by("value", "ord_key").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", "ord_key").alias("close_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == _py_ohlc(events)
