@@ -66,6 +66,44 @@ def exact_percentiles_multi(
     ).where(F.col("__v").isNotNull())
 
     hist = stacked.groupBy(*keys, "__col", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    return _percentiles_over_hist(hist, keys, specs, strategy)
+
+
+def percentiles_from_hist(
+    hist: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str,
+    targets: dict[str, float],
+    strategy: str = "window",
+) -> DataFrame:
+    """Exact percentiles from a PRE-BUILT (key, value) -> count histogram.
+
+    For callers that already aggregated their rows into a value histogram
+    (e.g. to share one scan across median, deviation, and outlier-count
+    passes — q_outlier_mad), this skips the raw-row stage entirely and
+    runs the identical cumsum + quantile_cont machinery over the supplied
+    counts. NULL-valued histogram cells are ignored, matching
+    exact_percentiles' treatment of NULL rows. Duplicate (key, value)
+    cells are re-aggregated first so cumulative ranges stay a partition
+    of the rank space."""
+    h = (
+        hist.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("__v"))
+        .agg(F.sum(F.col(count_col).cast("long")).alias("__c"))
+        .select(*keys, F.lit(value_col).alias("__col"), "__v", "__c")
+    )
+    return _percentiles_over_hist(h, keys, {value_col: targets}, strategy)
+
+
+def _percentiles_over_hist(
+    hist: DataFrame,
+    keys: list[str],
+    specs: dict[str, dict[str, float]],
+    strategy: str,
+) -> DataFrame:
+    """Steps 2-4 of the module docstring: cumulative counts + rank
+    arithmetic + interpolation over a (keys, __col, __v) -> __c histogram."""
     wn = Window.partitionBy(*keys, "__col")
     if strategy == "window":
         w = Window.partitionBy(*keys, "__col").orderBy("__v")

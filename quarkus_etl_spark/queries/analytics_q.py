@@ -360,31 +360,53 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via median/MAD (median absolute
     deviation): flag values more than 3 MADs from their group median —
     the quality gate that, unlike mean/stddev z-scores (q_feat_scale),
-    no outlier can itself corrupt. The exact medians come from the
-    histogram percentile plan (operators/percentile.py — shuffles
-    |distinct values|, never buffers a group's rows), the tiny per-group
-    median/MAD tables broadcast back, and the deviation arithmetic is a
-    fixed double expression, so both engines agree bit-for-bit."""
-    from ..operators.percentile import exact_percentiles
+    no outlier can itself corrupt. ONE row-proportional pass: the raw
+    rows collapse into a per-(group, value) histogram up front (map-side
+    combine shrinks the only shuffle to |distinct quantities| per group),
+    and the median, the deviation table, the MAD, and the outlier counts
+    are all computed over those histogram cells — the naive plan's three
+    lineitem scans (median pass, deviation pass, count pass) become one.
+    The percentile arithmetic is operators/percentile.py's quantile_cont
+    machinery (percentiles_from_hist), the tiny median/MAD tables
+    broadcast back, and the deviation arithmetic is a fixed double
+    expression, so both engines agree bit-for-bit. NULL quantities carry
+    no deviation (never outliers) but still count in n, matching the
+    oracle's COUNT(*) vs NULL-propagating CASE."""
+    from ..operators.percentile import percentiles_from_hist
+    from ..plans.tuning import ensure_parallelism
 
     li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    med = exact_percentiles(li, ["l_returnflag"], "l_quantity", {"med": 0.5})
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
+    # The histogram feeds THREE consumers (median, deviation/MAD, final
+    # counts); without a cut point Catalyst plans an independent scan +
+    # shuffle per consumer (pushed-filter differences defeat ReuseExchange).
+    # localCheckpoint pins the domain-bounded cells once — the only
+    # row-proportional work runs exactly once.
+    hist = (
+        ensure_parallelism(li)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    med = percentiles_from_hist(
+        hist, ["l_returnflag"], "l_quantity", "c", {"med": 0.5}
+    )
+    cells = hist.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         "med",
         F.abs(F.col("l_quantity") - F.col("med")).alias("adev"),
+        "c",
     )
-    mad = exact_percentiles(dev, ["l_returnflag"], "adev", {"mad": 0.5})
+    mad = percentiles_from_hist(cells, ["l_returnflag"], "adev", "c", {"mad": 0.5})
     return (
-        dev.join(F.broadcast(mad), "l_returnflag")
+        cells.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.any_value("med").alias("med"),
             F.any_value("mad").alias("mad"),
             F.sum(
-                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+                F.when(F.col("adev") > 3 * F.col("mad"), F.col("c")).otherwise(0)
             ).alias("n_outliers"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("n"),
         )
     )
 

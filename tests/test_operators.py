@@ -338,6 +338,38 @@ def test_exact_percentiles_edges(spark):
     assert abs(frac["p60"] - 2.8) < 1e-12
 
 
+def test_percentiles_from_hist_matches_raw_rows(spark):
+    """percentiles_from_hist over a pre-aggregated (key, value) -> count
+    histogram returns bit-identical values to exact_percentiles over the
+    raw rows — including fractional ranks, duplicate values, NULL cells
+    (ignored), and duplicate histogram rows for one value (re-aggregated)."""
+    from quarkus_etl_spark.operators.percentile import (
+        exact_percentiles,
+        percentiles_from_hist,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("a", 10.0),
+            ("b", 7.5), ("b", 3.0), ("b", None)]
+    raw = spark.createDataFrame(rows, "k string, v double")
+    # hist with a deliberately SPLIT cell for (a, 2.0): 1 + 1 instead of 2,
+    # plus a NULL-valued cell — both must be handled by the hist entry point.
+    hist = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 2.0, 1), ("a", 4.0, 1),
+         ("a", 10.0, 1), ("b", 7.5, 1), ("b", 3.0, 1), ("b", None, 1)],
+        "k string, v double, c long",
+    )
+    targets = {"p0": 0.0, "p37": 0.37, "p50": 0.5, "p60": 0.6, "p100": 1.0}
+    want = {r["k"]: r for r in exact_percentiles(raw, ["k"], "v", targets).collect()}
+    got = {
+        r["k"]: r
+        for r in percentiles_from_hist(hist, ["k"], "v", "c", targets).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for alias in targets:
+            assert got[k][alias] == want[k][alias], (k, alias, got[k][alias], want[k][alias])
+
+
 def test_video_features_fused_matches_two_stage(spark):
     """The fused sample+featurize operator returns exactly what the
     composable sample_frames |> extract_features pipeline returns."""
