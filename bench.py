@@ -130,10 +130,15 @@ def main() -> None:
             key=lambda n: -timings[n],
         )[:10]
         for name in slowest:
-            if len(all_runs.get(name, [])) < 3:
-                time_one(name)
+            # Top up to 3 samples (with SPARK_GRAFT_BENCH_RUNS=1 there is
+            # only one so far); report a median ONLY from >= 3 — the
+            # middle of 2 sorted runs is the MAX, which would bias the
+            # noise-robust head statistic high.
+            while len(all_runs.get(name, [])) < 3:
+                if time_one(name) == 0.0 and timings.get(name, -1) < 0:
+                    break  # erroring query: no more passes, no median
             runs = sorted(all_runs.get(name, []))
-            if runs:
+            if len(runs) >= 3:
                 slowest10_median3[name] = runs[len(runs) // 2]
 
     # The live-streaming queries execute a real micro-batch run whose wall

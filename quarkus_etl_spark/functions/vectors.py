@@ -37,15 +37,26 @@ def l2_norm(a: Column) -> Column:
 def guarded_cosine(dot: Column, denom: Column) -> Column:
     """Shared zero-norm-safe cosine closer: 0.0 when the norm product is 0
     (zero vectors — failed-encoder rows every real embedding table has;
-    under ANSI the bare division would abort the whole job), else the raw
-    ratio clamped to [-1, 1]. CaseWhen short-circuits per row, so the
-    division never evaluates on the zero-denominator rows and the nonzero
-    path stays bit-identical to the unguarded fold. Oracles mirror the
-    convention with a CASE around list_cosine_similarity (whose own zero-
-    vector behavior — NaN clamped to -1.0 — is neither portable nor
-    meaningful)."""
-    raw = F.when(denom != 0.0, dot / denom).otherwise(F.lit(0.0))
-    return F.least(F.greatest(raw, F.lit(-1.0)), F.lit(1.0))
+    under ANSI the bare division would abort the whole job), NULL when an
+    input vector is NULL (MISSING != EMPTY: a missing embedding has no
+    similarity, where a zero vector has a defined degenerate one — the
+    round-4 NULL convention), else the raw ratio clamped to [-1, 1].
+    CaseWhen short-circuits per row, so the division never evaluates on
+    the zero-denominator rows and the nonzero path stays bit-identical to
+    the unguarded fold. The clamp sits INSIDE the non-NULL branch because
+    Spark's least/greatest SKIP nulls (greatest(NULL, -1.0) = -1.0 would
+    resurrect a missing score). Oracles mirror the convention with a CASE
+    around list_cosine_similarity (whose own zero-vector behavior — NaN
+    clamped to -1.0 — is neither portable nor meaningful): an explicit
+    IS NULL leg, then the zero-norm leg, then the raw similarity."""
+    clamped = F.least(F.greatest(dot / denom, F.lit(-1.0)), F.lit(1.0))
+    # denom NULL (NULL vector) -> neither branch -> implicit NULL. The
+    # dot.isNotNull() conjunct guards the one asymmetric corner (NULL dot
+    # with a non-NULL denom) from the null-skipping clamp turning it
+    # into -1.0.
+    return F.when(dot.isNotNull() & (denom != 0.0), clamped).when(
+        denom == 0.0, F.lit(0.0)
+    )
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

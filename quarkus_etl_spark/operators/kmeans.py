@@ -68,6 +68,17 @@ def coarse_cells(
         for j, vecs in members.items():
             dim = len(vecs[0])
             coarse[j] = [sum(v[d] for v in vecs) / len(vecs) for d in range(dim)]
+    # Compact away EMPTY cells (duplicate/collapsed centroids leave stale
+    # seed centers with zero members). An empty cell would still be probed
+    # by rows — nearest-cell scoring can prefer it — but contributes zero
+    # candidate centroids, and a row whose nprobe cells are all empty would
+    # vanish through the inner candidate join. With only non-empty cells,
+    # every probed cell carries >= 1 member, so every row gets >= 1
+    # candidate and an assignment — the every-row-assigned contract.
+    used = sorted(set(assign.values()))
+    remap = {old: new for new, old in enumerate(used)}
+    coarse = [coarse[j] for j in used]
+    assign = {cid: remap[c] for cid, c in assign.items()}
     return coarse, assign
 
 
@@ -140,21 +151,21 @@ def kmeans_assign_pruned(
     )
 
     # Candidate centroids arrive by broadcast equi-join on the cell id:
-    # each row scores ~k*nprobe/C members instead of all k.
-    cell_map = F.create_map(
-        *[
-            lit
-            for cid, cell in cell_of.items()
-            for lit in (F.lit(cid).cast("long"), F.lit(cell).cast("int"))
-        ]
+    # each row scores ~k*nprobe/C members instead of all k. Build the
+    # candidate table from the rows ALREADY collected above — rebuilding it
+    # from the `centroids` DataFrame would re-execute its (iterated,
+    # per-Lloyd-round) lineage a second time per call. k rows of
+    # (long, array<double>, int) are driver-trivial, and the collect ->
+    # createDataFrame round-trip is exact for IEEE doubles.
+    cent_cells = F.broadcast(
+        v.sparkSession.createDataFrame(
+            [(cid, vec, cell_of[cid]) for cid, vec in cents],
+            "cluster long, carr array<double>, __cell int",
+        )
     )
-    cent_cells = centroids.select(
-        F.col(cluster_col).cast("long").alias("cluster"),
-        F.col(carr_col).alias("carr"),
-    ).withColumn("__cell", cell_map[F.col("cluster")])
     qdist = quantized_sq_dist(F.col(vec_col), F.col("carr"))
     return (
-        probed.join(F.broadcast(cent_cells), "__cell")
+        probed.join(cent_cells, "__cell")
         .select(
             id_col,
             F.struct(qdist.alias("dist"), F.col("cluster").alias("cluster")).alias(

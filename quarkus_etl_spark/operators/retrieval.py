@@ -54,6 +54,22 @@ def _freshness_token(path: str) -> dict:
     return {"mtime_ns": st.st_mtime_ns, "size": st.st_size}
 
 
+def mv_paths(sf_dir: str) -> tuple[Path, Path]:
+    """(parquet, freshness-marker) locations for `sf_dir`'s tf MV. Keyed by
+    the FULL path (hashed), not just the basename: two corpora named alike
+    (e.g. /a/sf0.01 and /b/sf0.01 — exactly what the fuzz harness creates)
+    must not share one MV file, or each rebuild poisons the other's cached
+    reads."""
+    import hashlib
+
+    abs_dir = os.path.abspath(sf_dir)
+    sf = (
+        f"{os.path.basename(os.path.normpath(sf_dir)) or 'sf'}-"
+        f"{hashlib.md5(abs_dir.encode()).hexdigest()[:10]}"
+    )
+    return _SCRATCH / sf / "tf_mv.parquet", _SCRATCH / sf / "tf_mv.token.json"
+
+
 def tf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized (doc_id, term, fp, tf) table for `sf_dir`'s
     documents — built on first use, reused (from disk) afterwards."""
@@ -65,9 +81,7 @@ def tf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _MV_CACHE:
         return _MV_CACHE[key]
 
-    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = _SCRATCH / sf / "tf_mv.parquet"
-    marker = _SCRATCH / sf / "tf_mv.token.json"
+    out, marker = mv_paths(sf_dir)
     token = _freshness_token(os.path.join(sf_dir, "documents.parquet"))
     fresh = False
     if marker.exists() and out.exists():

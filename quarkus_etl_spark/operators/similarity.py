@@ -200,8 +200,15 @@ def _auto_planes(df: DataFrame, target_bucket: int) -> int:
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     """Vector dimensionality from the data (one limit-1 scan at plan build).
     Hyperplanes must match the data's dim: a mismatched constant would
-    null every dot product and silently hash all rows to one bucket."""
-    row = df.select(F.size(to_double_array(vec_col)).alias("d")).first()
+    null every dot product and silently hash all rows to one bucket.
+    NULL/empty vectors are skipped — an arbitrary first() row being a
+    failed-encoder row must not abort the whole query (the probe is
+    partition-order-dependent); only an all-degenerate table raises."""
+    row = (
+        df.select(F.size(to_double_array(vec_col)).alias("d"))
+        .where(F.col("d") > 0)
+        .first()
+    )
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot derive vector dim from column {vec_col!r}")
     return int(row["d"])

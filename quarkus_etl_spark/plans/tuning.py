@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_ROUTING_COUNT_CACHE: dict[tuple[str, int], int] = {}
+_ROUTING_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
 
 _route_logger = __import__("logging").getLogger("quarkus_etl_spark.routing")
 
@@ -39,17 +39,34 @@ def log_route(op: str, strategy: str, approximate: bool, detail: str = "") -> No
 
 def routing_count(df: DataFrame) -> int:
     """Row count for size-based plan routing (exhaustive-vs-LSH thresholds,
-    auto plane sizing), cached per (session, analyzed-plan semantic hash).
+    auto plane sizing), cached per (session, analyzed-plan semantic hash,
+    input-file fingerprint).
 
     On a raw parquet scan count() is a metadata-only action; on a derived
     frame it executes the upstream plan — callers should route on the raw
     input where possible, and this cache at least makes repeated routing
     decisions over the same logical input (the common case: every dedup/
-    graph query re-derives the same corpus frame) pay once per session."""
+    graph query re-derives the same corpus frame) pay once per session.
+
+    Key hygiene: the session component is catalog._session_key (NOT
+    applicationId, which spark.newSession() siblings share), and the file
+    fingerprint invalidates the cached count when the table is overwritten
+    or appended under the same logical plan — overwrite/append always
+    change the part-file set, so a stale count can't silently keep routing
+    a grown corpus to the exhaustive plan. In-memory relations fingerprint
+    to () and fall back to semantic-hash-only keying (plans there are
+    session-local and immutable in practice)."""
+    from ..catalog import _session_key
+
     try:
+        try:
+            files = tuple(sorted(df.inputFiles()))
+        except Exception:  # streaming/in-memory plans
+            files = ()
         key = (
-            df.sparkSession.sparkContext.applicationId,
+            _session_key(df.sparkSession),
             int(df._jdf.queryExecution().analyzed().semanticHash()),
+            hash(files),
         )
     except Exception:  # pragma: no cover - Connect or API drift
         return df.count()

@@ -217,12 +217,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_batch",
     oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
     p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 8),
     c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
     scored AS (
         SELECT p.probe_id, c.vec_id,
-               CASE WHEN list_dot_product(c.e, c.e) = 0 OR list_dot_product(p.pe, p.pe) = 0 THEN 0.0 ELSE list_cosine_similarity(c.e, p.pe) END AS cosine
+               CASE WHEN (c.e) IS NULL OR (p.pe) IS NULL THEN NULL WHEN list_dot_product(c.e, c.e) = 0 OR list_dot_product(p.pe, p.pe) = 0 THEN 0.0 ELSE list_cosine_similarity(c.e, p.pe) END AS cosine
         FROM p CROSS JOIN c
     )
     SELECT probe_id, vec_id, cosine FROM (
@@ -240,7 +241,7 @@ def q_sim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at k rows per (probe, partition) instead of |probes| x |rows|."""
     from ..operators.similarity import batch_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     probes = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -1662,10 +1663,11 @@ _RRF_K, _RRF_TOPK, _RRF_OUT = 60, 100, 50
         FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT {_RRF_TOPK})
     ), den0 AS (
         SELECT vec_id,
-               CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
+               CASE WHEN (embedding::DOUBLE[]) IS NULL OR (p.probe) IS NULL THEN NULL WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
         FROM embeddings
         CROSS JOIN (SELECT embedding::DOUBLE[] AS probe
                     FROM embeddings WHERE vec_id = 0) p
+        WHERE embedding IS NOT NULL
         ORDER BY cosine DESC, vec_id ASC LIMIT {_RRF_TOPK}
     ), den AS (
         SELECT vec_id AS doc_id,
@@ -1703,7 +1705,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = lex100.withColumn("rl", F.row_number().over(wl)).select("doc_id", "rl")
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     den100 = brute_force_topk(
         e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=_RRF_TOPK
     )

@@ -305,16 +305,17 @@ def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     "q_sim_topk",
     oracle="""
     SELECT vec_id,
-           CASE WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
+           CASE WHEN (embedding::DOUBLE[]) IS NULL OR (p.probe) IS NULL THEN NULL WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
     FROM embeddings
     CROSS JOIN (SELECT embedding::DOUBLE[] AS probe FROM embeddings WHERE vec_id = 0) p
+    WHERE embedding IS NOT NULL
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
 )
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 vs the vec_id=0 probe. Fold order matches
     DuckDB's list_cosine_similarity bit-for-bit (see functions.vectors)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     return brute_force_topk(e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10)
 
 
@@ -323,9 +324,9 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS cosine
+           CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END >= 0.4
+    WHERE CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END >= 0.4
     """,
 )
 def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +350,7 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers AS (
         SELECT DISTINCT b.vec_id
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END >= 0.4
+        WHERE CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END >= 0.4
     )
     SELECT vec_id, label FROM embeddings
     WHERE vec_id NOT IN (SELECT vec_id FROM losers)
@@ -383,6 +384,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT i, list(g ORDER BY d) AS p FROM pv GROUP BY i
     ), v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ), probe AS (
         SELECT e AS pe FROM v WHERE vec_id = 0
     ), bucketed AS (
@@ -400,7 +402,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT xor(b, CAST(power(2, i) AS BIGINT))
         FROM pbucket, generate_series(0, 7) s(i)
     )
-    SELECT v.vec_id, CASE WHEN list_dot_product(v.e, v.e) = 0 OR list_dot_product((SELECT pe FROM probe), (SELECT pe FROM probe)) = 0 THEN 0.0 ELSE list_cosine_similarity(v.e, (SELECT pe FROM probe)) END AS cosine
+    SELECT v.vec_id, CASE WHEN (v.e) IS NULL OR ((SELECT pe FROM probe)) IS NULL THEN NULL WHEN list_dot_product(v.e, v.e) = 0 OR list_dot_product((SELECT pe FROM probe), (SELECT pe FROM probe)) = 0 THEN 0.0 ELSE list_cosine_similarity(v.e, (SELECT pe FROM probe)) END AS cosine
     FROM v JOIN bucketed USING (vec_id)
     WHERE bucketed.bucket IN (SELECT b FROM targets)
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
@@ -415,7 +417,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dot-product sign, bucket id, and emitted cosine is hash-verified
     (the fold orders match DuckDB bit-for-bit). The Gaussian family remains
     the production default in lsh_topk."""
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     return lsh_topk(
         e,
         "embedding",
@@ -598,7 +600,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH): deterministic seeded centroids, nprobe=3 cells scanned."""
     from ..operators.similarity import ivf_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     return ivf_topk(
         e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10, n_cells=16, nprobe=3
     )
@@ -1190,10 +1192,11 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_knn_graph",
     oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
     p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
-               CASE WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
+               CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     ), m AS (
         SELECT ia AS src, ib AS nbr, c FROM p
@@ -1227,7 +1230,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     max_exact = int(os.environ.get("SPARK_GRAFT_EXACT_KNN_MAX_VECS", "50000"))
     from ..plans.tuning import log_route, routing_count
 
@@ -1262,7 +1265,7 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     block; recall vs the exact graph is pinned by pytest."""
     from ..operators.similarity import knn_graph_ann
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     return knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label")
 
 
@@ -1277,12 +1280,12 @@ _KMEANS_ORACLE = """
         SELECT vec_id,
                generate_subscripts(embedding, 1) - 1 AS pos,
                unnest(embedding::DOUBLE[]) AS x
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), seeds AS (
         SELECT vec_id,
                row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
         QUALIFY row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
     ), c0 AS (
@@ -1366,7 +1369,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import to_double_array
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     v = ensure_parallelism(e).select("vec_id", to_double_array("embedding").alias("e"))
     ex = v.select(
         "vec_id", F.posexplode(F.col("e")).alias("pos", "x")
@@ -1476,10 +1479,11 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MMR_ORACLE = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
     p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
     rel AS (
-        SELECT vec_id, e, CASE WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS rel
+        SELECT vec_id, e, CASE WHEN (e) IS NULL OR (pe) IS NULL THEN NULL WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS rel
         FROM v CROSS JOIN p WHERE vec_id <> 0
     ),
     cands AS (SELECT * FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 8),
@@ -1487,7 +1491,7 @@ _MMR_ORACLE = """
            ORDER BY rel DESC, vec_id ASC LIMIT 1),
     r1 AS (SELECT c.* FROM cands c
            WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
-    m2 AS (SELECT r.vec_id, MAX(CASE WHEN list_dot_product(r.e, r.e) = 0 OR list_dot_product(s.e, s.e) = 0 THEN 0.0 ELSE list_cosine_similarity(r.e, s.e) END) AS maxsim
+    m2 AS (SELECT r.vec_id, MAX(CASE WHEN (r.e) IS NULL OR (s.e) IS NULL THEN NULL WHEN list_dot_product(r.e, r.e) = 0 OR list_dot_product(s.e, s.e) = 0 THEN 0.0 ELSE list_cosine_similarity(r.e, s.e) END) AS maxsim
            FROM r1 r CROSS JOIN s1 s GROUP BY r.vec_id),
     sc2 AS (SELECT r.vec_id, r.e, r.rel,
                    0.7 * r.rel - 0.3 * m.maxsim AS score
@@ -1496,7 +1500,7 @@ _MMR_ORACLE = """
     sel AS (SELECT vec_id, e FROM s1 UNION ALL SELECT vec_id, e FROM s2),
     r2 AS (SELECT c.* FROM cands c
            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel)),
-    m3 AS (SELECT r.vec_id, MAX(CASE WHEN list_dot_product(r.e, r.e) = 0 OR list_dot_product(s.e, s.e) = 0 THEN 0.0 ELSE list_cosine_similarity(r.e, s.e) END) AS maxsim
+    m3 AS (SELECT r.vec_id, MAX(CASE WHEN (r.e) IS NULL OR (s.e) IS NULL THEN NULL WHEN list_dot_product(r.e, r.e) = 0 OR list_dot_product(s.e, s.e) = 0 THEN 0.0 ELSE list_cosine_similarity(r.e, s.e) END) AS maxsim
            FROM r2 r CROSS JOIN sel s GROUP BY r.vec_id),
     sc3 AS (SELECT r.vec_id, r.rel, 0.7 * r.rel - 0.3 * m.maxsim AS score
             FROM r2 r JOIN m3 m USING (vec_id)),
@@ -1525,7 +1529,7 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the oracle through all three rounds."""
     from ..functions.vectors import cosine_similarity, to_double_array
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     v = ensure_parallelism(e).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
@@ -1668,11 +1672,12 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_rank_ndcg",
     oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
     p AS (SELECT e AS pe, label AS plabel FROM v WHERE vec_id = 0),
     ranked AS (
         SELECT vec_id, label, plabel,
-               CASE WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS cosine
+               CASE WHEN (e) IS NULL OR (pe) IS NULL THEN NULL WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS cosine
         FROM v CROSS JOIN p WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id ASC LIMIT 10
     ), pos AS (
@@ -1720,7 +1725,7 @@ def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import cosine_similarity, to_double_array
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     v = ensure_parallelism(e).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )

@@ -9,10 +9,17 @@ from quarkus_etl_spark.operators.retrieval import _SCRATCH, tf_at_rest
 
 
 def _marker(sf_dir):
-    import os
+    return retrieval.mv_paths(sf_dir)[1]
 
-    sf = os.path.basename(os.path.normpath(sf_dir))
-    return _SCRATCH / sf / "tf_mv.token.json"
+
+def test_mv_paths_distinct_for_same_basename(tmp_path):
+    """Two corpora with the same directory NAME must not share an MV file
+    (the fuzz harness creates .scratch/fuzz/*/ copies named like the
+    source sf dir)."""
+    a, b = tmp_path / "a" / "sf0.01", tmp_path / "b" / "sf0.01"
+    assert retrieval.mv_paths(str(a)) != retrieval.mv_paths(str(b))
+    # and stable for the same path
+    assert retrieval.mv_paths(str(a)) == retrieval.mv_paths(str(a))
 
 
 def test_tf_mv_builds_once_and_reuses(spark, sf_dir):

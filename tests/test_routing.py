@@ -404,6 +404,39 @@ def test_kmeans_pruned_assignment_exact_at_full_probe(spark, sf_dir):
     assert agree >= 0.6, agree
 
 
+def test_kmeans_pruned_survives_duplicate_centroids(spark, sf_dir):
+    """Lloyd iterations routinely COLLAPSE centroids (two seeds converge to
+    one point). Collapsed/duplicate centroids used to leave coarse cells
+    with stale seed centers and zero member centroids; a row whose probed
+    cells were all empty then vanished through the inner candidate join.
+    coarse_cells now compacts empty cells away, so every probed cell has
+    >= 1 member and EVERY row keeps an assignment at any nprobe."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.functions.vectors import to_double_array
+    from quarkus_etl_spark.operators.kmeans import coarse_cells, kmeans_assign_pruned
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", to_double_array("embedding").alias("e"))
+    one = v.orderBy("vec_id").limit(1).select(F.col("e").alias("carr"))
+    # 6 centroids, ALL the same vector: C = isqrt(6) = 2 cells, every
+    # centroid lands in cell 0 and the stale seed cell would be empty.
+    cents = (
+        one.crossJoin(spark.range(6).select(F.col("id").alias("cluster")))
+        .select("cluster", "carr")
+    )
+    n_rows = v.count()
+    for nprobe in (1, 2):
+        assigned = kmeans_assign_pruned(v, cents, nprobe=nprobe)
+        assert assigned.count() == n_rows, f"rows dropped at nprobe={nprobe}"
+    # and the driver-side helper itself never returns an empty cell
+    dup = [(i, [1.0, 2.0]) for i in range(5)] + [(5, [100.0, 200.0])]
+    coarse, assign = coarse_cells(dup)
+    used = set(assign.values())
+    assert used == set(range(len(coarse))), (used, len(coarse))
+
+
 def test_emb_kmeans_routes_to_pruned_above_k_threshold(spark, sf_dir, monkeypatch):
     """Registered-entry routing pin (both directions): at fixture k=4 the
     exact plan runs (the oracle-graded shape); forcing the threshold below k

@@ -34,6 +34,7 @@ import argparse
 import os
 import random
 import sys
+import zlib
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -143,6 +144,9 @@ def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None
         for _ in range(pct):  # unlabeled vectors: NULL groupBy key
             i = next(take)
             rows[i]["label"] = None
+        for _ in range(pct):  # missing embeddings (failed-encoder rows):
+            i = next(take)    # NULL cosine propagation + source filters
+            rows[i]["embedding"] = None
 
 
 def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -266,7 +270,9 @@ def build_fuzz_dir(
             pq.write_table(table, dst)
             continue
         rows = table.to_pylist()
-        mut(rows, random.Random(seed * 1009 + hash(name) % 997), phase)
+        # crc32, not hash(): str hash is PYTHONHASHSEED-salted per process,
+        # which would make --seed non-reproducible across runs.
+        mut(rows, random.Random(seed * 1009 + zlib.crc32(name.encode()) % 997), phase)
         out = pa.Table.from_pylist(rows, schema=table.schema)
         pq.write_table(out, dst)
     return out_dir
