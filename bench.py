@@ -134,9 +134,15 @@ def main() -> None:
             # only one so far); report a median ONLY from >= 3 — the
             # middle of 2 sorted runs is the MAX, which would bias the
             # noise-robust head statistic high.
-            while len(all_runs.get(name, [])) < 3:
-                if time_one(name) == 0.0 and timings.get(name, -1) < 0:
-                    break  # erroring query: no more passes, no median
+            # Bounded: time_one() returns 0.0 only on error, but an error on
+            # a query with an earlier positive min never flips timings[name]
+            # negative (setdefault), so inferring failure from `timings`
+            # would loop forever on a persistently-failing top-up (lost
+            # session, OOM). Count failed attempts directly instead.
+            failed_topups = 0
+            while len(all_runs.get(name, [])) < 3 and failed_topups < 2:
+                if time_one(name) == 0.0:
+                    failed_topups += 1
             runs = sorted(all_runs.get(name, []))
             if len(runs) >= 3:
                 slowest10_median3[name] = runs[len(runs) // 2]

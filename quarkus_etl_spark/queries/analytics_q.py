@@ -390,7 +390,12 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = percentiles_from_hist(
         hist, ["l_returnflag"], "l_quantity", "c", {"med": 0.5}
     )
-    cells = hist.join(F.broadcast(med), "l_returnflag").select(
+    # LEFT joins: percentiles_from_hist drops NULL cells before its groupBy,
+    # so a group whose quantities are ALL NULL has no med/mad row. The oracle
+    # keeps such a group (quantile_cont → NULL, the join on returnflag still
+    # matches) with NULL med/mad, 0 outliers, n = COUNT(*); an inner join
+    # here would silently erase it (ADVICE r4).
+    cells = hist.join(F.broadcast(med), "l_returnflag", "left").select(
         "l_returnflag",
         "med",
         F.abs(F.col("l_quantity") - F.col("med")).alias("adev"),
@@ -398,7 +403,7 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = percentiles_from_hist(cells, ["l_returnflag"], "adev", "c", {"mad": 0.5})
     return (
-        cells.join(F.broadcast(mad), "l_returnflag")
+        cells.join(F.broadcast(mad), "l_returnflag", "left")
         .groupBy("l_returnflag")
         .agg(
             F.any_value("med").alias("med"),

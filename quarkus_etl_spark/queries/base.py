@@ -111,10 +111,14 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
     "q_join_broadcast", "q_join_theta_range", "q_join_multiway",
     "q_agg_global", "q_agg_groupby", "q_agg_having", "q_agg_distinct",
-    "q_agg_approx_distinct", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+    "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
     "q_distinct", "q_sort_multi", "q_topk", "q_union_all",
     "q_union_distinct", "q_intersect", "q_except", "q_tpch_q3_shape",
-    "q_tpch_q5_shape", "q_pivot", "q_unpivot", "q_sample",
+    "q_tpch_q5_shape", "q_pivot", "q_unpivot",
+    # q_sample and q_agg_approx_distinct are intentionally ABSENT (despite r1
+    # grades): they failed r1 pre-remediation and were converted to rows-only
+    # per SURVEY §2; re-queued in _GRADE_FIRST so the cumulative record
+    # replaces the stale FAILs with fresh verdicts (VERDICT r4 #4).
     # q_agg_percentile is intentionally ABSENT: its r1 PASS graded the old
     # buffer-based implementation; the histogram rewrite should be regraded.
     "q_agg_stats", "q_fn_string", "q_fn_date",
@@ -150,52 +154,63 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_dedup_minhash", "q_text_tfidf", "q_text_bm25", "q_sessionize",
     "q_time_rollup", "q_time_gapfill", "q_join_interval", "q_win_range_frame",
     "q_sample_hash", "q_merge_upsert", "q_table_diff", "q_dq_checks",
+    # --- CORRECTNESS_r04.json: 50 graded, 46 passed. The 4 hash-fails
+    # (q_chunk_dedup, q_corpus_stats, q_pack_sequences, q_mix_rebalance —
+    # DuckDB HUGEINT oracle leaks, fixed r5 by BIGINT casts) are intentionally
+    # ABSENT: they need fresh post-fix verdicts and lead _GRADE_FIRST.
+    "q_emb_centroid", "q_emb_covariance", "q_emb_quantize", "q_emb_pq",
+    "q_emb_kmeans", "q_knn_graph", "q_graph_pagerank", "q_graph_triangles",
+    "q_graph_label_prop", "q_dedup_canonical_best", "q_dedup_incremental",
+    "q_dedup_soft", "q_dedup_url", "q_dedup_simhash", "q_decontaminate",
+    "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
+    "q_rank_ndcg", "q_text_chunk", "q_text_pii", "q_text_repetition",
+    "q_text_html", "q_text_url", "q_text_fuzzy", "q_text_colloc",
+    "q_text_keyphrase", "q_text_postings", "q_text_bigram_lp",
+    "q_text_unigram_lp", "q_corpus_entropy", "q_corpus_curate",
+    "q_corpus_pipeline", "q_split_assign", "q_split_leakage",
+    "q_span_corrupt", "q_tok_bpe_learn", "q_tok_apply", "q_vocab_build",
+    "q_mix_temperature", "q_quota_sample", "q_sample_stratified",
+    "q_sample_weighted", "q_oversample", "q_feat_hash",
 })
 
-# The grading backlog after r3 (VERDICT r3 "Next round" #1): every oracled
-# query with no driver verdict yet, 88 names. The window is ~50/round, so the
-# first ~50 here land in CORRECTNESS_r04 and the rest in r05. Ordered by
-# family value: embeddings/graph (incl. the kmeans scale-lever rework),
-# dedup/similarity extensions, text/corpus curation, training prep, then the
-# analytics/time-series/lifecycle tail.
+# The r5 grading queue (VERDICT r4 "Next round" #3/#4): 4 regrades for the
+# fixed HUGEINT-oracle failures, then q_shard_manifest (same fix, never
+# sampled), then every remaining never-graded oracled query (analytics_q and
+# timeseries_q in full — neither module has a verdict yet), then the
+# rows-only tail: the two r1-FAIL re-queues (remediated to rows-only per
+# SURVEY §2, need fresh verdicts to retire the stale FAILs) and the
+# never-graded rows-only queries, last because their verdicts are weaker.
+# 54 candidates for a ~50-slot window; only rows-only names can spill to r6.
 _GRADE_FIRST = (
-    # Embedding family (incl. q_emb_kmeans — the one flagged perf-weak item)
-    "q_emb_centroid", "q_emb_covariance", "q_emb_quantize", "q_emb_pq",
-    "q_emb_kmeans", "q_knn_graph",
-    # Graph family (rides the routed edge builder)
-    "q_graph_pagerank", "q_graph_triangles", "q_graph_label_prop",
-    # Dedup extensions (+ q_dedup_simhash newly oracled this round)
-    "q_dedup_canonical_best", "q_dedup_incremental", "q_dedup_soft",
-    "q_dedup_url", "q_dedup_simhash", "q_chunk_dedup", "q_decontaminate",
-    # Similarity extensions (+ q_sim_ann_lsh newly oracled this round)
-    "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
-    "q_rank_ndcg",
-    # Text analysis tail
-    "q_text_chunk", "q_text_pii", "q_text_repetition", "q_text_html",
-    "q_text_url", "q_text_fuzzy", "q_text_colloc", "q_text_keyphrase",
-    "q_text_postings", "q_text_bigram_lp", "q_text_unigram_lp",
-    # Corpus curation
-    "q_corpus_stats", "q_corpus_entropy", "q_corpus_curate",
-    "q_corpus_pipeline",
-    # Training prep
-    "q_pack_sequences", "q_split_assign", "q_split_leakage",
-    "q_span_corrupt", "q_tok_bpe_learn", "q_tok_apply", "q_vocab_build",
-    # Mixtures / sampling / features / privacy
-    "q_mix_rebalance", "q_mix_temperature", "q_quota_sample",
-    "q_sample_stratified", "q_sample_weighted", "q_oversample",
-    "q_feat_hash", "q_feat_scale", "q_anon_k",
-    # --- ~window boundary: the rest queues for r05 ---
-    "q_feat_target_encode", "q_agg_incremental", "q_agg_countmin",
-    "q_agg_countmin_merge", "q_funnel", "q_funnel_window",
-    "q_retention_cohort", "q_attribution", "q_scd2_build", "q_time_ohlc",
-    "q_time_acf", "q_time_changepoint", "q_time_interp", "q_time_lttb",
-    "q_time_seasonal", "q_dq_anomaly", "q_dq_benford", "q_dq_freshness",
-    "q_dq_profile", "q_drift_tvd", "q_outlier_mad", "q_stats_chi2",
-    "q_stats_gini", "q_stats_ks", "q_win_concurrency", "q_win_drawdown",
-    "q_win_pattern", "q_win_session_native", "q_join_pit", "q_join_bucketed",
-    "q_join_skew_salted", "q_shard_manifest", "q_zorder_key",
+    # Regrades: r4 hash-fails, root-caused to DuckDB HUGEINT oracle leaks,
+    # oracles now CAST ... AS BIGINT. Fresh verdicts flip the red rows.
+    "q_chunk_dedup", "q_corpus_stats", "q_pack_sequences", "q_mix_rebalance",
+    # Same leak class, fixed pre-sampling (VERDICT r4 item 5)
+    "q_shard_manifest",
+    # Features / privacy stragglers (queued r4, missed the window by 2)
+    "q_feat_scale", "q_anon_k", "q_feat_target_encode",
+    # analytics_q.py — entire module never graded
+    "q_agg_incremental", "q_agg_countmin", "q_agg_countmin_merge",
+    "q_dq_anomaly", "q_dq_benford", "q_dq_freshness", "q_dq_profile",
+    "q_drift_tvd", "q_outlier_mad", "q_stats_chi2", "q_stats_gini",
+    "q_stats_ks",
+    # timeseries_q.py tail — never graded
+    "q_funnel", "q_funnel_window", "q_retention_cohort", "q_attribution",
+    "q_time_ohlc", "q_time_acf", "q_time_changepoint", "q_time_interp",
+    "q_time_lttb", "q_time_seasonal",
+    # window/lifecycle stragglers — never graded
+    "q_win_concurrency", "q_win_drawdown", "q_win_pattern",
+    "q_win_session_native", "q_join_pit", "q_join_bucketed",
+    "q_join_skew_salted", "q_scd2_build", "q_zorder_key",
     "q_scan_csv_dirty", "q_scan_jdbc_live", "q_scan_merge_schema",
     "q_scan_partitioned", "q_gen_pysource",
+    # --- rows-only tail (weaker ran+rows verdicts) ---
+    # r1-FAIL re-queues, since remediated to rows-only by SURVEY §2:
+    "q_agg_approx_distinct", "q_sample",
+    # never-graded rows-only:
+    "q_gen_addresses", "q_dedup_near", "q_sim_ann_ivf", "q_knn_graph_ann",
+    "q_agg_percentile_approx", "q_agg_hll_merge",
+    "q_multimodal_frames", "q_multimodal_audio",
 )
 
 

@@ -355,7 +355,7 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS kept_chunks
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks
     FROM keep GROUP BY doc_id
     """,
 )
@@ -715,7 +715,7 @@ def _split_col() -> F.Column:
                SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
         FROM toks
     )
-    SELECT lang, (cum - n_tok) // {_PACK_CAP} AS bin_id,
+    SELECT lang, CAST((cum - n_tok) // {_PACK_CAP} AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
     FROM seq GROUP BY lang, (cum - n_tok) // {_PACK_CAP}
     """,
@@ -900,7 +900,7 @@ def q_text_unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d JOIN rates r USING (lang)
     )
     SELECT lang, MIN(n) AS n_docs,
-           SUM(CASE WHEN h < rate_hex THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN h < rate_hex THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM marked GROUP BY lang
     """,
 )
@@ -950,7 +950,7 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(CASE WHEN
+           CAST(SUM(CASE WHEN
                LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
                + (LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
                   / GREATEST(LENGTH(text), 1)) * 0.4
@@ -958,7 +958,7 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                             GREATEST(LEN(string_split_regex(trim(text), '\s+')), 1)
                             BETWEEN 3.0 AND 10.0
                        THEN 1.0 ELSE 0.5 END) * 0.2 < 0.67
-               THEN 1 ELSE 0 END) AS low_quality
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_quality
     FROM documents
     GROUP BY lang, source
     """,
@@ -1555,8 +1555,8 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT substr(hx, 1, 1) AS shard,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT)
-                         AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS checksum,
+           CAST(SUM(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT)) AS BIGINT)
+               AS checksum,
            MIN(hx) AS min_h, MAX(hx) AS max_h
     FROM h GROUP BY substr(hx, 1, 1)
     """,
@@ -1567,7 +1567,9 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first md5 nibble — uniform, key-independent, reproducible across
     runs and engines), and each shard reports a row count, byte volume,
     and an ORDER-INSENSITIVE content checksum (sum of 32-bit hash
-    prefixes in DECIMAL(38,0), overflow-proof to ~1e28 rows) plus
+    prefixes as BIGINT — exact to ~2^31 rows per shard; past that the
+    shard key widens to more nibbles anyway for write parallelism, which
+    restores the bound) plus
     min/max hash as a range fingerprint. This is how two independent
     export runs — or an export and its audit — prove they wrote the same
     shard contents without comparing rows. One hash shuffle on the shard
@@ -1581,8 +1583,8 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.groupBy(F.substring("hx", 1, 1).alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.sum(F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").cast("decimal(28,0)"))
-        .cast("decimal(38,0)")
+        F.sum(F.conv(F.substring("hx", 1, 8), 16, 10).cast("long"))
+        .cast("long")
         .alias("checksum"),
         F.min("hx").alias("min_h"),
         F.max("hx").alias("max_h"),

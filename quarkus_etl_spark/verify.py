@@ -64,6 +64,95 @@ def _rowset(rows: list[tuple], col_order: list[int]) -> Counter:
     return Counter(tuple(_canon(r[i]) for i in col_order) for r in rows)
 
 
+# --------------------------------------------------------------------------
+# Engine-type parity (round-5 hardening). The driver's value-hash is TYPED at
+# the engine level: a DuckDB HUGEINT/DECIMAL(38,0) column hashes differently
+# from a Spark BIGINT even when every value is equal — which is how the round-4
+# q_chunk_dedup class passed this local gate (duckdb fetchall() surfaces
+# HUGEINT as plain Python int, so _canon tags both engines ("int", v)) yet
+# failed the driver. We therefore compare TYPE CLASSES via the oracle's Arrow
+# schema vs the Spark schema, so an un-cast SUM()/integer-division oracle fails
+# locally before the driver ever sees it.
+# --------------------------------------------------------------------------
+
+
+def _arrow_type_class(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_null(t):
+        return "any"  # untyped literal NULL column — no class evidence
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list:" + _arrow_type_class(t.value_type)
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
+    return "any"
+
+
+def _spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, getattr(T, "TimestampNTZType", T.TimestampType))):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "list:" + _spark_type_class(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    return "any"
+
+
+def type_class_mismatches(spark_schema, arrow_schema) -> list[str]:
+    """Per-column engine-type-class diffs, empty when schemas agree classwise.
+
+    Matches by column NAME (the driver sorts columns by name before hashing).
+    'any' on either side (NULL-typed literals, exotic types) is a wildcard."""
+    spark_classes = {f.name: _spark_type_class(f.dataType) for f in spark_schema}
+    diffs = []
+    for fld in arrow_schema:
+        sc = spark_classes.get(fld.name)
+        oc = _arrow_type_class(fld.type)
+        if sc is None or sc == "any" or oc == "any":
+            continue
+        if sc != oc:
+            diffs.append(
+                f"{fld.name}: spark={sc} oracle={oc} ({fld.type}) — cast the oracle"
+            )
+    return diffs
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -94,8 +183,9 @@ def compare_query(
         # rows-only check, like the driver's weaker path
         return CompareResult(name, True, rows_spark=len(srows), cols_spark=scols)
     try:
+        atbl = con.execute(oracles[name]).fetch_arrow_table()
+        dcols = list(atbl.schema.names)
         cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()
     except Exception as e:  # noqa: BLE001
         return CompareResult(name, False, error=f"duckdb: {type(e).__name__}: {e}")
@@ -106,6 +196,11 @@ def compare_query(
     if sorted(scols) != sorted(dcols):
         res.ok = False
         res.error = f"column mismatch: spark={scols} duck={dcols}"
+        return res
+    type_diffs = type_class_mismatches(sdf.schema, atbl.schema)
+    if type_diffs:
+        res.ok = False
+        res.error = "engine type-class mismatch: " + "; ".join(type_diffs)
         return res
     if len(srows) != len(drows):
         res.ok = False

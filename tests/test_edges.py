@@ -224,3 +224,41 @@ def test_retrieval_family_degenerate_docs(spark, messy_docs, tmp_path):
 
     post = {r["term"]: r["df"] for r in q_text_postings(spark, sf_dir).collect()}
     assert post.get("alpha") == 2
+
+
+def test_outlier_mad_keeps_all_null_group(spark, tmp_path):
+    """A group whose quantities are ALL NULL must survive q_outlier_mad with
+    NULL med/mad, 0 outliers and its full row count — exactly what the DuckDB
+    oracle produces (quantile_cont -> NULL but the group row remains). The
+    pre-r5 inner join to the histogram-derived median silently erased the
+    group (ADVICE r4, analytics_q.py)."""
+    import duckdb
+
+    rows = [
+        ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 100.0), ("A", None),
+        ("N", None), ("N", None), ("N", None),
+    ]
+    li = spark.createDataFrame(rows, "l_returnflag string, l_quantity double")
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    from quarkus_etl_spark.queries.analytics_q import q_outlier_mad
+    from quarkus_etl_spark.queries.base import ORACLES
+
+    got = {
+        r["l_returnflag"]: (r["med"], r["mad"], r["n_outliers"], r["n"])
+        for r in q_outlier_mad(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {"A", "N"}, "all-NULL group N vanished"
+    assert got["N"] == (None, None, 0, 3)
+    assert got["A"][3] == 5  # NULL quantity still counts in n
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(ORACLES["q_outlier_mad"]).fetchall()
+    }
+    assert got == oracle

