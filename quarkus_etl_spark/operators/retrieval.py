@@ -42,14 +42,16 @@ _MV_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _freshness_token(path: str) -> dict:
-    """(mtime_ns, size) over the file, or the file listing for a dir."""
+    """(mtime_ns, size) over the file, or the per-file (name, mtime, size)
+    listing for a dir — sizes included so a same-mtime rewrite (coarse
+    filesystem timestamps, touch-after-copy) still changes the token."""
     if os.path.isdir(path):
         entries = sorted(os.listdir(path))
-        return {
-            "entries": [
-                [e, os.path.getmtime(os.path.join(path, e))] for e in entries
-            ]
-        }
+        listing = []
+        for e in entries:
+            st = os.stat(os.path.join(path, e))
+            listing.append([e, st.st_mtime, st.st_size])
+        return {"entries": listing}
     st = os.stat(path)
     return {"mtime_ns": st.st_mtime_ns, "size": st.st_size}
 
@@ -83,30 +85,54 @@ def tf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out, marker = mv_paths(sf_dir)
     token = _freshness_token(os.path.join(sf_dir, "documents.parquet"))
-    fresh = False
-    if marker.exists() and out.exists():
+
+    def _is_fresh() -> bool:
+        if not (marker.exists() and out.exists()):
+            return False
         try:
-            fresh = json.loads(marker.read_text()) == token
+            return json.loads(marker.read_text()) == token
         except (ValueError, OSError):
-            fresh = False
-    if not fresh:
-        if marker.exists():
-            marker.unlink()  # stale marker never outlives a failed rebuild
-        d = load_table(spark, sf_dir, "documents")
-        pos = ensure_parallelism(d).select(
-            "doc_id",
-            F.posexplode(tokenize(normalize_text("text"))).alias("p", "term"),
-        )
-        tf = pos.groupBy("term", "doc_id").agg(
-            F.min("p").alias("fp"), F.count(F.lit(1)).alias("tf")
-        )
+            return False
+
+    if not _is_fresh():
+        # Cross-process build serialization (ADVICE r4): two processes over
+        # the same sf_dir (pytest + a fuzz run) could both see a stale marker
+        # and rebuild concurrently, one reading the other's half-written
+        # parquet. An exclusive flock around check-and-build makes one the
+        # builder and parks the other until the MV is complete; the loser
+        # re-checks under the lock and finds it fresh. The build itself goes
+        # to a temp dir renamed into place, so `out` never holds partial data
+        # (rename is atomic; the pre-rename rmtree gap only affects a reader
+        # whose corpus fingerprint already changed under it).
+        import fcntl
+        import shutil
+
         out.parent.mkdir(parents=True, exist_ok=True)
-        tf.repartitionByRange(32, F.col("term")).write.mode("overwrite").parquet(
-            str(out)
-        )
-        marker.write_text(json.dumps(token))
-        # the session may hold a cached file listing for the old MV files
-        spark.catalog.refreshByPath(str(out))
+        with open(out.parent / ".build.lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            if not _is_fresh():
+                if marker.exists():
+                    marker.unlink()  # stale marker never outlives a rebuild
+                d = load_table(spark, sf_dir, "documents")
+                pos = ensure_parallelism(d).select(
+                    "doc_id",
+                    F.posexplode(tokenize(normalize_text("text"))).alias(
+                        "p", "term"
+                    ),
+                )
+                tf = pos.groupBy("term", "doc_id").agg(
+                    F.min("p").alias("fp"), F.count(F.lit(1)).alias("tf")
+                )
+                tmp = out.parent / f"{out.name}.tmp-{os.getpid()}"
+                tf.repartitionByRange(32, F.col("term")).write.mode(
+                    "overwrite"
+                ).parquet(str(tmp))
+                if out.exists():
+                    shutil.rmtree(out)
+                os.rename(tmp, out)
+                marker.write_text(json.dumps(token))
+                # the session may hold a cached listing for the old MV files
+                spark.catalog.refreshByPath(str(out))
     mv = spark.read.parquet(str(out))
     _MV_CACHE[key] = mv
     return mv

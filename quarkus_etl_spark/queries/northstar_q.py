@@ -322,7 +322,13 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_pairs",
     oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    -- NULL embeddings are filtered STRUCTURALLY, not by the CASE guard:
+    -- DuckDB's vectorized CASE still feeds NULL lists into
+    -- list_inner_product inside the join, which raises instead of
+    -- returning NULL (phase-3 fuzz). A NULL cosine fails >= 0.4 anyway,
+    -- so the filter is semantics-preserving.
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -346,7 +352,10 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_embed",
     oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    -- structural NULL-embedding filter: see q_sim_pairs (NULL rows can
+    -- never be losers; the final SELECT keeps them as survivors)
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
     losers AS (
         SELECT DISTINCT b.vec_id
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -90,13 +90,19 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, so the pandas sum is exact and order-insensitive."""
 
     def group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # SQL NULL semantics by hand: pandas .sum() over an all-NaN column
+        # returns 0.0 (skipna default) where SQL SUM returns NULL —
+        # min_count=1 forces NaN, mapped to None so Arrow emits a null
+        # double, not a NaN (found by the phase-3 all-NULL-group fuzz).
+        qsum = pdf["l_quantity"].sum(min_count=1)
+        pmax = pdf["l_extendedprice"].max()
         return pd.DataFrame(
             {
                 "l_returnflag": [pdf["l_returnflag"].iloc[0]],
                 "l_linestatus": [pdf["l_linestatus"].iloc[0]],
                 "n_rows": [len(pdf)],
-                "sum_qty": [float(pdf["l_quantity"].sum())],
-                "max_price": [float(pdf["l_extendedprice"].max())],
+                "sum_qty": [None if pd.isna(qsum) else float(qsum)],
+                "max_price": [None if pd.isna(pmax) else float(pmax)],
             }
         )
 
@@ -264,10 +270,17 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
         o = orders.copy()
-        o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
-        agg = o.groupby("o_custkey", as_index=False).agg(
-            n_orders=("cents", "size"), cents=("cents", "sum")
-        )
+        # cents stay float64: a NULL totalprice is NaN here and astype
+        # int64 would throw (phase-3 NULL-measure fuzz). Integer-valued
+        # float sums are exact below 2^53, so order-insensitivity holds;
+        # min_count=1 gives SQL SUM semantics (all-NULL group -> NULL,
+        # NaN -> Arrow null on return); size() counts NULL rows like
+        # COUNT(*).
+        o["cents"] = (o["o_totalprice"] * 100).round()
+        g = o.groupby("o_custkey")["cents"]
+        agg = pd.DataFrame(
+            {"n_orders": g.size(), "cents": g.sum(min_count=1)}
+        ).reset_index()
         m = agg.merge(
             cust[["c_custkey", "c_mktsegment"]],
             left_on="o_custkey",

@@ -121,13 +121,19 @@ def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_ntile",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           NTILE(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+           NTILE(4) OVER (ORDER BY o_totalprice ASC NULLS FIRST,
+                          o_orderkey ASC) AS quartile
     FROM orders
     """,
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    # NULLS FIRST pinned on BOTH engines: Spark's ASC default is nulls-first,
+    # DuckDB's is nulls-LAST — an unpinned sort diverges the moment a
+    # totalprice is NULL (found by the phase-3 NULL-measure fuzz).
+    w = Window.orderBy(
+        F.col("o_totalprice").asc_nulls_first(), F.col("o_orderkey").asc()
+    )
     return o.select(
         "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
     )
@@ -175,7 +181,8 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                         OVER (PARTITION BY o_custkey) AS DOUBLE)
                AS share
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC)
     """,
 )
 def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,8 +191,9 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides exact decimals (one deterministic decimal division per row),
     so partial-aggregation order cannot skew the quotient."""
     o = t(spark, sf_dir, "orders")
+    # nulls-first pinned on both engines (DuckDB ASC defaults nulls-LAST)
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").asc_nulls_first(), F.col("o_orderkey").asc()
     )
     wp = Window.partitionBy("o_custkey")
     # double-of-exact-decimal on both sides of ONE double division: decimal

@@ -129,3 +129,92 @@ def test_pandas_frame_udf_sum_null_semantics(spark):
     }
     # frame {null} -> NULL; {null,null} -> NULL; {null,2.5} -> 250
     assert got == {1: None, 2: None, 3: 250}
+
+
+def test_udaf_grouped_all_null_measure_group_sums_null(spark, tmp_path):
+    """A (flag, status) group whose quantities are ALL NULL must report
+    sum_qty NULL, not 0.0: pandas .sum() defaults skipna -> 0.0 where SQL
+    SUM gives NULL (round-5 NULL-measure fuzz). n_rows still counts all."""
+    rows = [
+        ("A", "F", None, 10.0), ("A", "F", None, 20.0),
+        ("R", "O", 5.0, 30.0), ("R", "O", None, 40.0),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, "
+        "l_quantity double, l_extendedprice double",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from quarkus_etl_spark.queries.udf_q import q_udaf_grouped
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["n_rows"])
+        for r in q_udaf_grouped(spark, str(tmp_path)).collect()
+    }
+    assert got[("A", "F")] == (None, 2)
+    assert got[("R", "O")] == (5.0, 2)
+
+
+def test_cogroup_null_totalprice_matches_sql_sum(spark, tmp_path):
+    """NULL o_totalprice rows: counted by n_orders (COUNT(*)), skipped by
+    the sum; an all-NULL customer sums to NULL. Pre-r5 the int64 cents
+    cast crashed the pandas worker on the first NaN."""
+    cust = spark.createDataFrame(
+        [(1, "AUTO"), (2, "BLDG")], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(1, 10.0), (1, None), (2, None)],
+        "o_custkey long, o_totalprice double",
+    )
+    cust.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from quarkus_etl_spark.queries.udf_q import q_udf_cogroup
+
+    got = {
+        r["c_custkey"]: (r["n_orders"], r["total_price"])
+        for r in q_udf_cogroup(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 10.0), 2: (1, None)}
+
+
+def test_window_sorts_pin_nulls_first_like_spark_default(spark, tmp_path):
+    """Spark ASC is nulls-first, DuckDB ASC is nulls-LAST: q_win_ntile /
+    q_win_distribution pin NULLS FIRST on both engines. NULL totalprice
+    rows land in the first quartile / lowest cume band."""
+    orders = spark.createDataFrame(
+        [(1, 1, None), (2, 1, 50.0), (3, 1, 10.0), (4, 1, 90.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from quarkus_etl_spark.queries.windows_q import q_win_ntile
+
+    got = {
+        r["o_orderkey"]: r["quartile"]
+        for r in q_win_ntile(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 1  # NULL sorts first
+    assert got[4] == 4  # max price sorts last
+
+
+def test_sim_pairs_oracle_tolerates_null_embeddings(tmp_path, spark):
+    """DuckDB's vectorized CASE feeds NULL lists into list_inner_product
+    despite the guard; the oracle must filter NULL embeddings
+    structurally (round-5 fuzz: q_sim_pairs/q_dedup_embed errored)."""
+    import duckdb
+
+    emb = spark.createDataFrame(
+        [(0, 1, [1.0, 0.0]), (1, 1, None), (2, 1, [1.0, 0.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from quarkus_etl_spark.queries.base import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    pairs = con.execute(ORACLES["q_sim_pairs"]).fetchall()  # must not raise
+    assert [(r[0], r[1]) for r in pairs] == [(0, 2)]
+    kept = {r[0] for r in con.execute(ORACLES["q_dedup_embed"]).fetchall()}
+    assert kept == {0, 1}  # NULL-embedding row 1 survives; dup row 2 drops

@@ -16,8 +16,10 @@ Mutation classes are phased so a failure is attributable:
           pipeline sees.
   phase 2: empty text, single-token docs, zero vectors — degenerate but
           well-typed rows.
-  phase 3: NULL text / value / props, plus NULL GROUP KEYS (lang, source,
-          event_type, label) — missing-data and missing-metadata semantics.
+  phase 3: NULL text / value / props, NULL GROUP KEYS (lang, source,
+          event_type, label), NULL measures (l_quantity, l_discount,
+          o_totalprice) including one ALL-NULL-measure group — missing-data
+          and missing-metadata semantics.
   --tiny (orthogonal): pure truncation to single-digit row counts —
           .first()-on-empty, empty-aggregation, all-rows-filtered paths.
 
@@ -208,6 +210,22 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
     for _ in range(pct):
         i = next(take)
         rows[i]["l_quantity"] = 0.0
+    if phase >= 3:
+        for _ in range(pct):  # missing measures (point NULLs)
+            i = next(take)
+            rows[i]["l_quantity"] = None
+        for _ in range(pct):
+            i = next(take)
+            rows[i]["l_discount"] = None
+        # ALL-NULL measure group: every quantity of one return-flag group
+        # becomes NULL. Point NULLs (~1%) can never produce this shape, and
+        # it is the one that erased a whole group from median/MAD-style
+        # plans (inner join to a NULL-dropping stats table — ADVICE r4,
+        # q_outlier_mad). Both engines must keep the group with NULL stats.
+        flag = min(r["l_returnflag"] for r in rows if r["l_returnflag"])
+        for r in rows:
+            if r["l_returnflag"] == flag:
+                r["l_quantity"] = None
 
 
 def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -229,6 +247,10 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
     for _ in range(pct):  # credit orders: negative / zero totals
         i = next(take)
         rows[i]["o_totalprice"] = rng.choice([-1234.56, 0.0])
+    if phase >= 3:
+        for _ in range(pct):  # missing totals (point NULLs)
+            i = next(take)
+            rows[i]["o_totalprice"] = None
 
 
 MUTATORS = {
