@@ -362,7 +362,7 @@ def q_udf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS roll3_sum
     FROM (SELECT user_id, event_id, ts,
                  CAST(round(value * 100) AS BIGINT) / 100.0 AS value
-          FROM events WHERE event_type = 'purchase')
+          FROM events WHERE event_type = 'purchase' AND user_id % 4 = 0)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
@@ -378,8 +378,10 @@ def q_udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost model to know: GROUPED_AGG-over-window invokes the UDF once per
     ROW'S FRAME (no sharing between overlapping frames) — inherently
     ~10-100x a built-in frame aggregate; it exists for aggregations SQL
-    can't express. The query therefore runs on the purchase subset: the
-    API surface demonstrated without taxing the whole events table."""
+    can't express. The query therefore runs on a quarter of the purchase
+    users (user_id % 4 = 0, mirrored in the oracle): the API surface
+    demonstrated without taxing the whole events table — VERDICT r4 #7
+    caps this query's bench share at <= 4%."""
     import pandas as pd  # noqa: F811
     from pyspark.sql.window import Window
 
@@ -393,7 +395,9 @@ def q_udf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             return None
         return int((v * 100).round().astype("int64").sum())
 
-    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    ev = t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 4 == 0)
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
