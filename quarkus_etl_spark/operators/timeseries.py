@@ -77,22 +77,110 @@ def sessionize(
     return df.withColumn(out_col, F.sum(is_new).over(running))
 
 
+_INTERVAL_UNIT_US = {
+    "SECOND": US, "SECONDS": US,
+    "MINUTE": 60 * US, "MINUTES": 60 * US,
+    "HOUR": 3600 * US, "HOURS": 3600 * US,
+    "DAY": 86400 * US, "DAYS": 86400 * US,
+}
+
+# One chunk's sequence() array stays ~100k elements: sequence materializes
+# the WHOLE array on one row before explode, so an unchunked grid puts the
+# entire span in a single task's memory (a 300-year span at 15 min is a
+# 10M-element timestamp array — one straggler task, or OOM).
+GAPFILL_CHUNK_CELLS = 100_000
+
+# Fail-fast budget: one clock-skewed row (an unset 1970 clock, a far-future
+# ms-vs-s unit bug) stretches min..max so the dense grid dwarfs the data.
+# Densifying 100M+ cells is never what the caller meant — raise with the
+# bounds so the caller clamps/filters instead of the job hanging.
+GAPFILL_MAX_CELLS = 20_000_000
+
+
+def _step_us(step: str) -> int:
+    """Microseconds for a fixed-width interval body like '15 MINUTES'.
+    Calendar units (MONTH/YEAR) are not fixed-width and are rejected."""
+    parts = step.strip().split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(f"gapfill step must be '<n> <unit>', got {step!r}")
+    unit = parts[1].upper()
+    if unit not in _INTERVAL_UNIT_US:
+        raise ValueError(
+            f"gapfill step unit must be fixed-width (SECOND..DAY), got {step!r}"
+        )
+    n = int(parts[0])
+    if n <= 0:
+        raise ValueError(f"gapfill step must be positive, got {step!r}")
+    return n * _INTERVAL_UNIT_US[unit]
+
+
 def gapfill(
     agg: DataFrame,
     bucket_col: str,
     step: str,
     dims: list[str],
     fills: dict[str, Column],
+    max_cells: int = GAPFILL_MAX_CELLS,
 ) -> DataFrame:
     """Densify a bucketed aggregate: emit one row per (grid bucket × dim
     combination), filling absent cells from `fills` (col -> default).
 
-    `step` is a Spark interval body, e.g. "15 MINUTES". The grid comes
-    from a single-row min/max aggregate — safe at any scale — and the
-    join runs against data that aggregation already shrank."""
-    bounds = agg.agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
-    grid = bounds.select(
-        F.explode(F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))).alias(bucket_col)
+    `step` is a fixed-width Spark interval body, e.g. "15 MINUTES". The
+    grid bounds come from a single-row min/max aggregate (one tiny
+    driver-side fetch, same k-bounded pattern as the k-means centroids);
+    generation is CHUNKED — explode ~100k-cell spans across partitions,
+    then sequence within each — so no single task ever materializes the
+    whole calendar, and a `max_cells` budget fails fast with the bounds
+    when a clock-skewed outlier row would otherwise explode the grid
+    (one 2200-dated event in 100 TB must be a clear error, not a hang).
+    The join still runs against data that aggregation already shrank."""
+    step_us = _step_us(step)
+    row = agg.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    ).first()
+    lo, hi = row["__lo"], row["__hi"]
+    if lo is None:  # empty input: dense output is empty too
+        empty_cols = [bucket_col, *dims, *fills]
+        return agg.select(*empty_cols).limit(0)
+    import calendar
+
+    def _to_us(v) -> int:
+        # exact integer epoch-µs for a naive-UTC datetime: timegm (not
+        # .timestamp(), which is local-TZ and float) + the µs field;
+        # handles pre-epoch (negative) values exactly
+        if hasattr(v, "timetuple"):
+            return calendar.timegm(v.timetuple()) * US + v.microsecond
+        return int(v)
+
+    lo_us, hi_us = _to_us(lo), _to_us(hi)
+    n_cells = (hi_us - lo_us) // step_us + 1
+    if n_cells > max_cells:
+        raise ValueError(
+            f"gapfill grid would have {n_cells} cells ({lo} .. {hi} at "
+            f"{step}) > max_cells={max_cells}; clamp outlier timestamps "
+            f"or pass a larger max_cells"
+        )
+    chunk_us = GAPFILL_CHUNK_CELLS * step_us
+    spark = agg.sparkSession
+    n_chunks = (n_cells + GAPFILL_CHUNK_CELLS - 1) // GAPFILL_CHUNK_CELLS
+    bucket_dt = dict(agg.dtypes)[bucket_col]
+    grid = (
+        spark.range(n_chunks)
+        .select(
+            (F.lit(lo_us) + F.col("id") * F.lit(chunk_us)).alias("__c_lo"),
+            F.least(
+                F.lit(lo_us) + (F.col("id") + 1) * F.lit(chunk_us) - F.lit(step_us),
+                F.lit(hi_us),
+            ).alias("__c_hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("__c_lo", "__c_hi", F.lit(step_us))
+            ).alias("__b_us")
+        )
+        .select(
+            F.expr(f"cast(timestamp_micros(__b_us) as {bucket_dt})").alias(bucket_col)
+        )
     )
     dense = grid.crossJoin(agg.select(*dims).distinct()) if dims else grid
     out = dense.join(agg, [bucket_col, *dims], "left")

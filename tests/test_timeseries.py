@@ -107,3 +107,110 @@ def test_time_bucket_and_gapfill(spark):
     assert got[(0, "a")] == 1 and got[(15, "a")] == 1 and got[(45, "a")] == 1
     assert got[(30, "a")] == 0              # the gap, zero-filled
     assert got[(0, "b")] == 1 and got[(15, "b")] == 0
+
+
+def test_gapfill_outlier_span_fails_fast(spark):
+    """One clock-skewed row (a 2200-dated event) must raise a clear grid-
+    budget error, not hang a single task materializing a 10M-element
+    sequence array (round-5 phase-4 fuzz found the hang)."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.operators.timeseries import gapfill
+
+    agg = spark.createDataFrame(
+        [(dt.datetime(1970, 1, 1), 1.0), (dt.datetime(2200, 1, 1), 2.0)],
+        "bucket timestamp_ntz, v double",
+    )
+    with _pytest.raises(ValueError, match="cells"):
+        gapfill(agg, "bucket", "1 MINUTE", [], {"v": F.lit(0.0)})
+    # and the budget is caller-tunable downward
+    with _pytest.raises(ValueError, match="cells"):
+        gapfill(
+            agg, "bucket", "15 MINUTES", [], {"v": F.lit(0.0)}, max_cells=1000
+        )
+
+
+def test_gapfill_chunked_grid_exact(spark):
+    """The chunked generator emits exactly the lo..hi inclusive grid."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.operators.timeseries import gapfill
+
+    t0 = dt.datetime(2024, 1, 1)
+    agg = spark.createDataFrame(
+        [(t0, 1.0), (t0 + dt.timedelta(minutes=45), 4.0)],
+        "bucket timestamp_ntz, v double",
+    )
+    out = sorted(
+        (r["bucket"], r["v"])
+        for r in gapfill(agg, "bucket", "15 MINUTES", [], {"v": F.lit(0.0)}).collect()
+    )
+    assert [b for b, _ in out] == [
+        t0 + dt.timedelta(minutes=m) for m in (0, 15, 30, 45)
+    ]
+    assert [v for _, v in out] == [1.0, 0.0, 0.0, 4.0]
+
+
+def test_gapfill_empty_input_is_empty(spark):
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.operators.timeseries import gapfill
+
+    agg = spark.createDataFrame([], "bucket timestamp_ntz, v double")
+    out = gapfill(agg, "bucket", "15 MINUTES", [], {"v": F.lit(0.0)})
+    assert out.count() == 0
+    assert out.columns == ["bucket", "v"]
+
+
+def test_gapfill_rejects_calendar_steps(spark):
+    import pytest as _pytest
+
+    from quarkus_etl_spark.operators.timeseries import _step_us
+
+    assert _step_us("15 MINUTES") == 15 * 60 * 1_000_000
+    assert _step_us("1 DAY") == 86_400_000_000
+    with _pytest.raises(ValueError):
+        _step_us("1 MONTH")
+    with _pytest.raises(ValueError):
+        _step_us("bogus")
+
+
+def test_time_bucket_pre_epoch_matches_duckdb(spark):
+    """Pre-epoch (negative epoch-µs) bucket arithmetic: BOTH engines
+    truncate integer division toward zero (Spark `div`, DuckDB `//`), so
+    buckets agree — pinned here because the phase-4 fuzz deliberately
+    keeps wide pre-epoch extremes out of the fixtures (grid-size blowup)."""
+    import datetime as dt
+
+    import duckdb
+
+    from quarkus_etl_spark.operators.timeseries import time_bucket
+
+    rows = [
+        (1, dt.datetime(1969, 12, 31, 23, 59, 59)),
+        (2, dt.datetime(1969, 12, 31, 23, 45, 0)),
+        (3, dt.datetime(1970, 1, 1, 0, 0, 1)),
+        (4, dt.datetime(1969, 7, 20, 20, 17, 40)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", time_bucket("ts", 900).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT id, to_timestamp((epoch_us(ts) // 900000000) * 900000000 "
+            "/ 1000000)::TIMESTAMP AS b FROM (VALUES "
+            + ", ".join(
+                f"({i}, TIMESTAMP '{t}')" for i, t in rows
+            )
+            + ") v(id, ts)"
+        ).fetchall()
+    )
+    assert got == want

@@ -20,6 +20,11 @@ Mutation classes are phased so a failure is attributable:
           event_type, label), NULL measures (l_quantity, l_discount,
           o_totalprice) including one ALL-NULL-measure group — missing-data
           and missing-metadata semantics.
+  phase 4: temporal extremes (pre-epoch 1900 / epoch-0 / far-future 2200
+          timestamps and dates — pre-epoch bucketing is where floor-vs-
+          truncate window math diverges) and hostile group keys (case
+          variants, trailing whitespace, NFC-vs-NFD combining chars,
+          empty string ≠ NULL) — clock-skewed sources and dirty metadata.
   --tiny (orthogonal): pure truncation to single-digit row counts —
           .first()-on-empty, empty-aggregation, all-rows-filtered paths.
 
@@ -118,6 +123,20 @@ def _mutate_documents(rows: list[dict], rng: random.Random, phase: int) -> None:
             rows[i]["lang"] = None
         for i in grab(pct):
             rows[i]["source"] = None
+    if phase >= 4:
+        # Hostile group keys: binary-distinct variants that LOOK alike.
+        # Neither engine may normalize/trim/case-fold a key on its own —
+        # each variant must stay its own group in BOTH engines.
+        for i in grab(pct):
+            rows[i]["lang"] = "EN"  # case variant of 'en'
+        for i in grab(pct):
+            rows[i]["lang"] = "en "  # trailing space
+        for i in grab(pct):
+            rows[i]["lang"] = ""  # empty string: a key, unlike NULL
+        for i in grab(pct):  # NFD (e + combining acute) source ...
+            rows[i]["source"] = "cafe\u0301"
+        for i in grab(pct):  # ... vs its NFC (e-acute) sibling
+            rows[i]["source"] = "caf\u00e9"
     for r in rows:
         r["n_chars"] = len(r["text"]) if r["text"] is not None else 0
 
@@ -183,6 +202,26 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
         for _ in range(pct):  # untyped events: NULL groupBy key
             i = next(take)
             rows[i]["event_type"] = None
+    if phase >= 4:
+        import datetime as _dt
+
+        # Temporal boundary edges, deliberately within ±1 year of the data:
+        # year boundary (bucket/window alignment), leap day (calendar math),
+        # max-µs instants (rounding). WIDE extremes (1900/2200) are kept out
+        # on purpose — the gapfill family densifies min()..max(), so a
+        # single skewed row makes BOTH engines' dense grids ~10M rows and
+        # the differential compare collapses under its own output; the
+        # operator-level guard for that case is gapfill's max_cells budget
+        # (tests/test_timeseries.py), and pre-epoch bucket arithmetic is
+        # pinned by test (both engines truncate toward zero — verified).
+        for ts in (
+            _dt.datetime(2023, 12, 31, 23, 59, 59, 999999),
+            _dt.datetime(2024, 2, 29, 12, 0, 0),
+            _dt.datetime(2024, 12, 31, 23, 59, 59, 999999),
+        ):
+            for _ in range(max(1, pct // 2)):
+                i = next(take)
+                rows[i]["ts"] = ts
 
 
 def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -251,6 +290,16 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
         for _ in range(pct):  # missing totals (point NULLs)
             i = next(take)
             rows[i]["o_totalprice"] = None
+    if phase >= 4:
+        import datetime as _dt
+
+        # date extremes: pre-epoch and century-boundary order dates hit
+        # year()/date-filter/cohort paths where engines' calendar math can
+        # differ (proleptic vs hybrid calendars, negative epoch days)
+        for d in (_dt.datetime(1900, 1, 1), _dt.datetime(2099, 12, 31)):
+            for _ in range(max(1, pct // 2)):
+                i = next(take)
+                rows[i]["o_orderdate"] = d
 
 
 MUTATORS = {
@@ -303,7 +352,7 @@ def build_fuzz_dir(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3))
+    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--tiny", action="store_true",
                     help="degenerate-cardinality tables (single-digit rows)")
