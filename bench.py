@@ -195,7 +195,9 @@ def main() -> None:
         "bench_runs": len(totals_per_run),
         "n_queries": len(names),
         "n_errors": sum(1 for v in timings.values() if v < 0),
-        "sf": float(sf),
+        # non-sfN dirs (a fuzz fixture, a user corpus) report the raw name
+        # instead of crashing the whole run at the final print
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
         "total_sec": total,
     }
     print(json.dumps(result))

@@ -202,7 +202,13 @@ def ngram_hashes(tokens: Column, n: int = 2) -> Column:
     STRING is never needed, so hash the token tuple directly —
     `zip_with(tokens[0:k], tokens[1:k], xxhash64)` for bigrams. The
     expression tree is a fraction of `ngrams()`+concat+hash, which matters
-    both at runtime and in codegen compile time for the big dedup plans."""
+    both at runtime and in codegen compile time for the big dedup plans.
+
+    CALLER CONTRACT for n > 2: pass `tokens` as a bound column (a real
+    attribute), NOT a derived expression — the general-n path indexes the
+    array inside a transform lambda, and interpreted HOF eval re-evaluates
+    a derived argument once PER ELEMENT (no CSE): an inline split() there
+    turns O(L) into O(L²) per row."""
     if n == 2:
         k = F.size(tokens) - 1
         return F.zip_with(
@@ -239,17 +245,32 @@ def _max_count_sorted(tokens: Column) -> Column:
     """max token multiplicity via sorted runs: O(L log L) per row.
 
     A token's multiplicity equals its run length in the sorted array, so
-    max multiplicity = longest equal-adjacent run: sort, collect run-start
-    indices (element differs from its predecessor), and take the max gap
-    between consecutive starts (the sentinel L closes the last run)."""
-    s = F.array_sort(tokens)
-    n = F.size(s)
-    starts = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    max multiplicity = longest equal-adjacent run. The run scan is ONE
+    aggregate() fold over the sorted array — the fold's input is evaluated
+    once per row. The previous form indexed the sorted array with
+    element_at(s, i) INSIDE a filter lambda; higher-order lambdas are
+    interpreted (never codegen'd) and interpreted eval has no common-
+    subexpression elimination, so each of the L lambda calls re-ran the
+    O(L log L) ArraySort — O(L² log L) per row, ~30 s for ONE 3000-token
+    document inside a Filter (round-5 fuzz: q_corpus_pipeline 151 s on a
+    500-doc fixture; 2.4 s after this rewrite)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
-    ends = F.concat(F.slice(starts, 2, F.size(starts)), F.array(n + 1))
-    return F.array_max(F.zip_with(ends, starts, lambda e, b: e - b))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(tokens), acc0, step, lambda acc: acc["best"]
+    )
 
 
 def max_token_count(tokens: Column) -> Column:

@@ -505,11 +505,16 @@ def _ngram_sets(
         df.select(
             F.col(id_col),
             F.coalesce(F.col(block_col), F.lit("")).alias("__blk"),
-            F.coalesce(normalize_text(text_col), F.lit("")).alias("__txt"),
+            # tokenized as a REAL column: ngram_hashes' general-n path
+            # indexes the token array inside a lambda, and a derived
+            # expression there would re-split per element (interpreted
+            # HOF, no CSE — O(L²) per row); a bound attribute is O(1)
+            F.split(F.coalesce(normalize_text(text_col), F.lit("")), "\\s+").alias(
+                "__tk"
+            ),
         )
     )
-    toks_pre = F.split(F.col("__txt"), "\\s+")
-    hashed = F.array_distinct(ngram_hashes(toks_pre, n))
+    hashed = F.array_distinct(ngram_hashes(F.col("__tk"), n))
     return pre.select(F.col(id_col), F.col("__blk"), hashed.alias("__set")).withColumn(
         "__len", F.size("__set")
     )

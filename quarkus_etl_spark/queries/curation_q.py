@@ -2330,14 +2330,15 @@ def _bpe_merge_rounds(d: DataFrame, rounds: int = 3):
     for rnd in range(1, rounds + 1):
         s = F.split(F.trim(F.col("rep")), "  ")
         n = F.size(s)
-        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-            F.array().cast("array<int>")
-        )
-        prs = F.transform(
-            idx,
-            lambda i: F.concat(
-                F.element_at(s, i), F.lit(" "), F.element_at(s, i + F.lit(1))
-            ),
+        # adjacent pairs via zip_with over two top-level slices: `s` is a
+        # DERIVED expression, and element_at(s, i) inside a lambda would
+        # re-run the split once per element (interpreted HOF eval has no
+        # CSE — the round-5 _max_count_sorted lesson, O(L²) per row);
+        # top-level slice references evaluate it a constant number of times
+        prs = F.zip_with(
+            F.slice(s, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(s, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
         pc = (
             r.select("freq", F.explode(prs).alias("pair"))
