@@ -405,16 +405,23 @@ def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # The forward-looking bracket values come from a DESCENDING sort with an
+    # unbounded-PRECEDING frame, not first() over (currentRow ..
+    # unboundedFollowing): Spark evaluates unbounded-FOLLOWING frames by
+    # re-scanning to the partition end for EVERY row — O(n²) per partition.
+    # Invisible on a few-day span (~300 buckets/partition), 517 s on a
+    # 1-year span (35k buckets; round-5 fuzz bench). The reversed
+    # running-frame form computes the identical values incrementally.
     wf = (
         Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     known_t = F.when(F.col("v").isNotNull(), us)
     prev_v = F.last("v", ignorenulls=True).over(wb)
     prev_t = F.last(known_t, ignorenulls=True).over(wb)
-    next_v = F.first("v", ignorenulls=True).over(wf)
-    next_t = F.first(known_t, ignorenulls=True).over(wf)
+    next_v = F.last("v", ignorenulls=True).over(wf)
+    next_t = F.last(known_t, ignorenulls=True).over(wf)
     frac = (us - prev_t).cast("double") / (next_t - prev_t).cast("double")
     interp = prev_v + (next_v - prev_v) * frac
     return dense.select(
