@@ -24,6 +24,12 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _timed(fn) -> float:
+    start = time.monotonic()
+    fn()
+    return time.monotonic() - start
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
@@ -90,6 +96,31 @@ def main() -> None:
     # (BENCH_r02's 261.7 s vs 227.8 s episode), so cross-round comparisons
     # need the min of repeated measurements. A wall-clock guard skips extra
     # passes if the first pass ran long (protects the driver's budget).
+    # Host-regime calibration (after warm-up, before any timed query): the
+    # min-of-3 wall of a FIXED data-independent codegen plan. Same code on
+    # this host has drifted up to ~1.25x between rounds (BENCH_r04 172 s vs
+    # r05 176.9 s vs same-day HEAD 150.5 s); recording a pure host-speed
+    # probe in the artifact lets cross-round diffs self-normalize
+    # (tools/bench_compare.py divides by the calib ratio when both
+    # artifacts carry one) instead of chasing host drift.
+    calib_sec = None
+    try:
+        calib_sec = round(
+            min(
+                _timed(
+                    lambda: materialize(
+                        spark.range(0, 400_000_000, 1, 32).selectExpr(
+                            "sum(id * 3 + 7) AS s", "count(if(id % 97 = 0, 1, NULL)) AS c"
+                        )
+                    )
+                )
+                for _ in range(3)
+            ),
+            4,
+        )
+    except Exception as e:  # noqa: BLE001 - calibration must never fail the bench
+        print(f"bench: calibration skipped: {e}", file=sys.stderr)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     pass_guard_sec = float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_SEC", "420"))
     totals_per_run: list[float] = []
@@ -195,9 +226,13 @@ def main() -> None:
         "bench_runs": len(totals_per_run),
         "n_queries": len(names),
         "n_errors": sum(1 for v in timings.values() if v < 0),
-        # non-sfN dirs (a fuzz fixture, a user corpus) report the raw name
-        # instead of crashing the whole run at the final print
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # stable schema (ADVICE r5): sf is float-or-null, never a string;
+        # the raw directory name always rides in `dataset`
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else None,
+        "dataset": os.path.basename(os.path.normpath(sf_dir)),
+        # host-regime probe (min-of-3 fixed codegen plan) — cross-round
+        # comparisons divide by the calib ratio to cancel host drift
+        "calib_sec": calib_sec,
         "total_sec": total,
     }
     print(json.dumps(result))

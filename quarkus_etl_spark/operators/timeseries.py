@@ -135,35 +135,40 @@ def gapfill(
     (one 2200-dated event in 100 TB must be a clear error, not a hang).
     The join still runs against data that aggregation already shrank."""
     step_us = _step_us(step)
+    bucket_dt = dict(agg.dtypes)[bucket_col]
+    if bucket_dt not in ("timestamp", "timestamp_ntz"):
+        # DATE would need day-grid semantics and tz-naive int columns would
+        # need a unit declaration; both silently mis-grid if coerced here.
+        raise TypeError(
+            f"gapfill bucket column {bucket_col!r} must be timestamp or "
+            f"timestamp_ntz, got {bucket_dt!r}; cast/bucket upstream"
+        )
+    # Grid bounds as epoch-µs computed ENGINE-side (unix_micros), so no
+    # driver-side datetime interpretation exists to disagree with the
+    # cast-back path: for NTZ the session runs UTC (catalog contract) and
+    # the cast is value-preserving; for tz-aware timestamps unix_micros is
+    # the instant regardless of driver OS timezone. The raw min/max ride
+    # along only for the human-readable budget error.
     row = agg.agg(
-        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+        F.min(F.unix_micros(F.col(bucket_col).cast("timestamp"))).alias("__lo_us"),
+        F.max(F.unix_micros(F.col(bucket_col).cast("timestamp"))).alias("__hi_us"),
+        F.min(bucket_col).alias("__lo"),
+        F.max(bucket_col).alias("__hi"),
     ).first()
-    lo, hi = row["__lo"], row["__hi"]
-    if lo is None:  # empty input: dense output is empty too
+    lo_us, hi_us = row["__lo_us"], row["__hi_us"]
+    if lo_us is None:  # empty input: dense output is empty too
         empty_cols = [bucket_col, *dims, *fills]
         return agg.select(*empty_cols).limit(0)
-    import calendar
-
-    def _to_us(v) -> int:
-        # exact integer epoch-µs for a naive-UTC datetime: timegm (not
-        # .timestamp(), which is local-TZ and float) + the µs field;
-        # handles pre-epoch (negative) values exactly
-        if hasattr(v, "timetuple"):
-            return calendar.timegm(v.timetuple()) * US + v.microsecond
-        return int(v)
-
-    lo_us, hi_us = _to_us(lo), _to_us(hi)
     n_cells = (hi_us - lo_us) // step_us + 1
     if n_cells > max_cells:
         raise ValueError(
-            f"gapfill grid would have {n_cells} cells ({lo} .. {hi} at "
-            f"{step}) > max_cells={max_cells}; clamp outlier timestamps "
-            f"or pass a larger max_cells"
+            f"gapfill grid would have {n_cells} cells ({row['__lo']} .. "
+            f"{row['__hi']} at {step}) > max_cells={max_cells}; clamp "
+            f"outlier timestamps or pass a larger max_cells"
         )
     chunk_us = GAPFILL_CHUNK_CELLS * step_us
     spark = agg.sparkSession
     n_chunks = (n_cells + GAPFILL_CHUNK_CELLS - 1) // GAPFILL_CHUNK_CELLS
-    bucket_dt = dict(agg.dtypes)[bucket_col]
     grid = (
         spark.range(n_chunks)
         .select(

@@ -140,8 +140,13 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_tpch_q17_shape", "q_tpch_q19_shape", "q_tpch_q20_shape",
     "q_tpch_q21_shape", "q_tpch_q22_shape",
     # --- CORRECTNESS_r03.json: 50 graded, 50 passed (hash-conclusive).
-    "q_udaf_grouped", "q_udtf_explode", "q_udtf_python", "q_udf_arrow",
-    "q_udf_cogroup", "q_udf_mapinarrow", "q_udf_window_pandas",
+    # q_udaf_grouped / q_udf_cogroup / q_udf_window_pandas are intentionally
+    # ABSENT: their output changed in r5 (quarter-of-users cap; NULL-sum
+    # semantics), so the r3 PASS graded a different result set — regraded
+    # via _GRADE_FIRST per ADVICE r5 item 4 and the q_agg_percentile
+    # precedent.
+    "q_udtf_explode", "q_udtf_python", "q_udf_arrow",
+    "q_udf_mapinarrow",
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_dedup", "q_stream_live_tumbling", "q_stream_live_dedup",
     "q_stream_live_join", "q_stream_live_sliding", "q_stream_live_session",
@@ -171,46 +176,42 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_span_corrupt", "q_tok_bpe_learn", "q_tok_apply", "q_vocab_build",
     "q_mix_temperature", "q_quota_sample", "q_sample_stratified",
     "q_sample_weighted", "q_oversample", "q_feat_hash",
-})
-
-# The r5 grading queue (VERDICT r4 "Next round" #3/#4): 4 regrades for the
-# fixed HUGEINT-oracle failures, then q_shard_manifest (same fix, never
-# sampled), then every remaining never-graded oracled query (analytics_q and
-# timeseries_q in full — neither module has a verdict yet), then the
-# rows-only tail: the two r1-FAIL re-queues (remediated to rows-only per
-# SURVEY §2, need fresh verdicts to retire the stale FAILs) and the
-# never-graded rows-only queries, last because their verdicts are weaker.
-# 54 candidates for a ~50-slot window; only rows-only names can spill to r6.
-_GRADE_FIRST = (
-    # Regrades: r4 hash-fails, root-caused to DuckDB HUGEINT oracle leaks,
-    # oracles now CAST ... AS BIGINT. Fresh verdicts flip the red rows.
+    # --- CORRECTNESS_r05.json: 50 graded, 44 hash-PASS + 6 rows-only
+    # ran+rows (the declared no-oracle class; re-confirmed via _GRADE_FIRST
+    # tail, not counted as failures). The 4 r4 HUGEINT regrades and
+    # q_shard_manifest all flipped green.
     "q_chunk_dedup", "q_corpus_stats", "q_pack_sequences", "q_mix_rebalance",
-    # Same leak class, fixed pre-sampling (VERDICT r4 item 5)
-    "q_shard_manifest",
-    # Features / privacy stragglers (queued r4, missed the window by 2)
-    "q_feat_scale", "q_anon_k", "q_feat_target_encode",
-    # analytics_q.py — entire module never graded
+    "q_shard_manifest", "q_feat_scale", "q_anon_k", "q_feat_target_encode",
     "q_agg_incremental", "q_agg_countmin", "q_agg_countmin_merge",
     "q_dq_anomaly", "q_dq_benford", "q_dq_freshness", "q_dq_profile",
     "q_drift_tvd", "q_outlier_mad", "q_stats_chi2", "q_stats_gini",
-    "q_stats_ks",
-    # timeseries_q.py tail — never graded
-    "q_funnel", "q_funnel_window", "q_retention_cohort", "q_attribution",
-    "q_time_ohlc", "q_time_acf", "q_time_changepoint", "q_time_interp",
-    "q_time_lttb", "q_time_seasonal",
-    # window/lifecycle stragglers — never graded
-    "q_win_concurrency", "q_win_drawdown", "q_win_pattern",
-    "q_win_session_native", "q_join_pit", "q_join_bucketed",
-    "q_join_skew_salted", "q_scd2_build", "q_zorder_key",
+    "q_stats_ks", "q_funnel", "q_funnel_window", "q_retention_cohort",
+    "q_attribution", "q_time_ohlc", "q_time_acf", "q_time_changepoint",
+    "q_time_interp", "q_time_lttb", "q_time_seasonal", "q_win_concurrency",
+    "q_win_drawdown", "q_win_pattern", "q_win_session_native", "q_join_pit",
+    "q_join_bucketed", "q_join_skew_salted", "q_scd2_build", "q_zorder_key",
     "q_scan_csv_dirty", "q_scan_jdbc_live", "q_scan_merge_schema",
     "q_scan_partitioned", "q_gen_pysource",
-    # --- rows-only tail (weaker ran+rows verdicts) ---
-    # r1-FAIL re-queues, since remediated to rows-only by SURVEY §2:
-    "q_agg_approx_distinct", "q_sample",
-    # never-graded rows-only:
-    "q_gen_addresses", "q_dedup_near", "q_sim_ann_ivf", "q_knn_graph_ann",
+})
+
+# The r6 grading queue (VERDICT r5 "Next round" #1 + ADVICE r5 item 4):
+# the last 4 never-sampled queries (rows-only by SURVEY §2 declaration —
+# after these, every one of the 245 registered queries holds a driver
+# verdict), then fresh hash regrades for the three pandas-UDF queries whose
+# output changed in r5 (quarter-of-users cap on q_udf_window_pandas;
+# NULL-sum semantics on q_udaf_grouped/q_udf_cogroup — the r3 PASS graded a
+# different result set), then re-confirmations of the six rows-only
+# ran-verdicts from r5. 13 candidates for a ~50-slot window; the remaining
+# slots fall through to priority-3 re-confirmations in registration order.
+_GRADE_FIRST = (
+    # Never sampled (rows-only by declaration; pytest-pinned locally):
     "q_agg_percentile_approx", "q_agg_hll_merge",
     "q_multimodal_frames", "q_multimodal_audio",
+    # Output changed in r5 → r3 PASS is stale; regrade (oracled, hash):
+    "q_udf_window_pandas", "q_udaf_grouped", "q_udf_cogroup",
+    # Rows-only re-confirmations (ran+rows verdicts held from r5):
+    "q_agg_approx_distinct", "q_sample", "q_gen_addresses",
+    "q_dedup_near", "q_sim_ann_ivf", "q_knn_graph_ann",
 )
 
 

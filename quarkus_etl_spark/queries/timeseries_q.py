@@ -129,12 +129,14 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                count(*) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+        GROUP BY 1, 2
     ), grid AS (
         SELECT unnest(generate_series((SELECT min(bucket) FROM c),
                                       (SELECT max(bucket) FROM c),
                                       INTERVAL 15 MINUTE)) AS bucket
-    ), types AS (SELECT DISTINCT event_type FROM events)
+    ), types AS (SELECT DISTINCT event_type FROM c)
     SELECT g.bucket, ty.event_type,
            COALESCE(c.n_events, 0) AS n_events,
            COALESCE(c.total_value, 0.0) AS total_value
@@ -148,10 +150,20 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     type) cell appears, absent cells zero-filled — what a dashboard or a
     downstream ML feature join needs from a sparse event stream. The dense
     calendar derives from a 1-row bounds aggregate; all joins run on
-    already-aggregated data (see operators/timeseries.py::gapfill)."""
+    already-aggregated data (see operators/timeseries.py::gapfill).
+
+    Epoch-domain guard (both engines, identically): events outside
+    [1970, 2100) are dropped BEFORE the bounds aggregate, so one
+    clock-skewed row (unset 1970 clock upstream would pass, but a
+    far-future ms-vs-s unit bug would not) degrades to a bounded grid —
+    130 years at 15 min is 4.6M cells, inside gapfill's 20M budget — in
+    BOTH engines instead of an operator error here and a 100M-row
+    densify in the oracle."""
     from ..operators.timeseries import gapfill, time_bucket
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").where(
+        "ts >= TIMESTAMP_NTZ '1970-01-01' AND ts < TIMESTAMP_NTZ '2100-01-01'"
+    )
     counts = ev.groupBy(
         time_bucket("ts", 900).alias("bucket"), "event_type"
     ).agg(
@@ -337,7 +349,9 @@ def q_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
                event_type,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts >= TIMESTAMP '1970-01-01' AND ts < TIMESTAMP '2100-01-01'
+        GROUP BY 1, 2
     ), grid AS (
         SELECT unnest(generate_series((SELECT min(bucket) FROM c),
                                       (SELECT max(bucket) FROM c),
@@ -345,7 +359,7 @@ def q_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dense AS (
         SELECT g.bucket, ty.event_type, c.v
         FROM grid g
-        CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+        CROSS JOIN (SELECT DISTINCT event_type FROM c) ty
         LEFT JOIN c ON c.bucket = g.bucket AND c.event_type = ty.event_type
     ), w AS (
         SELECT bucket, event_type, v,
@@ -385,10 +399,17 @@ def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     last/first(ignorenulls) — no self-join, no per-gap search: linear in
     grid cells regardless of gap lengths. Interpolation weights use exact
     epoch-microsecond integers cast to double in one fixed expression, so
-    both engines produce bit-identical fills."""
+    both engines produce bit-identical fills.
+
+    Epoch-domain guard [1970, 2100) applied identically in both engines
+    before the bounds aggregate — see q_time_gapfill's docstring; caps the
+    worst-case grid at 4.6M cells so clock-skewed rows degrade
+    predictably instead of tripping gapfill's max_cells budget."""
     from ..operators.timeseries import gapfill, time_bucket
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").where(
+        "ts >= TIMESTAMP_NTZ '1970-01-01' AND ts < TIMESTAMP_NTZ '2100-01-01'"
+    )
     counts = ev.groupBy(time_bucket("ts", 900).alias("bucket"), "event_type").agg(
         (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("v")
     )

@@ -153,6 +153,24 @@ def type_class_mismatches(spark_schema, arrow_schema) -> list[str]:
     return diffs
 
 
+def _arrow_rows(atbl) -> list[tuple]:
+    """Row tuples from a materialized Arrow table, matching what
+    duckdb.fetchall() would have produced for the same result: map-typed
+    cells surface as list-of-(k,v)-tuples in Arrow's to_pylist but as
+    dicts from fetchall, so they are converted back (nested maps inside
+    structs/lists are not used by any oracle — asserted by the full
+    differential sweep)."""
+    import pyarrow as pa
+
+    cols = []
+    for i, fld in enumerate(atbl.schema):
+        vals = atbl.column(i).to_pylist()
+        if pa.types.is_map(fld.type):
+            vals = [dict(v) if v is not None else None for v in vals]
+        cols.append(vals)
+    return list(zip(*cols)) if cols else []
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -164,6 +182,7 @@ class CompareResult:
     error: str = ""
     sample_only_spark: list = field(default_factory=list)
     sample_only_duck: list = field(default_factory=list)
+    secs: float = 0.0  # wall seconds (Spark + oracle), for sweep profiling
 
 
 def compare_query(
@@ -183,10 +202,15 @@ def compare_query(
         # rows-only check, like the driver's weaker path
         return CompareResult(name, True, rows_spark=len(srows), cols_spark=scols)
     try:
+        # ONE oracle execution serves both the typed schema and the rows
+        # (ADVICE r5: the earlier execute-twice form doubled oracle cost and
+        # could diverge on a nondeterministic oracle). Rows come off the
+        # already-materialized Arrow table; map columns are converted back
+        # to dicts to match duckdb-fetchall canon (Arrow yields key/value
+        # tuple lists, which _canon would tag differently).
         atbl = con.execute(oracles[name]).fetch_arrow_table()
         dcols = list(atbl.schema.names)
-        cur = con.execute(oracles[name])
-        drows = cur.fetchall()
+        drows = _arrow_rows(atbl)
     except Exception as e:  # noqa: BLE001
         return CompareResult(name, False, error=f"duckdb: {type(e).__name__}: {e}")
 
@@ -222,10 +246,18 @@ def compare_query(
 def run_all(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> list[CompareResult]:
+    import time
+
     con = duck_connection(sf_dir)
     queries = all_query_callables()
     names = names or sorted(queries)
-    return [compare_query(spark, con, n, sf_dir) for n in names]
+    out = []
+    for n in names:
+        start = time.monotonic()
+        r = compare_query(spark, con, n, sf_dir)
+        r.secs = round(time.monotonic() - start, 2)
+        out.append(r)
+    return out
 
 
 def main() -> None:
@@ -239,16 +271,22 @@ def main() -> None:
     spark = get_spark("verify")
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
-    for r in run_all(spark, sf_dir, names):
+    results = run_all(spark, sf_dir, names)
+    for r in results:
         status = "OK  " if r.ok else "FAIL"
         extra = "" if r.ok else f"  {r.error}"
         checked = "oracle" if r.rows_duck >= 0 else "rows-only"
-        print(f"{status} {r.name:28s} rows={r.rows_spark} [{checked}]{extra}")
+        print(
+            f"{status} {r.name:28s} rows={r.rows_spark} "
+            f"[{checked}] {r.secs:6.2f}s{extra}"
+        )
         if not r.ok:
             failures += 1
             if r.sample_only_spark or r.sample_only_duck:
                 print(f"     spark-only: {r.sample_only_spark}")
                 print(f"     duck-only : {r.sample_only_duck}")
+    slow = sorted(results, key=lambda r: -r.secs)[:8]
+    print("slowest:", ", ".join(f"{r.name}={r.secs:.1f}s" for r in slow))
     print(f"{'PASS' if failures == 0 else 'FAIL'}: {failures} failing")
     sys.exit(1 if failures else 0)
 

@@ -218,3 +218,41 @@ def test_sim_pairs_oracle_tolerates_null_embeddings(tmp_path, spark):
     assert [(r[0], r[1]) for r in pairs] == [(0, 2)]
     kept = {r[0] for r in con.execute(ORACLES["q_dedup_embed"]).fetchall()}
     assert kept == {0, 1}  # NULL-embedding row 1 survives; dup row 2 drops
+
+
+def test_outlier_mad_keeps_all_null_measure_group(spark, tmp_path):
+    """A returnflag group whose quantities are ALL NULL must survive with
+    NULL med/mad, 0 outliers, and n = COUNT(*) — the left-joins added in
+    r5 (analytics_q.py q_outlier_mad) claim this; pin it against the
+    DuckDB oracle on the same fixture (VERDICT r5 item 2: point-NULL fuzz
+    can never produce this shape at ~1% rates, so it needs its own pin)."""
+    import duckdb
+
+    li = spark.createDataFrame(
+        [
+            ("N", None), ("N", None), ("N", None),            # all-NULL group
+            ("A", 10.0), ("A", 12.0), ("A", 11.0), ("A", None),
+        ],
+        "l_returnflag string, l_quantity double",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from quarkus_etl_spark.queries.analytics_q import q_outlier_mad
+    from quarkus_etl_spark.queries.base import ORACLES
+
+    got = {
+        r["l_returnflag"]: (r["med"], r["mad"], r["n_outliers"], r["n"])
+        for r in q_outlier_mad(spark, str(tmp_path)).collect()
+    }
+    assert got["N"] == (None, None, 0, 3)
+    assert got["A"][0] == 11.0 and got["A"][3] == 4
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(ORACLES["q_outlier_mad"]).fetchall()
+    }
+    assert oracle == got

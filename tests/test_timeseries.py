@@ -124,13 +124,67 @@ def test_gapfill_outlier_span_fails_fast(spark):
         [(dt.datetime(1970, 1, 1), 1.0), (dt.datetime(2200, 1, 1), 2.0)],
         "bucket timestamp_ntz, v double",
     )
-    with _pytest.raises(ValueError, match="cells"):
+    # the error must NAME the offending bounds so the caller can find and
+    # clamp the skewed source without re-profiling the data
+    with _pytest.raises(ValueError, match=r"1970.*2200.*max_cells"):
         gapfill(agg, "bucket", "1 MINUTE", [], {"v": F.lit(0.0)})
     # and the budget is caller-tunable downward
     with _pytest.raises(ValueError, match="cells"):
         gapfill(
             agg, "bucket", "15 MINUTES", [], {"v": F.lit(0.0)}, max_cells=1000
         )
+
+
+def test_gapfill_rejects_date_bucket(spark):
+    """A DATE bucket silently mis-grids (day semantics vs µs math) — it
+    must be a typed error up front, not a driver-side AttributeError from
+    datetime interpretation (ADVICE r5)."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.operators.timeseries import gapfill
+
+    agg = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), 1.0)], "bucket date, v double"
+    )
+    with _pytest.raises(TypeError, match="timestamp"):
+        gapfill(agg, "bucket", "1 DAY", [], {"v": F.lit(0.0)})
+
+
+def test_gapfill_tz_aware_bucket_grid_is_instant_exact(spark):
+    """tz-aware TimestampType buckets: bounds come from engine-side
+    unix_micros of the instant, so the grid is exact regardless of the
+    driver OS timezone (the old driver-side timegm path shifted the grid
+    whenever the host TZ was not UTC — ADVICE r5)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.operators.timeseries import gapfill
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    agg = spark.createDataFrame(
+        [(t0, 1.0), (t0 + dt.timedelta(minutes=30), 3.0)],
+        "bucket timestamp, v double",
+    )
+    dense = gapfill(agg, "bucket", "15 MINUTES", [], {"v": F.lit(0.0)})
+    # compare as epoch-µs instants (collect()'s local-datetime rendering of
+    # TimestampType depends on the driver OS TZ — exactly the ambiguity the
+    # engine-side bounds path removes)
+    out = sorted(
+        (r["us"], r["v"])
+        for r in dense.select(
+            F.unix_micros("bucket").alias("us"), "v"
+        ).collect()
+    )
+    base = int(t0.timestamp()) * 1_000_000
+    assert out == [
+        (base, 1.0),
+        (base + 15 * 60 * 1_000_000, 0.0),
+        (base + 30 * 60 * 1_000_000, 3.0),
+    ]
 
 
 def test_gapfill_chunked_grid_exact(spark):

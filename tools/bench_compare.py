@@ -6,6 +6,12 @@ Usage:
 Lists regressions (new/old >= threshold AND absolute slowdown >= 0.5 s),
 improvements at the same bar, and inventory changes. Exit code 1 if any
 regression — usable as a gate.
+
+When BOTH artifacts carry a `calib_sec` host probe (bench.py records the
+min-of-3 wall of a fixed data-independent codegen plan), every new-side
+timing is divided by the calib ratio before thresholding, so pure host
+drift (measured up to ~1.25x on this host between identical-code rounds)
+cancels instead of reading as regression/improvement.
 """
 
 from __future__ import annotations
@@ -24,29 +30,39 @@ def main() -> None:
 
     def load(path):
         d = json.load(open(path))
-        if "queries" in d:
-            return d["queries"]
-        if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-            return d["parsed"]["queries"]
-        raise SystemExit(f"{path}: no per-query timings (driver tail-only record?)")
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        if "queries" not in d:
+            raise SystemExit(f"{path}: no per-query timings (driver tail-only record?)")
+        return d["queries"], d.get("calib_sec")
 
-    old = load(args.old)
-    new = load(args.new)
+    old, calib_old = load(args.old)
+    new, calib_new = load(args.new)
+    # host-drift normalization: scale new-side timings into the old
+    # artifact's host regime via the calib ratio (1.0 when either side
+    # predates the probe)
+    host = 1.0
+    if calib_old and calib_new and calib_old > 0 and calib_new > 0:
+        host = calib_new / calib_old
+        print(f"host calib: old={calib_old:.3f}s new={calib_new:.3f}s "
+              f"(new host {host:.2f}x old; new timings divided by this)")
     shared = sorted(set(old) & set(new))
     valid = [n for n in shared if old[n] > 0 and new[n] > 0]
 
     regressions, improvements = [], []
     for n in valid:
-        ratio = new[n] / old[n]
-        if ratio >= args.threshold and new[n] - old[n] >= args.abs_floor:
-            regressions.append((n, old[n], new[n], ratio))
-        elif 1 / ratio >= args.threshold and old[n] - new[n] >= args.abs_floor:
-            improvements.append((n, old[n], new[n], ratio))
+        adj = new[n] / host
+        ratio = adj / old[n]
+        if ratio >= args.threshold and adj - old[n] >= args.abs_floor:
+            regressions.append((n, old[n], adj, ratio))
+        elif 1 / ratio >= args.threshold and old[n] - adj >= args.abs_floor:
+            improvements.append((n, old[n], adj, ratio))
 
     t_old = sum(old[n] for n in valid)
     t_new = sum(new[n] for n in valid)
     print(f"shared queries: {len(valid)}  aggregate {t_old:.1f}s -> {t_new:.1f}s "
-          f"({t_new / t_old:.2f}x)")
+          f"({t_new / t_old:.2f}x raw"
+          + (f", {t_new / host / t_old:.2f}x host-normalized)" if host != 1.0 else ")"))
     print(f"added: {sorted(set(new) - set(old))or '-'}")
     print(f"removed: {sorted(set(old) - set(new)) or '-'}")
     for tag, rows in (("REGRESSION", regressions), ("improvement", improvements)):

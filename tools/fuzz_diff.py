@@ -205,21 +205,26 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
     if phase >= 4:
         import datetime as _dt
 
-        # Temporal boundary edges, deliberately within ±1 year of the data:
-        # year boundary (bucket/window alignment), leap day (calendar math),
-        # max-µs instants (rounding). WIDE extremes (1900/2200) are kept out
-        # on purpose — the gapfill family densifies min()..max(), so a
-        # single skewed row makes BOTH engines' dense grids ~10M rows and
-        # the differential compare collapses under its own output; the
-        # operator-level guard for that case is gapfill's max_cells budget
-        # (tests/test_timeseries.py), and pre-epoch bucket arithmetic is
-        # pinned by test (both engines truncate toward zero — verified).
+        # Temporal boundary edges within ±1 year of the data: year boundary
+        # (bucket/window alignment), leap day (calendar math), max-µs
+        # instants (rounding). PLUS wide clock-skew extremes (pre-epoch
+        # 1900, far-future 2200): since r6 the graded gapfill queries carry
+        # an identical [1970, 2100) domain guard in BOTH engines, so these
+        # now exercise the guard (and every non-densifying temporal query)
+        # instead of collapsing the compare under a 10M-row dense grid.
         for ts in (
             _dt.datetime(2023, 12, 31, 23, 59, 59, 999999),
             _dt.datetime(2024, 2, 29, 12, 0, 0),
             _dt.datetime(2024, 12, 31, 23, 59, 59, 999999),
         ):
             for _ in range(max(1, pct // 2)):
+                i = next(take)
+                rows[i]["ts"] = ts
+        for ts in (
+            _dt.datetime(1900, 6, 15, 12, 0, 0),
+            _dt.datetime(2200, 1, 1, 0, 0, 1),
+        ):
+            for _ in range(max(1, pct // 4)):
                 i = next(take)
                 rows[i]["ts"] = ts
 
