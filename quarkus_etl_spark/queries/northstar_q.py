@@ -916,7 +916,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.norm AS na, b.norm AS nb
         FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        WHERE abs(len(a.norm) - len(b.norm))
+                  <= 0.4 * greatest(len(a.norm), len(b.norm))
+          AND len(list_intersect(a.s, b.s)) * 1.0 /
               len(list_distinct(list_concat(a.s, b.s))) >= 0.5
     )
     SELECT id_a, id_b,
@@ -954,9 +956,20 @@ def q_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.lit(1.0) - lev * F.lit(1.0) / F.greatest(
         F.length("na"), F.length("nb")
     )
+    # Length-gap prune BEFORE the DP (mirrored in the oracle): edit
+    # distance >= |len(na) - len(nb)|, so a pair with a gap > 0.4*maxlen
+    # can never reach sim >= 0.6 — provably result-identical. Bigram
+    # jaccard blocking cannot bound CHAR lengths on repetitive-token
+    # corpora (two "spam spam ..." docs of very different lengths share
+    # one bigram set), and those are exactly the O(len^2) pairs worth
+    # skipping.
+    gap_ok = F.abs(F.length("na") - F.length("nb")) <= F.lit(0.4) * F.greatest(
+        F.length("na"), F.length("nb")
+    )
     return (
         cand.join(na, "id_a")
         .join(nb, "id_b")
+        .where(gap_ok)
         .where(sim >= 0.6)
         .select(
             "id_a",
