@@ -474,3 +474,81 @@ def q_stream_live_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_stream_to_memory(joined, "live_static_join", output_mode="append")
         q.stop()
     return spark.table("live_static_join")
+
+
+@register("q_stream_live_eviction")
+def q_stream_live_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark EVICTION executed for real (the drop semantics the other
+    live streams deliberately pin away with no-eviction watermarks): a
+    synthetic 3-file sequence is streamed one file per micro-batch through
+    a 10-minute watermark + 15-minute tumbling window in APPEND mode, so
+    late data and window finalization both actually fire:
+
+      file 0: three rows in [10:00,10:15) and one 10:40 row
+              -> the watermark advances to 10:30 after this batch;
+      file 1: an on-time 10:45 row -> at this batch's commit the
+              [10:00,10:15) window (end 10:15 <= wm 10:30) FINALIZES:
+              emitted with cnt 3, state evicted;
+      file 2: a LATE 10:05:30 row — its window is already closed and
+              gone from the state store, so it is DROPPED with no
+              duplicate emission — plus an 11:30 row that pushes the
+              watermark past every earlier window; its own window stays
+              open forever and append mode therefore never emits it.
+
+    Expected output is exactly three finalized windows with counts 3/1/1
+    — the [10:00,10:15) count stays 3 BECAUSE the post-eviction arrival
+    was dropped (batch semantics would say 4). Empirically pinned nuance
+    (tests/test_streaming.py): the watermark is a LOWER BOUND on how
+    long late data is accepted — a late row whose window is still in
+    state (watermark crossed but eviction not yet executed) IS
+    aggregated; only after finalization is the drop guaranteed. That is
+    Spark's documented contract and the one that matters for state
+    sizing. Deterministic by construction (fixed literals, one file per
+    trigger, mtime-ordered file discovery), but intentionally
+    oracle-less: no batch SQL computes "state at the time the watermark
+    passed" — this semantics class only a live run can witness.
+
+    At 100 TB this is the property that keeps stream state bounded: the
+    watermark defines the drop point, closed windows leave the state
+    store, and a replayed/late source cannot resurrect them."""
+    import shutil
+    import time as _time
+
+    from ..streaming.streams import file_stream, run_stream_to_memory, state_partitions
+
+    from .lifecycle_q import _scratch
+
+    path = _scratch(sf_dir, "events_stream_evict")
+    shutil.rmtree(path, ignore_errors=True)
+    day = "2024-03-01 "
+    batches = [
+        [(1, "10:00:00"), (2, "10:05:00"), (3, "10:14:00"), (4, "10:40:00")],
+        [(6, "10:45:00")],  # commit finalizes+evicts [10:00,10:15) cnt 3
+        [(5, "10:05:30"), (7, "11:30:00")],  # late-after-eviction + closer
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(eid, day + hms, 1, "view", 1.0, None) for eid, hms in rows],
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+        # one file per write; distinct mtimes keep oldest-first discovery
+        # deterministic (the file source orders by modification time)
+        _time.sleep(0.3)
+    agg = (
+        file_stream(spark, path, max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    with state_partitions(spark):
+        q = run_stream_to_memory(agg, "live_eviction", output_mode="append")
+        q.stop()
+    return spark.table("live_eviction").select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "cnt",
+    )

@@ -525,3 +525,79 @@ def test_python_streaming_datasource_exactly_once(spark, tmp_path):
         spark.read.format("addresses").option("rows", "1000").load()
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_live_eviction_drops_late_rows(spark):
+    """Row-exact pin of q_stream_live_eviction (the driver-visible
+    watermark-eviction query): three finalized windows, the [10:00,10:15)
+    count stays 3 because the post-eviction late arrival was dropped, and
+    the final 11:30 window never emits (append mode, watermark never
+    passes it)."""
+    import datetime as dt
+
+    from quarkus_etl_spark.queries.streaming_q import q_stream_live_eviction
+
+    got = sorted(
+        (r["window_start"], r["window_end"], r["event_type"], r["cnt"])
+        for r in q_stream_live_eviction(spark, "/root/testdata/sf0.001").collect()
+    )
+    d = lambda h, m: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    assert got == [
+        (d(10, 0), d(10, 15), "view", 3),
+        (d(10, 30), d(10, 45), "view", 1),
+        (d(10, 45), d(11, 0), "view", 1),
+    ]
+
+
+def test_watermark_is_lower_bound_while_state_lives(spark, tmp_path):
+    """The OTHER half of the eviction contract (empirically pinned r6): a
+    late row whose window has crossed the watermark but is STILL IN STATE
+    (eviction runs at batch commit, not at watermark advance) is
+    aggregated — the watermark bounds how long late data is guaranteed
+    accepted from below; the guaranteed DROP only starts once the window
+    is finalized and evicted. State sizing must assume windows live until
+    the first commit after the watermark passes them."""
+    import datetime as dt
+    import time as _time
+
+    src = str(tmp_path / "wm_lb_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    day = dt.datetime(2024, 3, 1)
+    mk = lambda h, m, s=0: day + dt.timedelta(hours=h, minutes=m, seconds=s)  # noqa: E731
+    batches = [
+        # wm after this batch: 10:30 — [10:00,10:15) crossed but not yet
+        # evicted (eviction happens at the NEXT batch's commit)
+        [(1, mk(10, 0)), (2, mk(10, 5)), (3, mk(10, 14)), (4, mk(10, 40))],
+        # late row, window still in state -> aggregated (cnt becomes 4)
+        [(5, mk(10, 5, 30)), (6, mk(10, 45))],
+        [(7, mk(11, 30))],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(eid, ts, 1, "view", 1.0, "{}") for eid, ts in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.3)
+    agg = (
+        file_stream(spark, src, max_files_per_trigger=1)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_lb")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window"].start, r["window"].end): r["cnt"]
+            for r in spark.table("wm_lb").collect()
+        }
+        assert got[(mk(10, 0), mk(10, 15))] == 4  # late row WAS aggregated
+    finally:
+        q.stop()
