@@ -44,6 +44,8 @@ def test_registry_is_superset_with_oracles():
         "q_agg_hll_merge",  # HLL sketch estimates are engine-specific
         "q_multimodal_audio",  # synthetic codec via mapInPandas (like frames)
         "q_knn_graph_ann",  # LSH candidate recall (pytest pins floor vs exact)
+        "q_stream_live_eviction",  # no batch SQL computes "state at the time
+        # the watermark passed"; row-exact pytest instead (test_streaming)
     }
     assert rows_only <= allowed_rows_only, rows_only
 
