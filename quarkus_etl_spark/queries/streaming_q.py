@@ -511,8 +511,13 @@ def q_stream_live_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the property that keeps stream state bounded: the
     watermark defines the drop point, closed windows leave the state
     store, and a replayed/late source cannot resurrect them."""
+    import datetime as _dt
+    import os
     import shutil
     import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from ..streaming.streams import file_stream, run_stream_to_memory, state_partitions
 
@@ -520,23 +525,36 @@ def q_stream_live_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch(sf_dir, "events_stream_evict")
     shutil.rmtree(path, ignore_errors=True)
-    day = "2024-03-01 "
+    os.makedirs(path, exist_ok=True)
+    day = _dt.datetime(2024, 3, 1)
     batches = [
-        [(1, "10:00:00"), (2, "10:05:00"), (3, "10:14:00"), (4, "10:40:00")],
-        [(6, "10:45:00")],  # commit finalizes+evicts [10:00,10:15) cnt 3
-        [(5, "10:05:30"), (7, "11:30:00")],  # late-after-eviction + closer
+        [(1, (10, 0, 0)), (2, (10, 5, 0)), (3, (10, 14, 0)), (4, (10, 40, 0))],
+        [(6, (10, 45, 0))],  # commit finalizes+evicts [10:00,10:15) cnt 3
+        [(5, (10, 5, 30)), (7, (11, 30, 0))],  # late-after-eviction + closer
     ]
-    for rows in batches:
-        spark.createDataFrame(
-            [(eid, day + hms, 1, "view", 1.0, None) for eid, hms in rows],
-            "event_id long, ts_s string, user_id long, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(
-            1
-        ).write.mode("append").parquet(path)
-        # one file per write; distinct mtimes keep oldest-first discovery
-        # deterministic (the file source orders by modification time)
-        _time.sleep(0.3)
+    # Files come from pyarrow, not a Spark write job: a one-row Spark
+    # parquet write carries ~5 s of fixed job/committer overhead ON EACH
+    # of the three files (measured r6); pyarrow writes them in ~ms and the
+    # stream source only cares about the bytes.
+    for i, rows in enumerate(batches):
+        tbl = pa.table({
+            "event_id": pa.array([eid for eid, _ in rows], pa.int64()),
+            "ts": pa.array(
+                [
+                    day + _dt.timedelta(hours=h, minutes=m, seconds=s)
+                    for _, (h, m, s) in rows
+                ],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(path, f"batch{i}.parquet"))
+        # distinct mtimes keep oldest-first discovery deterministic (the
+        # file source orders by modification time; 50 ms >> fs resolution)
+        _time.sleep(0.05)
     agg = (
         file_stream(spark, path, max_files_per_trigger=1)
         .withWatermark("ts", "10 minutes")
