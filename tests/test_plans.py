@@ -429,3 +429,14 @@ def test_new_retrieval_family_plans(spark, sf_dir):
             assert "BroadcastExchange" not in p, p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_gapfill_domain_guard_reaches_scan(spark, sf_dir):
+    """The [1970,2100) event-time domain guard (r6) must be a parquet
+    PushedFilter, not a post-scan Filter: at 100 TB the guard is free only
+    if row groups outside the domain are skipped via statistics."""
+    from quarkus_etl_spark.queries.timeseries_q import q_time_gapfill, q_time_interp
+
+    for q in (q_time_gapfill, q_time_interp):
+        plan = plan_string(q(spark, sf_dir))
+        assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan, plan[:2000]
