@@ -601,3 +601,69 @@ def test_watermark_is_lower_bound_while_state_lives(spark, tmp_path):
         assert got[(mk(10, 0), mk(10, 15))] == 4  # late row WAS aggregated
     finally:
         q.stop()
+
+
+def test_watermark_survives_restart(spark, tmp_path):
+    """Watermark persistence across a stop/restart from checkpoint: after
+    [10:00,10:15) finalizes+evicts and the query STOPS, a late row for it
+    arriving in the restarted query must still be dropped. If restart
+    reset the watermark to 1970 the late row would re-create the window's
+    state and the 11:30 closer would emit a DUPLICATE [10:00,10:15) row —
+    exactly-once window emission across restarts is what a 100 TB
+    streaming job leans on every deploy."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "wm_rs_src"
+    src.mkdir()
+    cp = str(tmp_path / "wm_rs_cp")
+    out = str(tmp_path / "wm_rs_out")
+    day = dt.datetime(2024, 3, 1)
+    mk = lambda h, m, s=0: day + dt.timedelta(hours=h, minutes=m, seconds=s)  # noqa: E731
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([e for e, _ in rows], pa.int64()),
+                "ts": pa.array([t for _, t in rows], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }),
+            str(src / name),
+        )
+
+    def run_to_completion():
+        agg = (
+            file_stream(spark, str(src), max_files_per_trigger=1)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "cnt",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_file("f0.parquet", [(1, mk(10, 0)), (2, mk(10, 5)), (3, mk(10, 14)), (4, mk(10, 40))])
+    write_file("f1.parquet", [(6, mk(10, 45))])  # evicts [10:00,10:15) cnt 3
+    run_to_completion()
+    # late row for the evicted window + a closer, AFTER a full stop
+    write_file("f2.parquet", [(5, mk(10, 5, 30)), (7, mk(11, 30))])
+    run_to_completion()
+
+    got = spark.read.parquet(out).collect()
+    first_window = [r["cnt"] for r in got if r["window_start"] == mk(10, 0)]
+    assert first_window == [3]  # one emission, late row dropped post-restart
