@@ -108,16 +108,28 @@ def dedup_keep_best(
     keep-min-id (dedup_keep_canonical), because boilerplate-stripped or
     truncated variants should lose to the fullest copy.
 
-    The winner is one max_by over a PACKED BIGINT (score << 40 minus id):
-    integer-exact, deterministic in any engine, and a plain hash
-    aggregate — no per-component sort. Component building is the same
-    hash-to-min + pointer-jumping pass as every other cluster consumer."""
+    The winner is one max_by over a FIXED-WIDTH STRING key
+    (zero-padded score ++ zero-padded inverted id, so lexicographic ==
+    (score DESC-equivalently ASC, id ASC) numeric order): exact for any
+    NON-NEGATIVE integer score < 10^10 and id < 10^13, deterministic in
+    any engine, and a plain hash aggregate — no per-component sort. The
+    earlier BIGINT pack (score << 40 - id) overflowed for scores >= 2^23
+    (an 8 MB document's n_chars — a real web-corpus value; ANSI throws,
+    one row kills the job), and DECIMAL keys are not an option because
+    DuckDB 1.0's arg_max picks a non-extreme row on them (NOTES Round 6).
+    Component building is the same hash-to-min + pointer-jumping pass as
+    every other cluster consumer."""
     comp = connected_components(pairs, src, dst)
     scored = comp.join(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
         "node",
     )
-    key = F.col("__score").cast("long") * F.lit(1 << 40).cast("long") - F.col("node")
+    key = F.concat(
+        F.lpad(F.col("__score").cast("long").cast("string"), 10, "0"),
+        F.lpad(
+            (F.lit(9999999999999) - F.col("node")).cast("string"), 13, "0"
+        ),
+    )
     winners = scored.groupBy("component").agg(
         F.max_by("node", key).alias("__keep")
     )

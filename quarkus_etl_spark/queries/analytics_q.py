@@ -518,10 +518,16 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT purchase_id, user_id,
            COUNT(*) AS n_touches,
-           arg_min(touch_id, (epoch_us(touch_ts) // 1000000) * 4294967296
-                             + (touch_id % 4294967296)) AS first_touch,
-           arg_max(touch_id, (epoch_us(touch_ts) // 1000000) * 4294967296
-                             + (touch_id % 4294967296)) AS last_touch
+           arg_min(touch_id,
+                   lpad(CAST(epoch_us(touch_ts) // 1000000 + 100000000000
+                             AS VARCHAR), 12, '0')
+                   || lpad(CAST(touch_id % 4294967296 AS VARCHAR), 10, '0'))
+               AS first_touch,
+           arg_max(touch_id,
+                   lpad(CAST(epoch_us(touch_ts) // 1000000 + 100000000000
+                             AS VARCHAR), 12, '0')
+                   || lpad(CAST(touch_id % 4294967296 AS VARCHAR), 10, '0'))
+               AS last_touch
     FROM joined GROUP BY purchase_id, user_id
     """,
 )
@@ -547,12 +553,24 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("touch_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("touch_ts") <= F.col("p_ts")),
     ).select("purchase_id", p.user_id, "touch_id", "touch_ts")
-    # epoch SECONDS << 32 | id low bits: absolute micros << 32 overflows
-    # BIGINT (ANSI throws); second resolution + the id tiebreak is the same
-    # total order on both engines. Long-backed key keeps min_by/max_by a
-    # HashAggregate (the q_time_ohlc lesson).
+    # (epoch SECONDS | id low bits) packed as a FIXED-WIDTH STRING:
+    # zero-padded offset seconds (12 digits, +1e11 keeps the whole
+    # timestamp domain non-negative) ++ zero-padded id (10 digits), so
+    # lexicographic order == numeric order. Why not numeric packs: the
+    # original BIGINT secs*2^32 overflows past 2038 / before 1832 (ANSI
+    # throws — one clock-skewed touch killed the sf0.01 phase-4 fuzz),
+    # and a DECIMAL(38,0) key is silently WRONG in DuckDB 1.0 arg_min/
+    # arg_max (returns a non-extreme row while max() over the same key is
+    # right — minimal repro in NOTES "Round 6"). Seconds come from `div`,
+    # which truncates toward zero on BOTH engines (pinned in
+    # tests/test_timeseries.py), so pre-epoch keys agree; the key is
+    # ordering-only and min_by/max_by on a string stays a HashAggregate
+    # (the q_time_ohlc lesson).
     secs = F.expr("unix_micros(CAST(touch_ts AS TIMESTAMP)) div 1000000")
-    key = secs * F.lit(4294967296) + (F.col("touch_id") % F.lit(4294967296))
+    key = F.concat(
+        F.lpad((secs + F.lit(100000000000)).cast("string"), 12, "0"),
+        F.lpad((F.col("touch_id") % F.lit(4294967296)).cast("string"), 10, "0"),
+    )
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_touches"),
         F.min_by("touch_id", key).alias("first_touch"),

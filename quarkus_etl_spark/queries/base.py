@@ -165,7 +165,10 @@ _PREVIOUSLY_GRADED = frozenset({
     # ABSENT: they need fresh post-fix verdicts and lead _GRADE_FIRST.
     "q_emb_centroid", "q_emb_covariance", "q_emb_quantize", "q_emb_pq",
     "q_emb_kmeans", "q_knn_graph", "q_graph_pagerank", "q_graph_triangles",
-    "q_graph_label_prop", "q_dedup_canonical_best", "q_dedup_incremental",
+    # q_dedup_canonical_best intentionally ABSENT: keep-best key re-packed
+    # as a string in r6 (BIGINT overflow + DuckDB decimal-arg_max bug);
+    # queued for a fresh verdict.
+    "q_graph_label_prop", "q_dedup_incremental",
     "q_dedup_soft", "q_dedup_url", "q_dedup_simhash", "q_decontaminate",
     "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
     "q_rank_ndcg", "q_text_chunk", "q_text_pii", "q_text_repetition",
@@ -186,8 +189,14 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_dq_anomaly", "q_dq_benford", "q_dq_freshness", "q_dq_profile",
     "q_drift_tvd", "q_outlier_mad", "q_stats_chi2", "q_stats_gini",
     "q_stats_ks", "q_funnel", "q_funnel_window", "q_retention_cohort",
-    "q_attribution", "q_time_ohlc", "q_time_acf", "q_time_changepoint",
-    "q_time_interp", "q_time_lttb", "q_time_seasonal", "q_win_concurrency",
+    # q_attribution and q_time_lttb are intentionally ABSENT: their r6
+    # poison-row fixes (string-packed attribution key after the BIGINT
+    # overflow + DuckDB decimal-arg_max bug; integer-div LTTB bucketing)
+    # leave pristine output bit-identical (73 / 20 rows re-verified) but
+    # the regrade precedent says a changed implementation gets a fresh
+    # verdict — they are queued in _GRADE_FIRST.
+    "q_time_ohlc", "q_time_acf", "q_time_changepoint",
+    "q_time_interp", "q_time_seasonal", "q_win_concurrency",
     "q_win_drawdown", "q_win_pattern", "q_win_session_native", "q_join_pit",
     "q_join_bucketed", "q_join_skew_salted", "q_scd2_build", "q_zorder_key",
     "q_scan_csv_dirty", "q_scan_jdbc_live", "q_scan_merge_schema",
@@ -209,6 +218,9 @@ _GRADE_FIRST = (
     "q_multimodal_frames", "q_multimodal_audio",
     # Output changed in r5 → r3 PASS is stale; regrade (oracled, hash):
     "q_udf_window_pandas", "q_udaf_grouped", "q_udf_cogroup",
+    # Implementation changed in r6 (poison-row fixes; pristine output
+    # re-verified identical) → regrade per the q_agg_percentile precedent:
+    "q_attribution", "q_time_lttb", "q_dedup_canonical_best",
     # Rows-only re-confirmations (ran+rows verdicts held from r5):
     "q_agg_approx_distinct", "q_sample", "q_gen_addresses",
     "q_dedup_near", "q_sim_ann_ivf", "q_knn_graph_ann",

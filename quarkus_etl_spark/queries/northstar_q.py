@@ -986,7 +986,10 @@ def q_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , best AS (
         SELECT c.cluster_id,
-               arg_max(c.doc_id, d.n_chars * 1099511627776 - c.doc_id) AS keep_id
+               arg_max(c.doc_id,
+                       lpad(CAST(d.n_chars AS VARCHAR), 10, '0')
+                       || lpad(CAST(9999999999999 - c.doc_id AS VARCHAR), 13, '0'))
+                   AS keep_id
         FROM comp c JOIN documents d ON d.doc_id = c.doc_id
         GROUP BY c.cluster_id
     )

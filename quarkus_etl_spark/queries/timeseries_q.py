@@ -594,10 +594,15 @@ def q_time_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2("value").cast("double").alias("y"),
     )
     bounds = pts.agg(F.min("e").alias("mn"), F.max("e").alias("mx"))
+    # Bucket index by INTEGER division (`div`), mirroring the oracle's
+    # BIGINT `//`: the earlier double-division-then-cast form agrees only
+    # while (e - mn) * B stays under 2^53 — a 300-year clock-skew span
+    # pushed it to ~2e17 and the rounded double truncated into a
+    # different bucket than the oracle's exact floor (sf0.01 phase-4
+    # fuzz). Integer `div` is exact to (e - mn) * B < 2^63, i.e. the
+    # whole representable timestamp domain at B = 20.
     bk = pts.crossJoin(F.broadcast(bounds)).withColumn(
-        "k",
-        ((F.col("e") - F.col("mn")) * _LTTB_B / (F.col("mx") - F.col("mn") + 1))
-        .cast("long"),
+        "k", F.expr(f"((e - mn) * {_LTTB_B}) div (mx - mn + 1)")
     )
     s = bk.groupBy("k").agg(
         F.count(F.lit(1)).alias("n"),

@@ -766,3 +766,27 @@ def test_hll_merge_estimate_tracks_exact(spark, sf_dir):
     est = out["ALL"]
     assert abs(est - exact) / exact < 0.05, (est, exact)
     assert est >= max(v for k, v in out.items() if k != "ALL")
+
+
+def test_dedup_keep_best_survives_huge_scores(spark):
+    """The keep-best key must stay exact for web-scale document lengths:
+    the old BIGINT pack (score << 40 - id) overflowed at score >= 2^23
+    (an 8 MB doc's n_chars) and ANSI killed the job on one row. The
+    string key must rank 9M-char > 8.5M-char > small, ties -> smallest id."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.operators.cluster import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 9_000_000), (2, 8_500_000), (3, 120), (4, 9_000_000), (9, 5)],
+        "doc_id long, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "id_a long, id_b long"
+    )  # component {1,2,3,4}; 9 untouched
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(df, pairs, "doc_id", "n_chars").collect()
+    )
+    # winner: max n_chars 9M, tie between 1 and 4 -> smallest id 1
+    assert kept == [1, 9]

@@ -365,6 +365,11 @@ def main() -> int:
     args = ap.parse_args()
 
     suffix = "_tiny" if args.tiny else ""
+    # encode the base fixture in the dir name: an sf0.01-based run must not
+    # silently overwrite (and masquerade as) the default sf0.001 one
+    base_tag = os.path.basename(os.path.normpath(args.base))
+    if base_tag != "sf0.001":
+        suffix += f"_{base_tag}"
     out_dir = os.path.join(
         REPO, ".scratch", "fuzz", f"seed{args.seed}_p{args.phase}{suffix}"
     )
