@@ -186,7 +186,9 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_chunk_dedup", "q_corpus_stats", "q_pack_sequences", "q_mix_rebalance",
     "q_shard_manifest", "q_feat_scale", "q_anon_k", "q_feat_target_encode",
     "q_agg_incremental", "q_agg_countmin", "q_agg_countmin_merge",
-    "q_dq_anomaly", "q_dq_benford", "q_dq_freshness", "q_dq_profile",
+    # q_dq_freshness intentionally ABSENT: lag_sec switched to integer div
+    # in r6 (same >2^53 class as q_time_lttb); queued for a fresh verdict.
+    "q_dq_anomaly", "q_dq_benford", "q_dq_profile",
     "q_drift_tvd", "q_outlier_mad", "q_stats_chi2", "q_stats_gini",
     "q_stats_ks", "q_funnel", "q_funnel_window", "q_retention_cohort",
     # q_attribution and q_time_lttb are intentionally ABSENT: their r6
@@ -221,6 +223,7 @@ _GRADE_FIRST = (
     # Implementation changed in r6 (poison-row fixes; pristine output
     # re-verified identical) → regrade per the q_agg_percentile precedent:
     "q_attribution", "q_time_lttb", "q_dedup_canonical_best",
+    "q_dq_freshness",
     # Rows-only re-confirmations (ran+rows verdicts held from r5):
     "q_agg_approx_distinct", "q_sample", "q_gen_addresses",
     "q_dedup_near", "q_sim_ann_ivf", "q_knn_graph_ann",

@@ -785,15 +785,19 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
     )
     g = ev.agg(F.max("ts").alias("global_last"))
-    lag_us = F.unix_micros(F.col("global_last").cast("timestamp")) - F.unix_micros(
-        F.col("last_ts").cast("timestamp")
+    _lag = (
+        "unix_micros(CAST(global_last AS TIMESTAMP))"
+        " - unix_micros(CAST(last_ts AS TIMESTAMP))"
     )
+    # integer `div`, not floor(double /): the double path is exact only
+    # below 2^53 µs (~285 years of lag) — the same class as the r6 LTTB
+    # bucket fix; div == the oracle's `//` for this non-negative lag
     return per.crossJoin(F.broadcast(g)).select(
         "event_type",
         "n_events",
         "last_ts",
-        F.floor(lag_us / F.lit(1000000)).cast("long").alias("lag_sec"),
-        (lag_us >= F.lit(3600000000)).alias("stale"),
+        F.expr(f"({_lag}) div 1000000").cast("long").alias("lag_sec"),
+        (F.expr(_lag) >= F.lit(3600000000)).alias("stale"),
     )
 
 
