@@ -32,12 +32,28 @@ def main() -> None:
         d = json.load(open(path))
         if "queries" not in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
+        if "queries" not in d and isinstance(d.get("tail"), str):
+            # driver tail-only record: the head (metric/value/queries{...)
+            # was truncated, but the tail still contains many
+            # '"q_name": 1.234' pairs plus trailing scalar fields —
+            # salvage the per-query pairs by regex (q_ prefix filters out
+            # scalars like "total_sec")
+            import re
+
+            pairs = re.findall(r'"(q_[a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', d["tail"])
+            if pairs:
+                seen = {}
+                for k, v in pairs:  # later duplicates (slowest10) keep first
+                    seen.setdefault(k, float(v))
+                print(f"{path}: tail-only record, salvaged {len(seen)} per-query timings")
+                return seen, None, True
         if "queries" not in d:
             raise SystemExit(f"{path}: no per-query timings (driver tail-only record?)")
-        return d["queries"], d.get("calib_sec")
+        return d["queries"], d.get("calib_sec"), False
 
-    old, calib_old = load(args.old)
-    new, calib_new = load(args.new)
+    old, calib_old, old_partial = load(args.old)
+    new, calib_new, new_partial = load(args.new)
+    partial = old_partial or new_partial
     # host-drift normalization: scale new-side timings into the old
     # artifact's host regime via the calib ratio (1.0 when either side
     # predates the probe)
@@ -63,8 +79,11 @@ def main() -> None:
     print(f"shared queries: {len(valid)}  aggregate {t_old:.1f}s -> {t_new:.1f}s "
           f"({t_new / t_old:.2f}x raw"
           + (f", {t_new / host / t_old:.2f}x host-normalized)" if host != 1.0 else ")"))
-    print(f"added: {sorted(set(new) - set(old))or '-'}")
-    print(f"removed: {sorted(set(old) - set(new)) or '-'}")
+    if partial:
+        print("(partial record: inventory added/removed not meaningful)")
+    else:
+        print(f"added: {sorted(set(new) - set(old)) or '-'}")
+        print(f"removed: {sorted(set(old) - set(new)) or '-'}")
     for tag, rows in (("REGRESSION", regressions), ("improvement", improvements)):
         for n, o, v, r in sorted(rows, key=lambda x: -abs(x[3] - 1)):
             print(f"{tag:11s} {n:28s} {o:7.2f}s -> {v:7.2f}s ({r:.2f}x)")
