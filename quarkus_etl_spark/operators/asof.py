@@ -35,6 +35,15 @@ def asof_join(
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
 
+    # SQL equality semantics for NULL keys: a NULL-key right row can never
+    # match anything (NULL = NULL is not true), but the window partitioner
+    # groups NULLs into ONE partition, so without this filter a NULL-key
+    # left row would silently "match" a NULL-key right row — exactly the
+    # divergence the phase-5 referential fuzz caught against DuckDB's
+    # native ASOF JOIN. NULL-key LEFT rows stay (their partition now has
+    # no right rows, so they resolve to no-match, matching LEFT JOIN).
+    right = right.where(F.col(on).isNotNull())
+
     carried = [right_ts, *right_value_cols]
     r_struct = F.struct(*[F.col(c) for c in carried]).alias("__r")
     lhs = left.withColumn("__ts", F.col(left_ts)).withColumn(

@@ -32,19 +32,52 @@ def merge_upsert(
     keys: list[str],
     version_col: str = "__version",
 ) -> DataFrame:
-    """Last-writer-wins merge: rows from `updates` replace same-key rows in
-    `base`; unmatched rows pass through. Columns must align (same schema
-    minus `version_col`, which this function adds: base=0, updates=1).
+    """MERGE INTO semantics: every base row whose key has an update takes
+    the update's values (version 1); base rows without one pass through
+    (version 0); update rows whose key is absent from base are inserts.
+    Crucially, DUPLICATE base keys each get updated and each survive —
+    SQL MERGE updates every matching target row; the earlier
+    keep-row_number-1 form silently collapsed double-ingested base rows
+    to one (caught by the phase-5 referential fuzz against the oracle's
+    join form). Columns must align (same schema minus `version_col`).
     CDC contract: `updates` carries at most one row per key (compact the
-    batch first) — equal-version duplicates would tie arbitrarily."""
+    batch first — SQL MERGE errors on duplicate source matches) and no
+    NULL keys (NULL never equality-matches in SQL; a NULL-key update
+    would wrongly pair with NULL-key base rows under the window
+    partitioner).
+
+    Still ONE shuffle by key and no join: the update's values broadcast
+    to their key group through a window aggregate, so N change batches
+    keep stacking into a single window pass."""
+    val_cols = [c for c in base.columns if c not in keys]
     tagged = base.withColumn(version_col, F.lit(0)).unionAll(
         updates.withColumn(version_col, F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    w = Window.partitionBy(*keys)
+    upd_vals = F.max(
+        F.when(
+            F.col(version_col) == 1,
+            F.struct(*[F.col(c) for c in val_cols]),
+        )
+    ).over(w)
+    has_base = F.max(F.when(F.col(version_col) == 0, 1).otherwise(0)).over(w)
+    merged = tagged.withColumn("__upd", upd_vals).withColumn("__hb", has_base)
+    out_cols = [
+        F.col(c)
+        if c in keys
+        else F.when(F.col("__upd").isNotNull(), F.col(f"__upd.{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in base.columns
+    ]
     return (
-        tagged.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        merged.where((F.col(version_col) == 0) | (F.col("__hb") == 0))
+        .select(
+            *out_cols,
+            F.when(F.col("__upd").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(version_col),
+        )
     )
 
 

@@ -152,13 +152,13 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_stream_live_join", "q_stream_live_sliding", "q_stream_live_session",
     "q_stream_live_static_join", "q_sink_parquet", "q_sink_orc",
     "q_sink_csv_quoted", "q_scan_csv", "q_scan_json", "q_etl_job",
-    "q_multimodal_cols", "q_join_asof", "q_dedup_exact", "q_dedup_ngram",
+    "q_multimodal_cols", "q_dedup_exact", "q_dedup_ngram",
     "q_sim_topk", "q_sim_pairs", "q_text_stats", "q_text_ngrams",
     "q_dedup_embed", "q_text_langid", "q_text_quality", "q_text_fingerprint",
     "q_text_tokens", "q_dedup_cluster", "q_dedup_canonical",
     "q_dedup_minhash", "q_text_tfidf", "q_text_bm25", "q_sessionize",
     "q_time_rollup", "q_time_gapfill", "q_join_interval", "q_win_range_frame",
-    "q_sample_hash", "q_merge_upsert", "q_table_diff", "q_dq_checks",
+    "q_sample_hash", "q_table_diff", "q_dq_checks",
     # --- CORRECTNESS_r04.json: 50 graded, 46 passed. The 4 hash-fails
     # (q_chunk_dedup, q_corpus_stats, q_pack_sequences, q_mix_rebalance —
     # DuckDB HUGEINT oracle leaks, fixed r5 by BIGINT casts) are intentionally
@@ -199,7 +199,7 @@ _PREVIOUSLY_GRADED = frozenset({
     # verdict — they are queued in _GRADE_FIRST.
     "q_time_ohlc", "q_time_acf", "q_time_changepoint",
     "q_time_interp", "q_time_seasonal", "q_win_concurrency",
-    "q_win_drawdown", "q_win_pattern", "q_win_session_native", "q_join_pit",
+    "q_win_drawdown", "q_win_pattern", "q_win_session_native",
     "q_join_bucketed", "q_join_skew_salted", "q_scd2_build", "q_zorder_key",
     "q_scan_csv_dirty", "q_scan_jdbc_live", "q_scan_merge_schema",
     "q_scan_partitioned", "q_gen_pysource",
@@ -224,6 +224,10 @@ _GRADE_FIRST = (
     # re-verified identical) → regrade per the q_agg_percentile precedent:
     "q_attribution", "q_time_lttb", "q_dedup_canonical_best",
     "q_dq_freshness",
+    # r6 phase-5 referential-fuzz fixes (NULL-key as-of semantics, MERGE
+    # duplicate-target fidelity, compacted change batch, dimension
+    # key-dedup in cogroup) — pristine output unchanged, impl changed:
+    "q_join_asof", "q_join_pit", "q_merge_upsert",
     # Rows-only re-confirmations (ran+rows verdicts held from r5):
     "q_agg_approx_distinct", "q_sample", "q_gen_addresses",
     "q_dedup_near", "q_sim_ann_ivf", "q_knn_graph_ann",

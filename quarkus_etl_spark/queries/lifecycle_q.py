@@ -186,9 +186,14 @@ def q_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_merge_upsert",
     oracle="""
     WITH upd AS (
+        -- COMPACTED change batch (min per key): the CDC contract is one
+        -- update row per key; a double-ingested base row would otherwise
+        -- put two updates under one key and fan the merge (phase-5 fuzz)
         SELECT o_orderkey,
-               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.25 AS DOUBLE) AS o_totalprice
+               min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.25 AS DOUBLE))
+                   AS o_totalprice
         FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        GROUP BY o_orderkey
     )
     SELECT o.o_orderkey,
            COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice,
@@ -206,14 +211,24 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import merge_upsert
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    upd = o.where(
-        F.substring(F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 1)
-        == "0"
-    ).select(
-        "o_orderkey",
-        (dec2("o_totalprice") * F.lit("1.25").cast("decimal(3,2)"))
-        .cast("double")
-        .alias("o_totalprice"),
+    upd = (
+        o.where(
+            F.substring(
+                F.md5(F.encode(F.col("o_orderkey").cast("string"), "UTF-8")), 1, 1
+            )
+            == "0"
+        )
+        .select(
+            "o_orderkey",
+            (dec2("o_totalprice") * F.lit("1.25").cast("decimal(3,2)"))
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        # compact to one update per key (CDC contract; min = deterministic
+        # and mirrors the oracle) — duplicate base keys otherwise produce
+        # duplicate-key updates that fan the merge (phase-5 fuzz)
+        .groupBy("o_orderkey")
+        .agg(F.min("o_totalprice").alias("o_totalprice"))
     )
     return merge_upsert(o, upd, ["o_orderkey"], version_col="version")
 

@@ -234,13 +234,21 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_udf_cogroup",
     oracle="""
-    SELECT c.c_custkey,
-           any_value(c.c_mktsegment) AS seg,
+    WITH cd AS (
+        -- key-dedup the dimension FIRST (min segment = deterministic
+        -- pick): a double-ingested customer row must neither double the
+        -- order counts (raw-join fan-out) nor emit two rows per key
+        -- (post-agg merge fan-out) — phase-5 referential fuzz
+        SELECT c_custkey, min(c_mktsegment) AS seg
+        FROM customer GROUP BY c_custkey
+    )
+    SELECT cd.c_custkey,
+           any_value(cd.seg) AS seg,
            count(*) AS n_orders,
            CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price
-    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-    GROUP BY c.c_custkey
+    FROM cd JOIN orders o ON o.o_custkey = cd.c_custkey
+    GROUP BY cd.c_custkey
     """,
 )
 def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,11 +289,13 @@ def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = pd.DataFrame(
             {"n_orders": g.size(), "cents": g.sum(min_count=1)}
         ).reset_index()
-        m = agg.merge(
-            cust[["c_custkey", "c_mktsegment"]],
-            left_on="o_custkey",
-            right_on="c_custkey",
+        # key-dedup the dimension before the merge (min = deterministic,
+        # matches the oracle's GROUP BY c_custkey): duplicate customer
+        # rows must not fan the per-key aggregates (phase-5 fuzz)
+        cd = (
+            cust.groupby("c_custkey", as_index=False)["c_mktsegment"].min()
         )
+        m = agg.merge(cd, left_on="o_custkey", right_on="c_custkey")
         return pd.DataFrame(
             {
                 "c_custkey": m["c_custkey"].astype("int64"),

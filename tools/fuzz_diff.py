@@ -25,6 +25,12 @@ Mutation classes are phased so a failure is attributable:
           truncate window math diverges) and hostile group keys (case
           variants, trailing whitespace, NFC-vs-NFD combining chars,
           empty string ≠ NULL) — clock-skewed sources and dirty metadata.
+  phase 5: REFERENTIAL hostility — orphan foreign keys (o_custkey /
+          l_orderkey / events.user_id pointing at nothing), duplicated
+          primary keys (o_orderkey, c_custkey double-ingestion), and
+          NULL join/partition keys (user_id) — the shapes schema drift
+          and at-least-once ingestion produce. Joins must agree on
+          drop/fan-out/NULL-group semantics in both engines.
   --tiny (orthogonal): pure truncation to single-digit row counts —
           .first()-on-empty, empty-aggregation, all-rows-filtered paths.
 
@@ -227,6 +233,14 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
             for _ in range(max(1, pct // 4)):
                 i = next(take)
                 rows[i]["ts"] = ts
+    if phase >= 5:
+        for _ in range(pct):  # anonymous events: NULL partition/join key
+            i = next(take)
+            rows[i]["user_id"] = None
+        for _ in range(pct):  # user deleted upstream: orphan FK
+            i = next(take)
+            if rows[i]["user_id"] is not None:
+                rows[i]["user_id"] = rows[i]["user_id"] + 10_000_000
 
 
 def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -261,6 +275,10 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
         for _ in range(pct):
             i = next(take)
             rows[i]["l_discount"] = None
+    if phase >= 5:
+        for _ in range(pct):  # orphan lines: order deleted/never ingested
+            i = next(take)
+            rows[i]["l_orderkey"] = rows[i]["l_orderkey"] + 10_000_000
         # ALL-NULL measure group: every quantity of one return-flag group
         # becomes NULL. Point NULLs (~1%) can never produce this shape, and
         # it is the one that erased a whole group from median/MAD-style
@@ -305,9 +323,34 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
             for _ in range(max(1, pct // 2)):
                 i = next(take)
                 rows[i]["o_orderdate"] = d
+    if phase >= 5:
+        for _ in range(pct):  # customer deleted upstream: orphan FK
+            i = next(take)
+            rows[i]["o_custkey"] = rows[i]["o_custkey"] + 10_000_000
+        for _ in range(pct):  # at-least-once ingestion: duplicate PK
+            i = next(take)
+            src = rows[rng.randrange(n)]
+            if src["o_orderkey"] != rows[i]["o_orderkey"]:
+                rows[i]["o_orderkey"] = src["o_orderkey"]
+
+
+def _mutate_customer(rows: list[dict], rng: random.Random, phase: int) -> None:
+    if phase < 5:
+        return
+    n = len(rows)
+    idx = list(range(n))
+    rng.shuffle(idx)
+    take = iter(idx)
+    pct = max(1, n // 100)
+    for _ in range(pct):  # double-ingested dimension rows: duplicate PK
+        i = next(take)
+        src = rows[rng.randrange(n)]
+        if src["c_custkey"] != rows[i]["c_custkey"]:
+            rows[i]["c_custkey"] = src["c_custkey"]
 
 
 MUTATORS = {
+    "customer": _mutate_customer,
     "documents": _mutate_documents,
     "embeddings": _mutate_embeddings,
     "events": _mutate_events,
@@ -357,7 +400,7 @@ def build_fuzz_dir(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4))
+    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4, 5))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--tiny", action="store_true",
                     help="degenerate-cardinality tables (single-digit rows)")
