@@ -47,18 +47,35 @@ def merge_upsert(
     partitioner).
 
     Still ONE shuffle by key and no join: the update's values broadcast
-    to their key group through a window aggregate, so N change batches
-    keep stacking into a single window pass."""
+    to their key group through a window aggregate — max_by keyed on the
+    version flag, so the value struct itself is never compared and value
+    columns of ANY type (maps, nested arrays — not just Spark-orderable
+    ones) are supported. N change batches keep stacking into a single
+    window pass."""
     val_cols = [c for c in base.columns if c not in keys]
     tagged = base.withColumn(version_col, F.lit(0)).unionAll(
         updates.withColumn(version_col, F.lit(1))
     )
     w = Window.partitionBy(*keys)
-    upd_vals = F.max(
+    if not val_cols:
+        # Key-only schema: MERGE degenerates to key-set union — base keys
+        # pass through (flagged updated when an update matched), update
+        # keys absent from base are inserts. An empty F.struct() is not
+        # constructible, so this case short-circuits.
+        has_base0 = F.max(F.when(F.col(version_col) == 0, 1).otherwise(0)).over(w)
+        has_upd0 = F.max(F.col(version_col)).over(w)
+        return (
+            tagged.withColumn("__hb", has_base0)
+            .withColumn("__hu", has_upd0)
+            .where((F.col(version_col) == 0) | (F.col("__hb") == 0))
+            .select(*keys, F.col("__hu").alias(version_col))
+        )
+    upd_vals = F.max_by(
         F.when(
             F.col(version_col) == 1,
             F.struct(*[F.col(c) for c in val_cols]),
-        )
+        ),
+        F.col(version_col),
     ).over(w)
     has_base = F.max(F.when(F.col(version_col) == 0, 1).otherwise(0)).over(w)
     merged = tagged.withColumn("__upd", upd_vals).withColumn("__hb", has_base)

@@ -111,8 +111,10 @@ def dedup_keep_best(
     The winner is one max_by over a FIXED-WIDTH STRING key
     (zero-padded score ++ zero-padded inverted id, so lexicographic ==
     (score DESC-equivalently ASC, id ASC) numeric order): exact for any
-    NON-NEGATIVE integer score < 10^10 and id < 10^13, deterministic in
-    any engine, and a plain hash aggregate — no per-component sort. The
+    NON-NEGATIVE integer score < 10^10 and id < 10^13 (ENFORCED — an
+    out-of-domain row raises rather than mis-ordering silently),
+    deterministic in any engine, and a plain hash aggregate — no
+    per-component sort. The
     earlier BIGINT pack (score << 40 - id) overflowed for scores >= 2^23
     (an 8 MB document's n_chars — a real web-corpus value; ANSI throws,
     one row kills the job), and DECIMAL keys are not an option because
@@ -124,11 +126,32 @@ def dedup_keep_best(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__score")),
         "node",
     )
-    key = F.concat(
-        F.lpad(F.col("__score").cast("long").cast("string"), 10, "0"),
-        F.lpad(
-            (F.lit(9999999999999) - F.col("node")).cast("string"), 13, "0"
+    # Fail-loud domain guard (ADVICE r6): outside [0, 1e10) scores /
+    # [0, 1e13) ids the zero-pad key would mis-order SILENTLY in both
+    # engines (lpad truncates overlong input; a negative score yields
+    # '00-5'-style keys) — identically-wrong is exactly what the
+    # differential gate cannot catch, so out-of-domain rows raise instead,
+    # like the old BIGINT pack's ANSI overflow did.
+    score_l = F.col("__score").cast("long")
+    in_domain = score_l.between(0, 9999999999) & F.col("node").between(
+        0, 9999999999999
+    )
+    key = F.when(
+        in_domain,
+        F.concat(
+            F.lpad(score_l.cast("string"), 10, "0"),
+            F.lpad((F.lit(9999999999999) - F.col("node")).cast("string"), 13, "0"),
         ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("dedup_keep_best: score/id outside the packed-key "
+                      "domain [0,1e10)x[0,1e13): score="),
+                F.col("__score").cast("string"),
+                F.lit(" id="),
+                F.col("node").cast("string"),
+            )
+        )
     )
     winners = scored.groupBy("component").agg(
         F.max_by("node", key).alias("__keep")

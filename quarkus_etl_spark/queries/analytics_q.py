@@ -515,20 +515,23 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON t.user_id = p.user_id
          AND t.ts > p.ts - INTERVAL 1 HOUR
          AND t.ts <= p.ts
+    ), keyed AS (
+        SELECT *,
+               CASE WHEN epoch_us(touch_ts) // 1000000
+                         BETWEEN -100000000000 AND 899999999999
+                         AND touch_id >= 0
+                    THEN lpad(CAST(epoch_us(touch_ts) // 1000000
+                                   + 100000000000 AS VARCHAR), 12, '0')
+                         || lpad(CAST(touch_id % 4294967296 AS VARCHAR),
+                                 10, '0')
+                    ELSE error('attribution key out of domain') END AS k
+        FROM joined
     )
     SELECT purchase_id, user_id,
            COUNT(*) AS n_touches,
-           arg_min(touch_id,
-                   lpad(CAST(epoch_us(touch_ts) // 1000000 + 100000000000
-                             AS VARCHAR), 12, '0')
-                   || lpad(CAST(touch_id % 4294967296 AS VARCHAR), 10, '0'))
-               AS first_touch,
-           arg_max(touch_id,
-                   lpad(CAST(epoch_us(touch_ts) // 1000000 + 100000000000
-                             AS VARCHAR), 12, '0')
-                   || lpad(CAST(touch_id % 4294967296 AS VARCHAR), 10, '0'))
-               AS last_touch
-    FROM joined GROUP BY purchase_id, user_id
+           arg_min(touch_id, k) AS first_touch,
+           arg_max(touch_id, k) AS last_touch
+    FROM keyed GROUP BY purchase_id, user_id
     """,
 )
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,12 +568,20 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which truncates toward zero on BOTH engines (pinned in
     # tests/test_timeseries.py), so pre-epoch keys agree; the key is
     # ordering-only and min_by/max_by on a string stays a HashAggregate
-    # (the q_time_ohlc lesson).
+    # (the q_time_ohlc lesson). Fail-loud domain guard (ADVICE r6): past
+    # the 12-digit window (secs outside [-1e11, 9e11)) or on a negative
+    # touch_id ('%' keeps the dividend sign in both engines) lpad would
+    # truncate / mis-order SILENTLY AND IDENTICALLY in both engines — the
+    # one failure shape the differential gate cannot see — so such rows
+    # raise instead (the oracle carries the same error() branch).
     secs = F.expr("unix_micros(CAST(touch_ts AS TIMESTAMP)) div 1000000")
-    key = F.concat(
-        F.lpad((secs + F.lit(100000000000)).cast("string"), 12, "0"),
-        F.lpad((F.col("touch_id") % F.lit(4294967296)).cast("string"), 10, "0"),
-    )
+    key = F.when(
+        secs.between(-100000000000, 899999999999) & (F.col("touch_id") >= 0),
+        F.concat(
+            F.lpad((secs + F.lit(100000000000)).cast("string"), 12, "0"),
+            F.lpad((F.col("touch_id") % F.lit(4294967296)).cast("string"), 10, "0"),
+        ),
+    ).otherwise(F.raise_error(F.lit("attribution key out of domain")))
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_touches"),
         F.min_by("touch_id", key).alias("first_touch"),

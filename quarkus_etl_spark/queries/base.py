@@ -157,7 +157,7 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_dedup_embed", "q_text_langid", "q_text_quality", "q_text_fingerprint",
     "q_text_tokens", "q_dedup_cluster", "q_dedup_canonical",
     "q_dedup_minhash", "q_text_tfidf", "q_text_bm25", "q_sessionize",
-    "q_time_rollup", "q_time_gapfill", "q_join_interval", "q_win_range_frame",
+    "q_time_rollup", "q_join_interval", "q_win_range_frame",
     "q_sample_hash", "q_table_diff", "q_dq_checks",
     # --- CORRECTNESS_r04.json: 50 graded, 46 passed. The 4 hash-fails
     # (q_chunk_dedup, q_corpus_stats, q_pack_sequences, q_mix_rebalance —
@@ -172,7 +172,7 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_dedup_soft", "q_dedup_url", "q_dedup_simhash", "q_decontaminate",
     "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
     "q_rank_ndcg", "q_text_chunk", "q_text_pii", "q_text_repetition",
-    "q_text_html", "q_text_url", "q_text_fuzzy", "q_text_colloc",
+    "q_text_html", "q_text_url", "q_text_colloc",
     "q_text_keyphrase", "q_text_postings", "q_text_bigram_lp",
     "q_text_unigram_lp", "q_corpus_entropy", "q_corpus_curate",
     "q_corpus_pipeline", "q_split_assign", "q_split_leakage",
@@ -191,68 +191,116 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_dq_anomaly", "q_dq_benford", "q_dq_profile",
     "q_drift_tvd", "q_outlier_mad", "q_stats_chi2", "q_stats_gini",
     "q_stats_ks", "q_funnel", "q_funnel_window", "q_retention_cohort",
-    # q_attribution and q_time_lttb are intentionally ABSENT: their r6
-    # poison-row fixes (string-packed attribution key after the BIGINT
-    # overflow + DuckDB decimal-arg_max bug; integer-div LTTB bucketing)
-    # leave pristine output bit-identical (73 / 20 rows re-verified) but
-    # the regrade precedent says a changed implementation gets a fresh
-    # verdict — they are queued in _GRADE_FIRST.
     "q_time_ohlc", "q_time_acf", "q_time_changepoint",
-    "q_time_interp", "q_time_seasonal", "q_win_concurrency",
+    "q_time_seasonal", "q_win_concurrency",
     "q_win_drawdown", "q_win_pattern", "q_win_session_native",
     "q_join_bucketed", "q_join_skew_salted", "q_scd2_build", "q_zorder_key",
     "q_scan_csv_dirty", "q_scan_jdbc_live", "q_scan_merge_schema",
     "q_scan_partitioned", "q_gen_pysource",
+    # --- CORRECTNESS_r06.json: 50 graded — 39 hash-PASS (incl. the r6
+    # regrade queue and a re-confirmation sweep of the oldest r1
+    # relational block) + 11 rows-only ran+rows (the declared no-oracle
+    # class). With this window every registered query holds a driver
+    # verdict. q_time_gapfill / q_time_interp / q_text_fuzzy are
+    # intentionally ABSENT (ADVICE r6 item 1): their implementations AND
+    # oracles changed in r6 (engine-side unix_micros domain guard;
+    # length-gap prune) while they wrongly stayed in this set — requeued
+    # in _GRADE_FIRST per the changed-implementation precedent.
+    # q_attribution / q_dedup_canonical_best / q_merge_upsert are ABSENT
+    # again: r7 added fail-loud packed-key domain guards (ADVICE r6
+    # item 2) / the max_by unordered-value-type rewrite (item 3), so
+    # their fresh r6 PASSes are stale the day after — requeued.
+    # q_gen_addresses / q_agg_percentile_approx are ABSENT: both gained
+    # conclusive oracles in r7 (VERDICT r6 #5) and need first hash
+    # verdicts. q_knn_graph_ann is ABSENT pending its r7 rows-only
+    # re-confirmation alongside the recall-floor documentation refresh.
+    "q_udf_window_pandas", "q_udaf_grouped", "q_udf_cogroup",
+    "q_time_lttb", "q_dq_freshness", "q_join_asof", "q_join_pit",
+    "q_agg_hll_merge", "q_multimodal_frames", "q_multimodal_audio",
+    "q_agg_approx_distinct", "q_sample", "q_dedup_near", "q_sim_ann_ivf",
+    "q_stream_live_eviction",
 })
 
-# The r6 grading queue (VERDICT r5 "Next round" #1 + ADVICE r5 item 4):
-# the last 4 never-sampled queries (rows-only by SURVEY §2 declaration —
-# after these, every one of the 245 registered queries holds a driver
-# verdict), then fresh hash regrades for the three pandas-UDF queries whose
-# output changed in r5 (quarter-of-users cap on q_udf_window_pandas;
-# NULL-sum semantics on q_udaf_grouped/q_udf_cogroup — the r3 PASS graded a
-# different result set), then re-confirmations of the six rows-only
-# ran-verdicts from r5. 13 candidates for a ~50-slot window; the remaining
-# slots fall through to priority-3 re-confirmations in registration order.
+# The r7 grading queue (ADVICE r6 item 1 + VERDICT r6 #3/#5/#8): fresh
+# hash verdicts for everything whose implementation or oracle changed
+# since its last grade — the r6-changed trio ADVICE caught still sitting
+# in _PREVIOUSLY_GRADED, the r7 fail-loud key guards, the merge_upsert
+# max_by rewrite, and the two rows-only → conclusive-oracle upgrades —
+# then the recall-refreshed ANN graph's rows-only re-confirmation.
+# 9 explicit candidates for a ~50-slot window; the remaining slots fall
+# through to priority-3 re-confirmations ordered by STALENESS (least
+# recently graded round first, from the committed CORRECTNESS records),
+# so each round's spare capacity refreshes the oldest PASSes instead of
+# re-grading the same early block every time.
 _GRADE_FIRST = (
-    # Never sampled (rows-only by declaration; pytest-pinned locally):
-    "q_agg_percentile_approx", "q_agg_hll_merge",
-    "q_multimodal_frames", "q_multimodal_audio",
-    # Output changed in r5 → r3 PASS is stale; regrade (oracled, hash):
-    "q_udf_window_pandas", "q_udaf_grouped", "q_udf_cogroup",
-    # Implementation changed in r6 (poison-row fixes; pristine output
-    # re-verified identical) → regrade per the q_agg_percentile precedent:
-    "q_attribution", "q_time_lttb", "q_dedup_canonical_best",
-    "q_dq_freshness",
-    # r6 phase-5 referential-fuzz fixes (NULL-key as-of semantics, MERGE
-    # duplicate-target fidelity, compacted change batch, dimension
-    # key-dedup in cogroup) — pristine output unchanged, impl changed:
-    "q_join_asof", "q_join_pit", "q_merge_upsert",
-    # Rows-only re-confirmations (ran+rows verdicts held from r5):
-    "q_agg_approx_distinct", "q_sample", "q_gen_addresses",
-    "q_dedup_near", "q_sim_ann_ivf", "q_knn_graph_ann",
+    # Impl+oracle changed in r6 (epoch-domain guard on gapfill/interp;
+    # q_text_fuzzy length-gap prune) but wrongly left in
+    # _PREVIOUSLY_GRADED — ADVICE r6 item 1; regrade (oracled, hash):
+    "q_time_gapfill", "q_time_interp", "q_text_fuzzy",
+    # r7 fail-loud packed-key domain guards (ADVICE r6 item 2) — pristine
+    # output unchanged, impl+oracle changed → regrade per precedent:
+    "q_attribution", "q_dedup_canonical_best",
+    # r7 max_by rewrite widening value-column types (ADVICE r6 item 3):
+    "q_merge_upsert",
+    # rows-only → conclusive oracle upgrades (VERDICT r6 #5): md5-derived
+    # generator pools; KLL rank-error bounds vs exact quantiles:
+    "q_gen_addresses", "q_agg_percentile_approx",
+    # rows-only re-confirmation after the recall-floor doc refresh:
+    "q_knn_graph_ann",
 )
 
 
+def _last_graded_rounds() -> dict[str, int]:
+    """name -> latest round with a driver verdict, read from the committed
+    CORRECTNESS_r*.json records at the repo root. Used ONLY to order
+    priority-3 re-confirmations by staleness; missing/unreadable records
+    degrade to registration order (round 0)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out: dict[str, int] = {}
+    for fp in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", fp)
+        if not m:
+            continue
+        try:
+            with open(fp) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        for name in rec:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def _graded_last(d: dict) -> dict:
-    """Grading-priority order: (0) the explicit _GRADE_FIRST list — §2-declared
-    queries still without a driver verdict; (1) other not-yet-graded queries
-    WITH an oracle, registration order — each window slot becomes a conclusive
-    hash verdict; (2) not-yet-graded rows-only queries — weaker ran+rows
-    record; (3) queries with a conclusive prior-round verdict."""
+    """Grading-priority order: (0) the explicit _GRADE_FIRST list — changed
+    implementations/oracles needing fresh verdicts; (1) other not-yet-graded
+    queries WITH an oracle, registration order — each window slot becomes a
+    conclusive hash verdict; (2) not-yet-graded rows-only queries — weaker
+    ran+rows record; (3) queries with a conclusive prior-round verdict,
+    least-recently-graded first (stable within a round: registration
+    order)."""
 
     rank0 = {n: i for i, n in enumerate(_GRADE_FIRST)}
+    last = _last_graded_rounds()
 
     def prio(name: str) -> tuple[int, int]:
         if name in rank0 and name not in _PREVIOUSLY_GRADED:
             return (0, rank0[name])
         if name in _PREVIOUSLY_GRADED:
-            return (3, 0)
+            return (3, last.get(name, 0))
         return (1, 0) if name in ORACLES else (2, 0)
 
     names = sorted(d, key=lambda n: (prio(n), 0))
-    # sorted() is stable, so within each priority group the original
-    # registration order is preserved.
+    # sorted() is stable, so within each (priority, staleness) group the
+    # original registration order is preserved.
     return {n: d[n] for n in names}
 
 

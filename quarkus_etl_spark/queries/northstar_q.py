@@ -987,8 +987,12 @@ def q_text_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     , best AS (
         SELECT c.cluster_id,
                arg_max(c.doc_id,
-                       lpad(CAST(d.n_chars AS VARCHAR), 10, '0')
-                       || lpad(CAST(9999999999999 - c.doc_id AS VARCHAR), 13, '0'))
+                       CASE WHEN d.n_chars BETWEEN 0 AND 9999999999
+                                 AND c.doc_id BETWEEN 0 AND 9999999999999
+                            THEN lpad(CAST(d.n_chars AS VARCHAR), 10, '0')
+                                 || lpad(CAST(9999999999999 - c.doc_id
+                                              AS VARCHAR), 13, '0')
+                            ELSE error('keep-best key out of domain') END)
                    AS keep_id
         FROM comp c JOIN documents d ON d.doc_id = c.doc_id
         GROUP BY c.cluster_id

@@ -153,17 +153,79 @@ def type_class_mismatches(spark_schema, arrow_schema) -> list[str]:
     return diffs
 
 
+def _assert_fetchall_parity(t, col: str, top: bool = True) -> None:
+    """LOUD guard (ADVICE r6): _arrow_rows' to_pylist canon is verified
+    equivalent to the old duckdb fetchall() canon only for the type
+    whitelist below. Any other oracle output type (a HUGEINT leaking as
+    decimal128(38,0) where the driver's engine-typed hash expects BIGINT,
+    a UUID surfacing as str, interval types, ...) raises here naming the
+    column instead of silently row-diffing differently than fetchall
+    would — 'the sweep stays green' must not be the only thing standing
+    between an exotic oracle type and a wrong local verdict."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        # deliberate DECIMAL casts are fine (both canons yield
+        # decimal.Decimal); precision-38/scale-0 is DuckDB's HUGEINT
+        # signature — an un-cast SUM()/COUNT() product the driver hashes
+        # as a different engine type. Cast the oracle to BIGINT.
+        if t.precision == 38 and t.scale == 0:
+            raise TypeError(
+                f"oracle column '{col}' is {t} (DuckDB HUGEINT leak) — "
+                "cast the oracle expression to BIGINT/DECIMAL(<38,*)"
+            )
+        return
+    if (
+        pa.types.is_null(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_time(t)
+    ):
+        return
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        _assert_fetchall_parity(t.value_type, f"{col}[]", top=False)
+        return
+    if pa.types.is_struct(t):
+        for f in t:
+            _assert_fetchall_parity(f.type, f"{col}.{f.name}", top=False)
+        return
+    if pa.types.is_map(t):
+        if not top:
+            # _arrow_rows converts only TOP-LEVEL map cells back to dicts;
+            # a map nested under a list/struct would keep Arrow's
+            # list-of-tuples canon and silently diff vs fetchall
+            raise TypeError(
+                f"oracle column '{col}' nests a map type ({t}) below the "
+                "top level — _arrow_rows cannot re-canonicalize it"
+            )
+        _assert_fetchall_parity(t.key_type, f"{col}<key>", top=False)
+        _assert_fetchall_parity(t.item_type, f"{col}<value>", top=False)
+        return
+    raise TypeError(
+        f"oracle column '{col}' has Arrow type {t}, outside the verified "
+        "fetchall-parity whitelist — extend _assert_fetchall_parity only "
+        "after checking to_pylist vs fetchall canon for it"
+    )
+
+
 def _arrow_rows(atbl) -> list[tuple]:
     """Row tuples from a materialized Arrow table, matching what
     duckdb.fetchall() would have produced for the same result: map-typed
     cells surface as list-of-(k,v)-tuples in Arrow's to_pylist but as
-    dicts from fetchall, so they are converted back (nested maps inside
-    structs/lists are not used by any oracle — asserted by the full
-    differential sweep)."""
+    dicts from fetchall, so they are converted back. Types outside the
+    verified-parity whitelist raise loudly (_assert_fetchall_parity)."""
     import pyarrow as pa
 
     cols = []
     for i, fld in enumerate(atbl.schema):
+        _assert_fetchall_parity(fld.type, fld.name)
         vals = atbl.column(i).to_pylist()
         if pa.types.is_map(fld.type):
             vals = [dict(v) if v is not None else None for v in vals]

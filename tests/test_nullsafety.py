@@ -256,3 +256,34 @@ def test_outlier_mad_keeps_all_null_measure_group(spark, tmp_path):
         for r in con.execute(ORACLES["q_outlier_mad"]).fetchall()
     }
     assert oracle == got
+
+
+def test_fuzz_mutators_survive_tiny_row_pools():
+    """ADVICE r6: the phased mutators draw ~17*pct indexes from a finite
+    shuffled pool; on a base table with fewer rows than the draw budget the
+    build must degrade gracefully (fewer mutations), not crash with
+    StopIteration."""
+    import datetime as dt
+    import random
+
+    from tools.fuzz_diff import MUTATORS
+
+    events = [
+        dict(event_id=i, user_id=i % 3, ts=dt.datetime(2024, 1, 1, i % 24),
+             value=float(i), props="{}", event_type="view")
+        for i in range(10)
+    ]
+    MUTATORS["events"](events, random.Random(7), 5)
+    lineitem = [
+        dict(l_orderkey=i, l_returnflag="A", l_quantity=1.0,
+             l_extendedprice=2.0, l_discount=0.1,
+             l_shipdate=dt.date(2024, 1, 1))
+        for i in range(5)
+    ]
+    MUTATORS["lineitem"](lineitem, random.Random(7), 5)
+    docs = [
+        dict(doc_id=i, text=f"doc {i}", lang="en", source="s", n_chars=5)
+        for i in range(4)
+    ]
+    MUTATORS["documents"](docs, random.Random(7), 5)
+    assert len(events) == 10 and len(lineitem) == 5 and len(docs) == 4

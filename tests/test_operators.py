@@ -790,3 +790,58 @@ def test_dedup_keep_best_survives_huge_scores(spark):
     )
     # winner: max n_chars 9M, tie between 1 and 4 -> smallest id 1
     assert kept == [1, 9]
+
+
+def test_dedup_keep_best_out_of_domain_raises(spark):
+    """ADVICE r6: out-of-domain score/id must FAIL LOUDLY — a negative
+    score (or an id past 13 digits) would otherwise mis-order the packed
+    string key silently AND identically in both engines, invisible to the
+    differential gate."""
+    import pytest
+    from quarkus_etl_spark.operators.cluster import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, -5), (2, 10)], "doc_id long, n_chars int"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(Exception, match="packed-key domain"):
+        dedup_keep_best(df, pairs, "doc_id", "n_chars").collect()
+
+
+def test_merge_upsert_map_typed_value_column(spark):
+    """ADVICE r6: value columns need not be Spark-orderable — the max_by
+    formulation never compares the value struct, so map-typed payloads
+    merge fine."""
+    from quarkus_etl_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "k long, props map<string,int>"
+    )
+    upd = spark.createDataFrame(
+        [(2, {"b": 99}), (3, {"c": 3})], "k long, props map<string,int>"
+    )
+    got = {
+        r["k"]: (dict(r["props"]), r["__version"])
+        for r in merge_upsert(base, upd, ["k"]).collect()
+    }
+    assert got == {
+        1: ({"a": 1}, 0),
+        2: ({"b": 99}, 1),
+        3: ({"c": 3}, 1),
+    }
+
+
+def test_merge_upsert_key_only_schema(spark):
+    """ADVICE r6: a base with no non-key columns must not break (empty
+    F.struct() is unconstructible) — MERGE degenerates to key-set union
+    with the updated/inserted flag."""
+    from quarkus_etl_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    upd = spark.createDataFrame([(2,), (3,)], "k long")
+    got = sorted(
+        (r["k"], r["__version"]) for r in merge_upsert(base, upd, ["k"]).collect()
+    )
+    # duplicate base keys each survive (MERGE updates every matching
+    # target row); absent update key 3 is an insert
+    assert got == [(1, 0), (2, 1), (2, 1), (3, 1)]

@@ -101,3 +101,32 @@ def test_r4_fixed_queries_green_under_typed_gate(spark, name):
     con = duck_connection(SF_DIR)
     res = compare_query(spark, con, name, SF_DIR)
     assert res.ok, f"{name}: {res.error}"
+
+
+def test_fetchall_parity_guard_raises_on_exotic_types():
+    """ADVICE r6: _arrow_rows must raise LOUDLY, naming the column, on any
+    oracle Arrow type outside the verified fetchall-parity whitelist —
+    HUGEINT's decimal128(38,0) signature, and maps nested below the top
+    level (which would escape the dict re-canonicalization)."""
+    from quarkus_etl_spark.verify import _arrow_rows
+
+    ok = pa.table(
+        {
+            "i": pa.array([1], pa.int64()),
+            "d": pa.array([None], pa.decimal128(18, 2)),
+            "m": pa.array([[("k", 1)]], pa.map_(pa.string(), pa.int64())),
+            "l": pa.array([[1.0]], pa.list_(pa.float64())),
+        }
+    )
+    rows = _arrow_rows(ok)
+    assert rows[0][2] == {"k": 1}  # top-level map re-canonicalized
+
+    hugeint = pa.table({"x": pa.array([None], pa.decimal128(38, 0))})
+    with pytest.raises(TypeError, match="HUGEINT"):
+        _arrow_rows(hugeint)
+
+    nested_map = pa.table(
+        {"x": pa.array([[[("k", 1)]]], pa.list_(pa.map_(pa.string(), pa.int64())))}
+    )
+    with pytest.raises(TypeError, match="nests a map"):
+        _arrow_rows(nested_map)

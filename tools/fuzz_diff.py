@@ -75,15 +75,28 @@ CSV_HOSTILE = [
 ]
 
 
+def _grabber(idx: list[int]):
+    """Bounded index dispenser over a pre-shuffled pool: grab(k) hands out
+    AT MOST k distinct row indexes and simply returns fewer (possibly zero)
+    once the pool is exhausted — on a small --base table the later mutation
+    classes degrade gracefully instead of crashing the fuzz build with
+    StopIteration (ADVICE r6). Phase budgets sum to ~17*pct draws, which
+    exceeds tiny tables' row counts."""
+    it = iter(idx)
+
+    def grab(k: int) -> list[int]:
+        import itertools
+
+        return list(itertools.islice(it, max(k, 0)))
+
+    return grab
+
+
 def _mutate_documents(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    take = iter(idx)
-
-    def grab(k: int) -> list[int]:
-        return [next(take) for _ in range(k)]
-
+    grab = _grabber(idx)
     pct = max(1, n // 100)
     # phase 1: duplicates / near-duplicates / unicode / whitespace /
     # repeated-token spam / singleton blocks
@@ -151,28 +164,24 @@ def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None
     n = len(rows)
     idx = list(range(1, n))  # keep vec 0 (the probe) pristine
     rng.shuffle(idx)
-    take = iter(idx)
+    grab = _grabber(idx)
     pct = max(1, n // 100)
-    for _ in range(2 * pct):  # exact duplicate vectors (ties in cosine)
-        i = next(take)
+    for i in grab(2 * pct):  # exact duplicate vectors (ties in cosine)
         src = rows[rng.randrange(n)]
         rows[i]["embedding"] = list(src["embedding"])
-    for _ in range(pct):  # constant vector
-        i = next(take)
+    for i in grab(pct):  # constant vector
         rows[i]["embedding"] = [0.5] * len(rows[i]["embedding"])
     if phase >= 2:
-        for _ in range(pct):  # zero vector: norm-0 guards
-            i = next(take)
+        for i in grab(pct):  # zero vector: norm-0 guards
             rows[i]["embedding"] = [0.0] * len(rows[i]["embedding"])
-    for _ in range(pct):
-        i = next(take)
+    for i in grab(pct):
         rows[i]["label"] = 2**31 - 1
     if phase >= 3:
-        for _ in range(pct):  # unlabeled vectors: NULL groupBy key
-            i = next(take)
+        for i in grab(pct):  # unlabeled vectors: NULL groupBy key
             rows[i]["label"] = None
-        for _ in range(pct):  # missing embeddings (failed-encoder rows):
-            i = next(take)    # NULL cosine propagation + source filters
+        # missing embeddings (failed-encoder rows): NULL cosine
+        # propagation + source filters
+        for i in grab(pct):
             rows[i]["embedding"] = None
 
 
@@ -180,33 +189,26 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    take = iter(idx)
+    grab = _grabber(idx)
     pct = max(1, n // 100)
-    for _ in range(3 * pct):  # duplicate (user_id, ts): tiebreak stress
-        i = next(take)
+    for i in grab(3 * pct):  # duplicate (user_id, ts): tiebreak stress
         src = rows[rng.randrange(n)]
         rows[i]["user_id"] = src["user_id"]
         rows[i]["ts"] = src["ts"]
-    for _ in range(2 * pct):
-        next_i = next(take)
+    for next_i in grab(2 * pct):
         rows[next_i]["value"] = rng.choice([0.0, 1e12, -1e12, 1e-12])
-    for _ in range(pct):
-        i = next(take)
+    for i in grab(pct):
         rows[i]["props"] = rng.choice(['{}', '{"k": 0}', '{"k": -1, "m": {"x": 1}}'])
-    for _ in range(pct):  # double-delivered event: duplicate event_id
-        i = next(take)
+    for i in grab(pct):  # double-delivered event: duplicate event_id
         src = rows[rng.randrange(n)]
         if src["event_id"] != rows[i]["event_id"]:
             rows[i]["event_id"] = src["event_id"]
     if phase >= 3:
-        for _ in range(pct):
-            i = next(take)
+        for i in grab(pct):
             rows[i]["value"] = None
-        for _ in range(pct):
-            i = next(take)
+        for i in grab(pct):
             rows[i]["props"] = None
-        for _ in range(pct):  # untyped events: NULL groupBy key
-            i = next(take)
+        for i in grab(pct):  # untyped events: NULL groupBy key
             rows[i]["event_type"] = None
     if phase >= 4:
         import datetime as _dt
@@ -223,22 +225,18 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
             _dt.datetime(2024, 2, 29, 12, 0, 0),
             _dt.datetime(2024, 12, 31, 23, 59, 59, 999999),
         ):
-            for _ in range(max(1, pct // 2)):
-                i = next(take)
+            for i in grab(max(1, pct // 2)):
                 rows[i]["ts"] = ts
         for ts in (
             _dt.datetime(1900, 6, 15, 12, 0, 0),
             _dt.datetime(2200, 1, 1, 0, 0, 1),
         ):
-            for _ in range(max(1, pct // 4)):
-                i = next(take)
+            for i in grab(max(1, pct // 4)):
                 rows[i]["ts"] = ts
     if phase >= 5:
-        for _ in range(pct):  # anonymous events: NULL partition/join key
-            i = next(take)
+        for i in grab(pct):  # anonymous events: NULL partition/join key
             rows[i]["user_id"] = None
-        for _ in range(pct):  # user deleted upstream: orphan FK
-            i = next(take)
+        for i in grab(pct):  # user deleted upstream: orphan FK
             if rows[i]["user_id"] is not None:
                 rows[i]["user_id"] = rows[i]["user_id"] + 10_000_000
 
@@ -247,37 +245,28 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    take = iter(idx)
+    grab = _grabber(idx)
     pct = max(1, n // 100)
-    for _ in range(3 * pct):  # exact-tie quantities: percentile/mode stress
-        i = next(take)
+    for i in grab(3 * pct):  # exact-tie quantities: percentile/mode stress
         rows[i]["l_quantity"] = 25.0
-    for _ in range(2 * pct):  # tie prices
-        i = next(take)
+    for i in grab(2 * pct):  # tie prices
         rows[i]["l_extendedprice"] = 10000.0
-    for _ in range(pct):
-        i = next(take)
+    for i in grab(pct):
         rows[i]["l_discount"] = 0.0
-    for _ in range(pct):  # duplicate ship dates within an order
-        i = next(take)
+    for i in grab(pct):  # duplicate ship dates within an order
         src = rows[rng.randrange(n)]
         rows[i]["l_shipdate"] = src["l_shipdate"]
-    for _ in range(pct):  # returns/credits: negative money
-        i = next(take)
+    for i in grab(pct):  # returns/credits: negative money
         rows[i]["l_extendedprice"] = -rng.choice([1.0, 250.5, 9999.99])
-    for _ in range(pct):
-        i = next(take)
+    for i in grab(pct):
         rows[i]["l_quantity"] = 0.0
     if phase >= 3:
-        for _ in range(pct):  # missing measures (point NULLs)
-            i = next(take)
+        for i in grab(pct):  # missing measures (point NULLs)
             rows[i]["l_quantity"] = None
-        for _ in range(pct):
-            i = next(take)
+        for i in grab(pct):
             rows[i]["l_discount"] = None
     if phase >= 5:
-        for _ in range(pct):  # orphan lines: order deleted/never ingested
-            i = next(take)
+        for i in grab(pct):  # orphan lines: order deleted/never ingested
             rows[i]["l_orderkey"] = rows[i]["l_orderkey"] + 10_000_000
         # ALL-NULL measure group: every quantity of one return-flag group
         # becomes NULL. Point NULLs (~1%) can never produce this shape, and
@@ -294,24 +283,19 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    take = iter(idx)
+    grab = _grabber(idx)
     pct = max(1, n // 100)
-    for _ in range(2 * pct):  # totalprice ties
-        i = next(take)
+    for i in grab(2 * pct):  # totalprice ties
         rows[i]["o_totalprice"] = 150000.0
-    for _ in range(2 * pct):  # duplicate orderdate (windows/asof ties)
-        i = next(take)
+    for i in grab(2 * pct):  # duplicate orderdate (windows/asof ties)
         src = rows[rng.randrange(n)]
         rows[i]["o_orderdate"] = src["o_orderdate"]
-    for _ in range(pct):  # csv-hostile priority strings
-        i = next(take)
+    for i in grab(pct):  # csv-hostile priority strings
         rows[i]["o_orderpriority"] = rng.choice(CSV_HOSTILE)
-    for _ in range(pct):  # credit orders: negative / zero totals
-        i = next(take)
+    for i in grab(pct):  # credit orders: negative / zero totals
         rows[i]["o_totalprice"] = rng.choice([-1234.56, 0.0])
     if phase >= 3:
-        for _ in range(pct):  # missing totals (point NULLs)
-            i = next(take)
+        for i in grab(pct):  # missing totals (point NULLs)
             rows[i]["o_totalprice"] = None
     if phase >= 4:
         import datetime as _dt
@@ -320,15 +304,12 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
         # year()/date-filter/cohort paths where engines' calendar math can
         # differ (proleptic vs hybrid calendars, negative epoch days)
         for d in (_dt.datetime(1900, 1, 1), _dt.datetime(2099, 12, 31)):
-            for _ in range(max(1, pct // 2)):
-                i = next(take)
+            for i in grab(max(1, pct // 2)):
                 rows[i]["o_orderdate"] = d
     if phase >= 5:
-        for _ in range(pct):  # customer deleted upstream: orphan FK
-            i = next(take)
+        for i in grab(pct):  # customer deleted upstream: orphan FK
             rows[i]["o_custkey"] = rows[i]["o_custkey"] + 10_000_000
-        for _ in range(pct):  # at-least-once ingestion: duplicate PK
-            i = next(take)
+        for i in grab(pct):  # at-least-once ingestion: duplicate PK
             src = rows[rng.randrange(n)]
             if src["o_orderkey"] != rows[i]["o_orderkey"]:
                 rows[i]["o_orderkey"] = src["o_orderkey"]
@@ -340,10 +321,9 @@ def _mutate_customer(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    take = iter(idx)
+    grab = _grabber(idx)
     pct = max(1, n // 100)
-    for _ in range(pct):  # double-ingested dimension rows: duplicate PK
-        i = next(take)
+    for i in grab(pct):  # double-ingested dimension rows: duplicate PK
         src = rows[rng.randrange(n)]
         if src["c_custkey"] != rows[i]["c_custkey"]:
             rows[i]["c_custkey"] = src["c_custkey"]
