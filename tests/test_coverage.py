@@ -37,9 +37,10 @@ def test_registry_is_superset_with_oracles():
         "q_agg_approx_distinct",  # HLL sketch
         "q_dedup_near",  # LSH recall
         "q_sim_ann_ivf",  # approximate recall
-        "q_gen_addresses",  # engine-hash generator
+        # q_gen_addresses: oracled since r7 (md5-derived fields)
         "q_sample",  # engine-specific PRNG
-        "q_agg_percentile_approx",  # KLL-style sketch
+        # q_agg_percentile_approx: oracled since r7 (rank-error bounds vs
+        # exact quantiles — the sketch CONTRACT is the hashed output)
         "q_multimodal_frames",  # deterministic stub decode (no codecs in image)
         "q_agg_hll_merge",  # HLL sketch estimates are engine-specific
         "q_multimodal_audio",  # synthetic codec via mapInPandas (like frames)
