@@ -77,3 +77,42 @@ def test_grading_queue_invariants():
     names = list(q)
     front = [n for n in _GRADE_FIRST if n not in _PREVIOUSLY_GRADED]
     assert names[: len(front)] == front
+
+
+def test_fingerprint_manifest_consistency():
+    """Regrade-queue automation (VERDICT r6 #3): every _PREVIOUSLY_GRADED
+    query's implementation source and oracle SQL must match the committed
+    fingerprint manifest frozen when it was graded. A mismatch means the
+    graded verdict no longer describes the code — move the query to
+    _GRADE_FIRST and regenerate with `python -m tools.fingerprint --write`.
+    (The plan-level part, which also catches shared-operator changes, is
+    checked by `python -m tools.fingerprint` in the round gate — it needs a
+    live session per query, too heavy for every pytest run.)"""
+    from tools.fingerprint import cheap_fingerprints, diff_against_manifest, load_manifest
+
+    manifest = load_manifest()
+    assert manifest, "tools/fingerprints.json missing — run tools.fingerprint --write"
+    current = cheap_fingerprints()
+    problems = [p for p in diff_against_manifest(current, manifest)
+                if "plan" not in p]
+    assert problems == []
+
+
+def test_fingerprint_drift_detection_fires():
+    """The manifest gate must actually fail on drift: a previously-graded
+    name with a changed src/oracle/plan hash is reported; _GRADE_FIRST
+    names are exempt (already queued)."""
+    from quarkus_etl_spark.queries.base import _GRADE_FIRST, _PREVIOUSLY_GRADED
+    from tools.fingerprint import diff_against_manifest
+
+    graded = sorted(_PREVIOUSLY_GRADED - set(_GRADE_FIRST))[0]
+    queued = next(n for n in _GRADE_FIRST if n not in _PREVIOUSLY_GRADED)
+    manifest = {graded: {"src": "AA", "oracle": "BB", "plan": "CC"},
+                queued: {"src": "XX", "oracle": "YY", "plan": "ZZ"}}
+    current = {graded: {"src": "AA", "oracle": "BB", "plan": "DRIFTED"},
+               queued: {"src": "drifted", "oracle": "drifted", "plan": "drifted"}}
+    # fabricated-world diff: only the graded name's plan drift is reported
+    problems = [p for p in diff_against_manifest(current, manifest)
+                if p.startswith((graded, queued))]
+    assert any(p.startswith(f"{graded}: plan") for p in problems)
+    assert not any(p.startswith(queued) for p in problems)
