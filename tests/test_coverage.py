@@ -116,3 +116,25 @@ def test_fingerprint_drift_detection_fires():
                 if p.startswith((graded, queued))]
     assert any(p.startswith(f"{graded}: plan") for p in problems)
     assert not any(p.startswith(queued) for p in problems)
+
+
+def test_type_skew_manifest_is_frozen_and_wellformed():
+    """VERDICT r6 #4: the known width-skew inventory is a frozen manifest,
+    not a count — a 35th skew must fail the round gate
+    (`python -m tools.type_audit --check`) NAMING the column. This
+    structural test pins the manifest itself: exactly the reviewed 34
+    entries, each a query.column key with a spark=/oracle= description for
+    a REGISTERED oracled query."""
+    import json
+
+    from quarkus_etl_spark.queries.base import all_oracles
+    from tools.type_audit import MANIFEST
+
+    with open(MANIFEST) as fh:
+        known = json.load(fh)
+    assert len(known) == 34, f"known-skew inventory changed: {len(known)}"
+    oracled = set(all_oracles())
+    for key, val in known.items():
+        name, _, col = key.partition(".")
+        assert name in oracled and col, key
+        assert val.startswith("spark=") and " oracle=" in val, (key, val)

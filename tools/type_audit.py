@@ -4,9 +4,15 @@ kind (int32 vs int64, float32 vs float64, timestamp units, decimal params) —
 one level stricter than verify.py's class gate. The driver's value-hash is
 engine-typed; class parity is what it is known to require (r4 post-mortem),
 but width skews are the next candidate class, so this audit keeps an exact
-inventory. Informational: exits 0 always, prints the diff table.
+inventory.
 
-Usage: python -m tools.type_audit [sf_dir]
+The known skews are FROZEN in tools/type_skews.json (VERDICT r6 #4): with
+--check, any skew not in the manifest — or any manifest entry that silently
+resolved — exits 1 NAMING the column, so a new width skew can never drift
+the count silently. --write regenerates the manifest after a reviewed
+change. Without flags: informational table, exit 0.
+
+Usage: python -m tools.type_audit [--check|--write] [sf_dir]
 """
 
 from __future__ import annotations
@@ -61,17 +67,16 @@ def _arrow_name(t) -> str:
     return str(t)
 
 
-def main() -> None:
-    from quarkus_etl_spark.queries import all_oracles, all_query_callables
-    from quarkus_etl_spark.session import get_spark
-    from quarkus_etl_spark.verify import duck_connection
+MANIFEST = os.path.join(REPO, "tools", "type_skews.json")
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark("type_audit")
-    spark.sparkContext.setLogLevel("ERROR")
-    con = duck_connection(sf_dir)
+
+def collect_skews(spark, con, sf_dir: str) -> tuple[dict[str, str], int]:
+    """'query.column' -> 'spark=X oracle=Y' for every exact-type diff."""
+    from quarkus_etl_spark.queries import all_oracles, all_query_callables
+
     queries, oracles = all_query_callables(), all_oracles()
-    n_cols = n_diff = 0
+    skews: dict[str, str] = {}
+    n_cols = 0
     for name in sorted(oracles):
         sdf = queries[name](spark, sf_dir)
         spark_types = {f.name: _spark_to_arrow_name(f.dataType) for f in sdf.schema}
@@ -81,10 +86,57 @@ def main() -> None:
             st = spark_types.get(fld.name)
             ot = _arrow_name(fld.type)
             if st is not None and st != ot:
-                n_diff += 1
-                print(f"{name:30s} {fld.name:24s} spark={st:20s} oracle={ot}")
-    print(f"-- {n_cols} columns audited, {n_diff} exact-type diffs")
+                skews[f"{name}.{fld.name}"] = f"spark={st} oracle={ot}"
+    return skews, n_cols
+
+
+def main() -> int:
+    import json
+
+    args = [a for a in sys.argv[1:]]
+    check = "--check" in args
+    write = "--write" in args
+    pos = [a for a in args if not a.startswith("--")]
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.001"
+
+    from quarkus_etl_spark.session import get_spark
+    from quarkus_etl_spark.verify import duck_connection
+
+    spark = get_spark("type_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+    skews, n_cols = collect_skews(spark, con, sf_dir)
+    for key, val in skews.items():
+        name, _, col = key.partition(".")
+        print(f"{name:30s} {col:24s} {val}")
+    print(f"-- {n_cols} columns audited, {len(skews)} exact-type diffs")
+
+    if write:
+        with open(MANIFEST, "w") as fh:
+            json.dump(skews, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {len(skews)} known skews -> {MANIFEST}")
+        return 0
+    if check:
+        try:
+            with open(MANIFEST) as fh:
+                known = json.load(fh)
+        except OSError:
+            print("NO MANIFEST — run tools.type_audit --write")
+            return 1
+        new = {k: v for k, v in skews.items()
+               if k not in known or known[k] != v}
+        gone = {k: v for k, v in known.items() if k not in skews}
+        for k, v in new.items():
+            print(f"NEW SKEW (not in frozen manifest): {k} {v}")
+        for k, v in gone.items():
+            print(f"RESOLVED SKEW (stale manifest entry): {k} {v}")
+        if new or gone:
+            print("type-skew manifest drift — review, then tools.type_audit --write")
+            return 1
+        print(f"type skews match frozen manifest ({len(known)} known)")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
