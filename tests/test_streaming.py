@@ -667,3 +667,91 @@ def test_watermark_survives_restart(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     first_window = [r["cnt"] for r in got if r["window_start"] == mk(10, 0)]
     assert first_window == [3]  # one emission, late row dropped post-restart
+
+
+def test_eviction_stream_checkpoint_restart_no_duplicate_windows(spark, tmp_path):
+    """VERDICT r6 #6: restart the WATERMARK-EVICTION query mid-sequence from
+    its checkpoint. The restarted query must restore the watermark from the
+    checkpoint (not recompute it from zero): if it did reset, the
+    post-restart late row (10:05:30) would open a FRESH [10:00,10:15) state
+    and append-emit a duplicate window with cnt 1 next to the pre-restart
+    cnt-3 emission. Expected end state: exactly the same three finalized
+    windows as the one-shot q_stream_live_eviction run — 3/1/1, each window
+    exactly once — with exactly-once emission across the restart via the
+    file sink's transactional manifest."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from quarkus_etl_spark.streaming.streams import file_stream, state_partitions
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    day = dt.datetime(2024, 3, 1)
+
+    def write_batch(i, rows):
+        tbl = pa.table({
+            "event_id": pa.array([eid for eid, _ in rows], pa.int64()),
+            "ts": pa.array(
+                [day + dt.timedelta(hours=h, minutes=m, seconds=s)
+                 for _, (h, m, s) in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(str(src), f"batch{i}.parquet"))
+        time.sleep(0.05)  # distinct mtimes -> deterministic oldest-first order
+
+    def run_once():
+        agg = (
+            file_stream(spark, str(src), max_files_per_trigger=1)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "cnt",
+            )
+        )
+        with state_partitions(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    # phase A: the window-building batch only (watermark reaches 10:30 at
+    # its commit), then STOP — mid-sequence, before eviction is witnessed
+    write_batch(0, [(1, (10, 0, 0)), (2, (10, 5, 0)), (3, (10, 14, 0)),
+                    (4, (10, 40, 0))])
+    run_once()
+
+    # phase B: restart from the checkpoint; the finalizer batch, then the
+    # late-after-eviction row + the watermark closer
+    write_batch(1, [(6, (10, 45, 0))])
+    write_batch(2, [(5, (10, 5, 30)), (7, (11, 30, 0))])
+    run_once()
+
+    got = {
+        (r["window_start"], r["cnt"])
+        for r in spark.read.parquet(out).collect()
+    }
+    rows = spark.read.parquet(out).count()
+    assert rows == len(got) == 3, f"duplicate or missing window emissions: {rows}"
+    assert got == {
+        (dt.datetime(2024, 3, 1, 10, 0), 3),   # NOT 4: late row dropped
+        (dt.datetime(2024, 3, 1, 10, 30), 1),
+        (dt.datetime(2024, 3, 1, 10, 45), 1),
+    }
