@@ -130,31 +130,52 @@ def dedup_keep_best(
     # [0, 1e13) ids the zero-pad key would mis-order SILENTLY in both
     # engines (lpad truncates overlong input; a negative score yields
     # '00-5'-style keys) — identically-wrong is exactly what the
-    # differential gate cannot catch, so out-of-domain rows raise instead,
-    # like the old BIGINT pack's ANSI overflow did.
+    # differential gate cannot catch, so out-of-domain input raises
+    # instead, like the old BIGINT pack's ANSI overflow did. The bounds
+    # ride the SAME hash aggregate as the winner (min/max partials, one
+    # per-GROUP check) rather than a per-row when() around the key — a
+    # branch in the hot key expression measured ~15% on the 100x
+    # composite; any out-of-domain row necessarily moves its group's
+    # min/max outside the domain, so detection is exact either way.
     score_l = F.col("__score").cast("long")
-    in_domain = score_l.between(0, 9999999999) & F.col("node").between(
-        0, 9999999999999
+    key = F.concat(
+        F.lpad(score_l.cast("string"), 10, "0"),
+        F.lpad((F.lit(9999999999999) - F.col("node")).cast("string"), 13, "0"),
     )
-    key = F.when(
-        in_domain,
-        F.concat(
-            F.lpad(score_l.cast("string"), 10, "0"),
-            F.lpad((F.lit(9999999999999) - F.col("node")).cast("string"), 13, "0"),
-        ),
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("dedup_keep_best: score/id outside the packed-key "
-                      "domain [0,1e10)x[0,1e13): score="),
-                F.col("__score").cast("string"),
-                F.lit(" id="),
-                F.col("node").cast("string"),
+    raw = scored.groupBy("component").agg(
+        F.max_by("node", key).alias("__keep_raw"),
+        F.min(score_l).alias("__smin"),
+        F.max(score_l).alias("__smax"),
+        F.min("node").alias("__nmin"),
+        F.max("node").alias("__nmax"),
+        # NULL scores never produce a key (max_by would silently skip the
+        # row): count parity keeps those fail-loud too
+        F.count(F.lit(1)).alias("__n"),
+        F.count(score_l).alias("__ns"),
+    )
+    in_domain = (
+        (F.col("__smin") >= 0)
+        & (F.col("__smax") <= 9999999999)
+        & (F.col("__nmin") >= 0)
+        & (F.col("__nmax") <= 9999999999999)
+        & (F.col("__n") == F.col("__ns"))
+    )
+    winners = raw.select(
+        "component",
+        F.when(in_domain, F.col("__keep_raw"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("dedup_keep_best: score/id outside the packed-key "
+                          "domain [0,1e10)x[0,1e13): score range ["),
+                    F.col("__smin").cast("string"), F.lit(", "),
+                    F.col("__smax").cast("string"), F.lit("], id range ["),
+                    F.col("__nmin").cast("string"), F.lit(", "),
+                    F.col("__nmax").cast("string"), F.lit("]"),
+                )
             )
         )
-    )
-    winners = scored.groupBy("component").agg(
-        F.max_by("node", key).alias("__keep")
+        .alias("__keep"),
     )
     losers = (
         comp.join(winners, "component")

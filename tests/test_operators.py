@@ -806,6 +806,13 @@ def test_dedup_keep_best_out_of_domain_raises(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(Exception, match="packed-key domain"):
         dedup_keep_best(df, pairs, "doc_id", "n_chars").collect()
+    # a NULL score in a clustered group is fail-loud too (max_by would
+    # otherwise silently skip the row; count parity catches it)
+    df2 = spark.createDataFrame(
+        [(1, None), (2, 10)], "doc_id long, n_chars int"
+    )
+    with pytest.raises(Exception, match="packed-key domain"):
+        dedup_keep_best(df2, pairs, "doc_id", "n_chars").collect()
 
 
 def test_merge_upsert_map_typed_value_column(spark):
