@@ -158,7 +158,10 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_text_tokens", "q_dedup_cluster", "q_dedup_canonical",
     "q_dedup_minhash", "q_text_tfidf", "q_text_bm25", "q_sessionize",
     "q_time_rollup", "q_join_interval", "q_win_range_frame",
-    "q_sample_hash", "q_table_diff", "q_dq_checks",
+    # q_dq_checks intentionally ABSENT: gained the lineitem_price_finite
+    # rule in r7 (the upstream gate for the NaN/Inf-money cross-engine
+    # divergence pinned in tests/test_nullsafety.py) — requeued.
+    "q_sample_hash", "q_table_diff",
     # --- CORRECTNESS_r04.json: 50 graded, 46 passed. The 4 hash-fails
     # (q_chunk_dedup, q_corpus_stats, q_pack_sequences, q_mix_rebalance —
     # DuckDB HUGEINT oracle leaks, fixed r5 by BIGINT casts) are intentionally
@@ -247,6 +250,8 @@ _GRADE_FIRST = (
     "q_gen_addresses", "q_agg_percentile_approx",
     # rows-only re-confirmation after the recall-floor doc refresh:
     "q_knn_graph_ann",
+    # r7 finiteness rule added to the DQ gate (impl+oracle changed):
+    "q_dq_checks",
 )
 
 

@@ -353,6 +353,11 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'orders_totalprice_positive',
            (SELECT COUNT(*) FROM orders),
            (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0.0)
+    UNION ALL
+    SELECT 'lineitem_price_finite',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE isnan(l_extendedprice) OR isinf(l_extendedprice))
     """,
 )
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +389,19 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
         ).alias("v_disc"),
         F.sum(F.when(F.col("l_extendedprice") <= 0.0, 1).otherwise(0)).alias("v_price"),
+        # Non-finite money is the one dirty value the decimal-sum
+        # discipline cannot survive SYMMETRICALLY: Spark casts NaN/Inf ->
+        # decimal to NULL (silently skipped by sums, even under ANSI)
+        # while DuckDB's cast ERRORS — a cross-engine divergence pinned in
+        # tests/test_nullsafety.py. This rule is the upstream gate that
+        # makes the engine's finite-money domain assumption checkable.
+        F.sum(
+            F.when(
+                F.isnan("l_extendedprice")
+                | (F.abs(F.col("l_extendedprice")) == F.lit(float("inf"))),
+                1,
+            ).otherwise(0)
+        ).alias("v_finite"),
         (
             F.count(F.lit(1))
             - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
@@ -419,6 +437,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_one("lineitem_orderkey_fk", li_n, li_orphans))
         .unionAll(_one("orders_custkey_fk", o_n, o_orphans))
         .unionAll(_pick(o_counts, "orders_totalprice_positive", "v_total"))
+        .unionAll(_pick(li_counts, "lineitem_price_finite", "v_finite"))
     )
 
 

@@ -287,3 +287,30 @@ def test_fuzz_mutators_survive_tiny_row_pools():
     ]
     MUTATORS["documents"](docs, random.Random(7), 5)
     assert len(events) == 10 and len(lineitem) == 5 and len(docs) == 4
+
+
+def test_nonfinite_money_cross_engine_divergence_is_pinned(spark):
+    """Do not rediscover: Spark casts NaN/Inf double -> decimal to NULL
+    (silently skipped by decimal sums — EVEN under ANSI mode), while
+    DuckDB's cast ERRORS. The engines cannot agree on non-finite money, so
+    the engine's documented domain is FINITE money doubles, and
+    q_dq_checks' lineitem_price_finite rule is the upstream gate that
+    makes the assumption checkable before any aggregate runs."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    d = spark.createDataFrame(
+        [(1.0,), (float("nan",),), (float("inf"),)], "v double"
+    )
+    got = d.select(F.col("v").cast("decimal(18,2)").alias("x")).collect()
+    assert [r["x"] for r in got][1:] == [None, None]  # NaN, Inf -> NULL
+    assert float(d.agg(F.sum(F.col("v").cast("decimal(18,2)"))).collect()[0][0]) == 1.0
+
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="out of range|can't be cast"):
+        con.execute(
+            "SELECT SUM(CAST(v AS DECIMAL(18,2))) FROM "
+            "(VALUES (1.0::DOUBLE), ('NaN'::DOUBLE)) t(v)"
+        ).fetchall()
