@@ -438,6 +438,7 @@ def knn_graph_ann(
     block_col: str | None = None,
     target_bucket: int = 200,
     n_tables: int = 2,
+    collapse_duplicates: bool = True,
 ) -> DataFrame:
     """APPROXIMATE k-NN graph — the scale path for exact blocked kNN
     (quadratic per block): each vector's candidates are the members of its
@@ -448,13 +449,30 @@ def knn_graph_ann(
     recall lever (union of L S-curves: 1-(1-p)^L); each table's plane
     count is bumped by ceil(log2(L)) so the total candidate volume stays
     near the single-table budget ((P+8)/(P+1)x with the bounded hamming-2
-    probes — 1.64x at P=10, falling toward 1 as P grows). Measured on
+    probes — 1.64x at P=10, falling toward 1 as P gets large). Measured on
     fixtures: recall@3 0.62 -> 0.95 (sf0.01) / 0.97 (sf0.001); 200k-vec
     stress 32 s -> 58 s. Plan per table: one map-only bucket assignment,
     a (1+P+C(h2,2))-way probe explode on the query side, a shuffled
     equi-join on the bucket id; tables union into one (src, nbr) dedup +
     bounded per-source window. Recall is approximate by design (pytest
-    pins a floor vs the exact graph)."""
+    pins a floor vs the exact graph).
+
+    EXACT-DUPLICATE COLLAPSE (default on; the r7 scale fix): identical
+    vectors share every sign bit under every plane family, so no plane
+    count can split them — bucket population is >= the duplicate
+    multiplicity and the bucket join is QUADRATIC in it. Measured: 2M
+    vectors as 2000 distinct x 1000 copies (one hot boilerplate page per
+    distinct doc — a real web-corpus shape) did not finish in 10 minutes.
+    The graph is therefore built on DISTINCT (vector[, block]) groups
+    (one representative each), then expanded: each copy's first k
+    neighbors are fellow copies (exact duplicates ARE the true top-k,
+    cosine 1.0) from a k+1-bounded per-group head list, merged with its
+    representative's graph edges through one bounded top-k window. For
+    all-distinct inputs the output is identical to the uncollapsed form
+    (pinned by test); LSH work is quadratic only in DISTINCT bucket
+    population, which auto_planes bounds."""
+    from pyspark.sql import Window
+
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     if n_planes is None:
@@ -471,9 +489,23 @@ def knn_graph_ann(
     cols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
     if block_col is not None:
         cols.append(F.col(block_col).alias("__blk"))
-    base = ensure_parallelism(df.select(*cols)).withColumn(
-        "__n", l2_norm(F.col("__v"))
-    )
+    raw = ensure_parallelism(df.select(*cols))
+    tagged = None
+    if collapse_duplicates:
+        grp = ["__v"] + (["__blk"] if block_col is not None else [])
+        gw = Window.partitionBy(*grp)
+        gwo = Window.partitionBy(*grp).orderBy(F.asc(id_col))
+        # one shuffle keyed on the vector itself (bit-exact grouping; no
+        # hash-collision risk); min/count/row_number share the exchange
+        tagged = (
+            raw.withColumn("__rep", F.min(id_col).over(gw))
+            .withColumn("__m", F.count(F.lit(1)).over(gw))
+            .withColumn("__gr", F.row_number().over(gwo))
+        )
+        nodes = tagged.where(F.col("__gr") == 1).drop("__rep", "__m", "__gr")
+    else:
+        nodes = raw
+    base = nodes.withColumn("__n", l2_norm(F.col("__v")))
 
     def table_pairs(table_seed: int) -> DataFrame:
         planes = random_hyperplanes(dim, n_planes, table_seed)
@@ -520,11 +552,52 @@ def knn_graph_ann(
         # the groupBy partitions by __src like the window right after, and
         # AQE coalesces the back-to-back exchanges.
         pairs = pairs.groupBy("__src", "__nbr").agg(F.max("cosine").alias("cosine"))
-    from pyspark.sql import Window
 
     w = Window.partitionBy("__src").orderBy(F.desc("cosine"), F.asc("__nbr"))
-    return (
+    rep_graph = (
         pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__src").alias("src"),
+            F.col("__nbr").alias("nbr"),
+            "cosine",
+            F.col("__rn").alias("nn_rank"),
+        )
+    )
+    if tagged is None:
+        return rep_graph
+
+    # Expansion: copies inherit their representative's edges, plus fellow
+    # copies as cosine-1.0 neighbors from a k+1-BOUNDED per-group head
+    # list (the first k+1 ids in id order — enough to give every copy k
+    # fellows after self-exclusion, O(k) state per group no matter the
+    # multiplicity). Everything downstream is <= 2k rows per copy.
+    members = tagged.select(F.col(id_col).alias("__src"), "__rep", "__m")
+    heads = (
+        tagged.where(F.col("__gr") <= k + 1)
+        .groupBy("__rep")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__head"))
+    )
+    fellows = (
+        members.where(F.col("__m") > 1)
+        .join(heads, "__rep")
+        .select(
+            "__src",
+            F.explode(
+                F.slice(
+                    F.filter("__head", lambda x: x != F.col("__src")), 1, k
+                )
+            ).alias("__nbr"),
+            # identical vectors: the true cosine, not the float fold
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    inherited = members.join(
+        rep_graph, members["__rep"] == rep_graph["src"]
+    ).select("__src", F.col("nbr").alias("__nbr"), "cosine")
+    merged = fellows.unionByName(inherited)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select(
             F.col("__src").alias("src"),
@@ -571,7 +644,15 @@ def ann_pairs(
     neighbor-probe) — verified with the exact cosine fold, so every emitted
     pair carries the identical value the exhaustive plan would produce.
     Auto-sized P = log2(n/target) keeps expected bucket size constant as
-    data grows (fixed P goes quadratic — measured, see knn_graph_ann)."""
+    data grows (fixed P goes quadratic — measured, see knn_graph_ann).
+
+    Duplicate-multiplicity caveat (differs from knn_graph_ann's collapse):
+    identical vectors defeat plane splitting, but here the OUTPUT itself
+    is quadratic in multiplicity — all C(m,2) copy-pairs truly satisfy
+    any threshold — so collapse cannot help; quadratic cost is the
+    declared all-pairs semantics. A duplicate-heavy corpus runs exact
+    dedup (dedup_exact / dedup_keep_best) upstream first, which is the
+    pipeline order the curation queries already use."""
     if n_planes is None:
         n_planes = _auto_planes(df, target_bucket)
     planes = random_hyperplanes(_vec_dim(df, vec_col), n_planes, seed)

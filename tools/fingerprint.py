@@ -97,9 +97,16 @@ def _norm_plan(plan: str, sf_dir: str) -> str:
     plan = _EXPR_ID.sub("#", plan)
     plan = _CACHE_ID.sub("cache_", plan)
     plan = plan.replace(sf_dir, "<SF>").replace(REPO, "<REPO>")
-    # q_join_bucketed registers PID-suffixed catalog tables so concurrent
-    # harness processes never collide — the suffix is session noise here
-    plan = plan.replace(str(os.getpid()), "<PID>")
+    # q_join_bucketed registers PID-suffixed catalog tables/paths
+    # (orders_bk_<sftag>_<pid>, .../bk_orders_<pid>) so concurrent harness
+    # processes never collide — the suffix is session noise here. The
+    # replacement is ANCHORED to the bk_ token: a bare str(pid)
+    # substitution once mangled whichever query's float literals (probe
+    # vectors, centroids) happened to contain the current PID's digit
+    # run, flagging a different random victim every run.
+    plan = re.sub(
+        rf"(bk_[a-z0-9_]*?){os.getpid()}\b", r"\g<1><PID>", plan
+    )
     return plan
 
 
