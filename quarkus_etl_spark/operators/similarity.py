@@ -467,7 +467,11 @@ def knn_graph_ann(
     (one representative each), then expanded: each copy's first k
     neighbors are fellow copies (exact duplicates ARE the true top-k,
     cosine 1.0) from a k+1-bounded per-group head list, merged with its
-    representative's graph edges through one bounded top-k window. For
+    representative's graph edges through one bounded top-k window. The
+    group aggregate collapses duplicates MAP-SIDE (the exchange carries
+    ~distinct vectors) and a limit-1 existence probe routes
+    duplicate-free inputs straight to the plain LSH path, so pristine
+    data pays one map-combined aggregate and nothing else. For
     all-distinct inputs the output is identical to the uncollapsed form
     (pinned by test); LSH work is quadratic only in DISTINCT bucket
     population, which auto_planes bounds."""
@@ -490,19 +494,26 @@ def knn_graph_ann(
     if block_col is not None:
         cols.append(F.col(block_col).alias("__blk"))
     raw = ensure_parallelism(df.select(*cols))
-    tagged = None
+    members = None
     if collapse_duplicates:
         grp = ["__v"] + (["__blk"] if block_col is not None else [])
-        gw = Window.partitionBy(*grp)
-        gwo = Window.partitionBy(*grp).orderBy(F.asc(id_col))
-        # one shuffle keyed on the vector itself (bit-exact grouping; no
-        # hash-collision risk); min/count/row_number share the exchange
-        tagged = (
-            raw.withColumn("__rep", F.min(id_col).over(gw))
-            .withColumn("__m", F.count(F.lit(1)).over(gw))
-            .withColumn("__gr", F.row_number().over(gwo))
+        # hash aggregate keyed on the vector itself (bit-exact grouping, no
+        # collision risk) — map-side partials collapse duplicates BEFORE
+        # the shuffle, so the exchange carries ~distinct vectors only
+        groups = raw.groupBy(*grp).agg(
+            F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__m")
         )
-        nodes = tagged.where(F.col("__gr") == 1).drop("__rep", "__m", "__gr")
+        # Adaptive routing (same pattern as fits_exact_pairwise): the
+        # expansion machinery only pays when duplicates EXIST. A corpus
+        # that already ran exact dedup — or the pristine fixtures — takes
+        # the zero-extra-shuffle path; the probe is a limit-1 early-out.
+        if groups.where(F.col("__m") > 1).limit(1).count() > 0:
+            nodes = groups.select(F.col("__rep").alias(id_col), *grp)
+            members = raw.join(groups, grp).select(
+                F.col(id_col).alias("__src"), "__rep", "__m"
+            )
+        else:
+            nodes = raw
     else:
         nodes = raw
     base = nodes.withColumn("__n", l2_norm(F.col("__v")))
@@ -564,23 +575,26 @@ def knn_graph_ann(
             F.col("__rn").alias("nn_rank"),
         )
     )
-    if tagged is None:
+    if members is None:
         return rep_graph
 
     # Expansion: copies inherit their representative's edges, plus fellow
     # copies as cosine-1.0 neighbors from a k+1-BOUNDED per-group head
     # list (the first k+1 ids in id order — enough to give every copy k
     # fellows after self-exclusion, O(k) state per group no matter the
-    # multiplicity). Everything downstream is <= 2k rows per copy.
-    members = tagged.select(F.col(id_col).alias("__src"), "__rep", "__m")
+    # multiplicity). The head window runs over DUPLICATED members only
+    # (usually a small minority). Everything downstream is <= 2k rows per
+    # copy.
+    dup = members.where(F.col("__m") > 1)
+    hw = Window.partitionBy("__rep").orderBy(F.asc("__src"))
     heads = (
-        tagged.where(F.col("__gr") <= k + 1)
+        dup.withColumn("__gr", F.row_number().over(hw))
+        .where(F.col("__gr") <= k + 1)
         .groupBy("__rep")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__head"))
+        .agg(F.sort_array(F.collect_list(F.col("__src"))).alias("__head"))
     )
     fellows = (
-        members.where(F.col("__m") > 1)
-        .join(heads, "__rep")
+        dup.join(heads, "__rep")
         .select(
             "__src",
             F.explode(
