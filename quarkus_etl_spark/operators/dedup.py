@@ -123,14 +123,33 @@ def lsh_candidate_pairs(
     # signature DAG ONCE (a self-join would compute it twice) and turns the
     # candidate step into one aggregation. Buckets above `max_bucket` are
     # dropped — an oversized bucket means a non-discriminative band hash,
-    # and its quadratic pair list would dominate cost for no precision
-    # (every real pair also collides in some other, smaller bucket with
-    # high probability).
+    # and its quadratic pair list would dominate cost for no precision.
+    # The size gate runs BEFORE any list materializes (r7, the
+    # knn_graph_ann multiplicity lesson): counts first via a map-side-
+    # combined aggregate, then collect_list only over rows of qualifying
+    # buckets — the old collect-then-filter form buffered a whole
+    # oversized bucket in ONE aggregation buffer, so a million-copy
+    # boilerplate cluster was an executor OOM, not just wasted work. Both
+    # aggregates and the join share the (band_idx, band_hash)
+    # partitioning, so this costs no extra exchange of the exploded rows.
+    # CAVEAT the drop implies (documented, not silent): docs whose FULL
+    # signature is identical collide in EVERY band, so a >max_bucket
+    # duplicate cluster has no smaller bucket to fall back to and emits
+    # no pairs — run exact dedup (dedup_exact / chunk hashing) upstream,
+    # which is the pipeline order the curation queries use; for merely
+    # near-identical docs the usual escape holds (some band hash differs,
+    # giving a smaller discriminative bucket).
     max_bucket = 1000
+    sizes = exploded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
     buckets = (
-        exploded.groupBy("band_idx", "band_hash")
+        exploded.join(
+            sizes.where(F.col("__bn").between(2, max_bucket)),
+            ["band_idx", "band_hash"],
+        )
+        .groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
-        .where(F.size("__ids").between(2, max_bucket))
     )
     n = F.size("__ids")
     pair_structs = F.flatten(
@@ -299,13 +318,24 @@ def simhash_near_dup_pairs(
     )
     # Bucket-group + in-bucket pair expansion: one evaluation of the simhash
     # DAG (vs two for a self-join); oversized buckets dropped as
-    # non-discriminative (same rationale as lsh_candidate_pairs).
+    # non-discriminative (same rationale — and same count-before-collect
+    # OOM discipline — as lsh_candidate_pairs: the size gate must run
+    # before any bucket list materializes, or one duplicate mega-cluster
+    # buffers whole in a single aggregation buffer).
+    sizes = banded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
     buckets = (
-        banded.groupBy("band_idx", "band_val")
-        .agg(
-            F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("simhash")))).alias("__m")
+        banded.join(
+            sizes.where(F.col("__bn").between(2, 1000)),
+            ["band_idx", "band_val"],
         )
-        .where(F.size("__m").between(2, 1000))
+        .groupBy("band_idx", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
+            ).alias("__m")
+        )
     )
     pair_structs = F.flatten(
         F.transform(

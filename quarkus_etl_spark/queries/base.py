@@ -172,7 +172,7 @@ _PREVIOUSLY_GRADED = frozenset({
     # as a string in r6 (BIGINT overflow + DuckDB decimal-arg_max bug);
     # queued for a fresh verdict.
     "q_graph_label_prop", "q_dedup_incremental",
-    "q_dedup_soft", "q_dedup_url", "q_dedup_simhash", "q_decontaminate",
+    "q_dedup_soft", "q_dedup_url", "q_decontaminate",
     "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
     "q_rank_ndcg", "q_text_chunk", "q_text_pii", "q_text_repetition",
     "q_text_html", "q_text_url", "q_text_colloc",
@@ -220,8 +220,11 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_udf_window_pandas", "q_udaf_grouped", "q_udf_cogroup",
     "q_time_lttb", "q_dq_freshness", "q_join_asof", "q_join_pit",
     "q_agg_hll_merge", "q_multimodal_frames", "q_multimodal_audio",
-    "q_agg_approx_distinct", "q_sample", "q_dedup_near", "q_sim_ann_ivf",
+    "q_agg_approx_distinct", "q_sample", "q_sim_ann_ivf",
     "q_stream_live_eviction",
+    # q_dedup_near and q_dedup_simhash intentionally ABSENT: their LSH
+    # bucket gate moved to count-before-collect in r7 (the single-array
+    # OOM fix) — flagged by the fingerprint manifest, requeued.
 })
 
 # The r7 grading queue (ADVICE r6 item 1 + VERDICT r6 #3/#5/#8): fresh
@@ -252,6 +255,9 @@ _GRADE_FIRST = (
     "q_knn_graph_ann",
     # r7 finiteness rule added to the DQ gate (impl+oracle changed):
     "q_dq_checks",
+    # r7 count-before-collect LSH bucket gate (single-array OOM fix;
+    # emitted pair set unchanged — caught by the fingerprint manifest):
+    "q_dedup_near", "q_dedup_simhash",
 )
 
 
