@@ -852,3 +852,36 @@ def test_merge_upsert_key_only_schema(spark):
     # duplicate base keys each survive (MERGE updates every matching
     # target row); absent update key 3 is an insert
     assert got == [(1, 0), (2, 1), (2, 1), (3, 1)]
+
+
+def test_lsh_oversized_duplicate_cluster_is_gated_not_buffered(spark):
+    """r7: the LSH bucket-size gate runs BEFORE any bucket list
+    materializes, so a duplicate mega-cluster (every copy in the same
+    bucket of every band — no plane/band can split identical signatures)
+    is dropped by a count, never collected into one giant array. Pinned
+    semantics: the oversized cluster emits NO pairs (the documented
+    drop — exact dedup runs upstream of near-dedup), while normal-sized
+    near-dup groups in the same corpus still pair up."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.operators.dedup import minhash_near_dup_pairs
+
+    mega = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate page body repeated across mirrors").alias(
+            "text"
+        ),
+    )
+    pairish = spark.createDataFrame(
+        [
+            (100001, "the quick brown fox jumps over the lazy dog tonight"),
+            (100002, "the quick brown fox jumps over the lazy dog today"),
+            (100003, "completely unrelated text about spark aggregation plans"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dup_pairs(
+        mega.unionByName(pairish), "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(100001, 100002)}, got
