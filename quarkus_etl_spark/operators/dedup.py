@@ -140,16 +140,17 @@ def lsh_candidate_pairs(
     # near-identical docs the usual escape holds (some band hash differs,
     # giving a smaller discriminative bucket).
     max_bucket = 1000
-    sizes = exploded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__bn")
+    # a WINDOW count over the same (band) partitioning gates the size with
+    # ONE evaluation of the signature DAG and ONE exchange (the window and
+    # the collect aggregate share it): a count-aggregate + join form
+    # evaluated the signatures twice, a collect-then-filter form buffered
+    # the oversized bucket before dropping it
+    bw = Window.partitionBy("band_idx", "band_hash")
+    gated = exploded.withColumn("__bn", F.count(F.lit(1)).over(bw)).where(
+        F.col("__bn").between(2, max_bucket)
     )
-    buckets = (
-        exploded.join(
-            sizes.where(F.col("__bn").between(2, max_bucket)),
-            ["band_idx", "band_hash"],
-        )
-        .groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+    buckets = gated.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
     )
     n = F.size("__ids")
     pair_structs = F.flatten(
@@ -322,20 +323,14 @@ def simhash_near_dup_pairs(
     # OOM discipline — as lsh_candidate_pairs: the size gate must run
     # before any bucket list materializes, or one duplicate mega-cluster
     # buffers whole in a single aggregation buffer).
-    sizes = banded.groupBy("band_idx", "band_val").agg(
-        F.count(F.lit(1)).alias("__bn")
+    bw = Window.partitionBy("band_idx", "band_val")
+    gated = banded.withColumn("__bn", F.count(F.lit(1)).over(bw)).where(
+        F.col("__bn").between(2, 1000)
     )
-    buckets = (
-        banded.join(
-            sizes.where(F.col("__bn").between(2, 1000)),
-            ["band_idx", "band_val"],
-        )
-        .groupBy("band_idx", "band_val")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
-            ).alias("__m")
-        )
+    buckets = gated.groupBy("band_idx", "band_val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
+        ).alias("__m")
     )
     pair_structs = F.flatten(
         F.transform(
