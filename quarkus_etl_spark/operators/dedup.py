@@ -152,7 +152,6 @@ def lsh_candidate_pairs(
     buckets = gated.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_list(id_col)).alias("__ids")
     )
-    n = F.size("__ids")
     pair_structs = F.flatten(
         F.transform(
             F.col("__ids"),

@@ -176,7 +176,10 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
     "q_rank_ndcg", "q_text_chunk", "q_text_pii", "q_text_repetition",
     "q_text_html", "q_text_url", "q_text_colloc",
-    "q_text_keyphrase", "q_text_postings", "q_text_bigram_lp",
+    # q_text_postings intentionally ABSENT: its posting-list head is
+    # bounded BEFORE the collect since r7 (single-array discipline;
+    # output unchanged) — requeued.
+    "q_text_keyphrase", "q_text_bigram_lp",
     "q_text_unigram_lp", "q_corpus_entropy", "q_corpus_curate",
     "q_corpus_pipeline", "q_split_assign", "q_split_leakage",
     "q_span_corrupt", "q_tok_bpe_learn", "q_tok_apply", "q_vocab_build",
@@ -258,6 +261,8 @@ _GRADE_FIRST = (
     # r7 count-before-collect LSH bucket gate (single-array OOM fix;
     # emitted pair set unchanged — caught by the fingerprint manifest):
     "q_dedup_near", "q_dedup_simhash",
+    # r7 window-bounded posting-list head (same discipline, same output):
+    "q_text_postings",
 )
 
 

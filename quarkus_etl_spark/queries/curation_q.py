@@ -1895,13 +1895,29 @@ def q_text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, which is exactly the layout the per-term reduce wants."""
     from ..operators.retrieval import tf_at_rest
 
+    from pyspark.sql.window import Window
+
     fp = tf_at_rest(spark, sf_dir)
     entry = F.concat_ws(":", F.col("doc_id").cast("string"), F.col("fp").cast("string"))
-    return fp.groupBy("term").agg(
+    # Head-bounding BEFORE the collect (r7 single-array discipline): a
+    # Zipf-head term's full posting list must never materialize as one
+    # aggregation-buffer array — rank entries inside the term partition
+    # (window and aggregate share the exchange) and collect only rank<=100
+    # (collect_list skips the NULLs the when() leaves), while df/total_tf
+    # still aggregate every row. Same 100 smallest entries, same string,
+    # bounded state.
+    w = Window.partitionBy("term").orderBy(entry)
+    ranked = fp.withColumn("__e", entry).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    return ranked.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").cast("long").alias("total_tf"),
         F.concat_ws(
-            ",", F.slice(F.array_sort(F.collect_list(entry)), 1, 100)
+            ",",
+            F.array_sort(
+                F.collect_list(F.when(F.col("__rn") <= 100, F.col("__e")))
+            ),
         ).alias("postings_head"),
     )
 
