@@ -31,6 +31,12 @@ Mutation classes are phased so a failure is attributable:
           NULL join/partition keys (user_id) — the shapes schema drift
           and at-least-once ingestion produce. Joins must agree on
           drop/fan-out/NULL-group semantics in both engines.
+  phase 6: HOT-DUPLICATE multiplicity — one document text and one
+          embedding vector each cloned into ~50 rows (the boilerplate-
+          page / default-embedding shape). Exercises the r7 duplicate-
+          collapse (knn_graph_ann), the pre-collect LSH bucket gates,
+          and dup-burst group semantics differentially where oracles
+          exist (simhash/minhash/ngram pairs, dedup clusters).
   --tiny (orthogonal): pure truncation to single-digit row counts —
           .first()-on-empty, empty-aggregation, all-rows-filtered paths.
 
@@ -156,6 +162,19 @@ def _mutate_documents(rows: list[dict], rng: random.Random, phase: int) -> None:
             rows[i]["source"] = "cafe\u0301"
         for i in grab(pct):  # ... vs its NFC (e-acute) sibling
             rows[i]["source"] = "caf\u00e9"
+    if phase >= 6:
+        # HOT duplicate: one boilerplate text cloned across ~50 rows (ids
+        # stay unique — only the content duplicates). Short fixed text so
+        # the O(L^2) fuzzy-verify stage stays cheap; a second burst of
+        # near-copies (one token appended) exercises near-identical
+        # signatures that still differ in some band.
+        hot = "standard cookie consent banner text shown on every mirror page"
+        for i in grab(50):
+            rows[i]["text"] = hot
+            rows[i]["lang"] = "en"
+        for i in grab(30):
+            rows[i]["text"] = hot + " today"
+            rows[i]["lang"] = "en"
     for r in rows:
         r["n_chars"] = len(r["text"]) if r["text"] is not None else 0
 
@@ -183,6 +202,15 @@ def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None
         # propagation + source filters
         for i in grab(pct):
             rows[i]["embedding"] = None
+    if phase >= 6:
+        # HOT duplicate vector: ~50 rows share one embedding (and one
+        # label, so they block together) — the multiplicity shape that
+        # defeats LSH plane splitting; exercises the r7 duplicate
+        # collapse + bounded fellow-expansion end to end.
+        src = rows[rng.randrange(1, n)]
+        for i in grab(50):
+            rows[i]["embedding"] = list(src["embedding"]) if src["embedding"] else [0.25] * 64
+            rows[i]["label"] = src["label"]
 
 
 def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -380,7 +408,7 @@ def build_fuzz_dir(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4, 5))
+    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4, 5, 6))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--tiny", action="store_true",
                     help="degenerate-cardinality tables (single-digit rows)")
