@@ -44,7 +44,12 @@ def merge_upsert(
     batch first — SQL MERGE errors on duplicate source matches) and no
     NULL keys (NULL never equality-matches in SQL; a NULL-key update
     would wrongly pair with NULL-key base rows under the window
-    partitioner).
+    partitioner). The one-update-per-key half of the contract is
+    ENFORCED fail-loud (ADVICE r7): a per-key update count rides the
+    same window pass and any key holding >1 update rows raises instead
+    of letting max_by crown an arbitrary one — SQL MERGE errors on
+    duplicate source matches, and so does this (the old max(struct)
+    form at least picked deterministically; max_by does not).
 
     Still ONE shuffle by key and no join: the update's values broadcast
     to their key group through a window aggregate — max_by keyed on the
@@ -57,6 +62,30 @@ def merge_upsert(
         updates.withColumn(version_col, F.lit(1))
     )
     w = Window.partitionBy(*keys)
+    # Fail-loud one-update-per-key contract check: rides the SAME window
+    # pass as the merge itself (version is 0/1, so sum counts update rows).
+    n_upd = F.sum(F.col(version_col)).over(w)
+
+    def checked(version_out):
+        return (
+            F.when(F.col("__nu") <= 1, version_out)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_upsert: "),
+                        F.col("__nu").cast("string"),
+                        F.lit(
+                            " update rows share one key — the CDC contract"
+                            " is at most one update per key (compact the"
+                            " batch first; SQL MERGE errors on duplicate"
+                            " source matches)"
+                        ),
+                    )
+                )
+            )
+            .alias(version_col)
+        )
+
     if not val_cols:
         # Key-only schema: MERGE degenerates to key-set union — base keys
         # pass through (flagged updated when an update matched), update
@@ -67,8 +96,9 @@ def merge_upsert(
         return (
             tagged.withColumn("__hb", has_base0)
             .withColumn("__hu", has_upd0)
+            .withColumn("__nu", n_upd)
             .where((F.col(version_col) == 0) | (F.col("__hb") == 0))
-            .select(*keys, F.col("__hu").alias(version_col))
+            .select(*keys, checked(F.col("__hu")))
         )
     upd_vals = F.max_by(
         F.when(
@@ -78,7 +108,11 @@ def merge_upsert(
         F.col(version_col),
     ).over(w)
     has_base = F.max(F.when(F.col(version_col) == 0, 1).otherwise(0)).over(w)
-    merged = tagged.withColumn("__upd", upd_vals).withColumn("__hb", has_base)
+    merged = (
+        tagged.withColumn("__upd", upd_vals)
+        .withColumn("__hb", has_base)
+        .withColumn("__nu", n_upd)
+    )
     out_cols = [
         F.col(c)
         if c in keys
@@ -91,9 +125,9 @@ def merge_upsert(
         merged.where((F.col(version_col) == 0) | (F.col("__hb") == 0))
         .select(
             *out_cols,
-            F.when(F.col("__upd").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias(version_col),
+            checked(
+                F.when(F.col("__upd").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ),
         )
     )
 

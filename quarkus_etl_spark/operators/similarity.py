@@ -466,7 +466,10 @@ def knn_graph_ann(
     The graph is therefore built on DISTINCT (vector[, block]) groups
     (one representative each), then expanded: each copy's first k
     neighbors are fellow copies (exact duplicates ARE the true top-k,
-    cosine 1.0) from a k+1-bounded per-group head list, merged with its
+    cosine 1.0 for nonzero vectors; 0.0 for identical ZERO vectors and
+    no fellow edges at all for NULL vectors, matching the guarded_cosine
+    convention the uncollapsed path applies) from a k+1-bounded
+    per-group head list, merged with its
     representative's graph edges through one bounded top-k window. The
     group aggregate collapses duplicates MAP-SIDE (the exchange carries
     ~distinct vectors) and a limit-1 existence probe routes
@@ -510,7 +513,12 @@ def knn_graph_ann(
         if groups.where(F.col("__m") > 1).limit(1).count() > 0:
             nodes = groups.select(F.col("__rep").alias(id_col), *grp)
             members = raw.join(groups, grp).select(
-                F.col(id_col).alias("__src"), "__rep", "__m"
+                F.col(id_col).alias("__src"),
+                "__rep",
+                "__m",
+                # group norm, carried so the fellow-edge shortcut can honor
+                # the guarded_cosine convention (see the fellows projection)
+                l2_norm(F.col("__v")).alias("__gn"),
             )
         else:
             nodes = raw
@@ -594,7 +602,11 @@ def knn_graph_ann(
         .agg(F.sort_array(F.collect_list(F.col("__src"))).alias("__head"))
     )
     fellows = (
-        dup.join(heads, "__rep")
+        # NULL-vector groups are excluded entirely: with collapse off such
+        # rows never bucket-match (NULL bucket joins nothing) and emit zero
+        # edges, so the expansion must not mint edges for them either.
+        dup.where(F.col("__gn").isNotNull())
+        .join(heads, "__rep")
         .select(
             "__src",
             F.explode(
@@ -602,8 +614,15 @@ def knn_graph_ann(
                     F.filter("__head", lambda x: x != F.col("__src")), 1, k
                 )
             ).alias("__nbr"),
-            # identical vectors: the true cosine, not the float fold
-            F.lit(1.0).alias("cosine"),
+            # identical NONZERO vectors: the true cosine, not the float
+            # fold. Identical ZERO vectors (failed-encoder rows duplicate
+            # naturally) follow the guarded_cosine convention — 0.0, not
+            # 1.0 — so collapse on/off agree on where they rank (ADVICE
+            # r7: a 1.0 here made zero vectors top-ranked neighbors while
+            # the uncollapsed path ranks them last at 0.0).
+            F.when(F.col("__gn") > 0, F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
         )
     )
     inherited = members.join(

@@ -18,7 +18,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -500,6 +500,25 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attribution_touch_key(secs: Column, touch_id: Column) -> Column:
+    """Fixed-width string ordering key for (epoch-seconds, touch-id):
+    zero-padded offset seconds (12 digits) ++ zero-padded id (10 digits),
+    so lexicographic order == numeric order. Fail-loud outside the
+    lpad-safe domain — secs in [-1e11, 9e11), id in [0, 1e10) — because
+    truncation would mis-order silently AND identically in both engines
+    (the one failure the differential gate cannot see). Unit-pinned in
+    tests/test_timeseries.py; q_attribution's docstring carries the full
+    why-a-string rationale."""
+    return F.when(
+        secs.between(-100000000000, 899999999999)
+        & touch_id.between(0, 9999999999),
+        F.concat(
+            F.lpad((secs + F.lit(100000000000)).cast("string"), 12, "0"),
+            F.lpad(touch_id.cast("string"), 10, "0"),
+        ),
+    ).otherwise(F.raise_error(F.lit("attribution key out of domain")))
+
+
 @register(
     "q_attribution",
     oracle="""
@@ -519,11 +538,10 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *,
                CASE WHEN epoch_us(touch_ts) // 1000000
                          BETWEEN -100000000000 AND 899999999999
-                         AND touch_id >= 0
+                         AND touch_id BETWEEN 0 AND 9999999999
                     THEN lpad(CAST(epoch_us(touch_ts) // 1000000
                                    + 100000000000 AS VARCHAR), 12, '0')
-                         || lpad(CAST(touch_id % 4294967296 AS VARCHAR),
-                                 10, '0')
+                         || lpad(CAST(touch_id AS VARCHAR), 10, '0')
                     ELSE error('attribution key out of domain') END AS k
         FROM joined
     )
@@ -568,20 +586,17 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which truncates toward zero on BOTH engines (pinned in
     # tests/test_timeseries.py), so pre-epoch keys agree; the key is
     # ordering-only and min_by/max_by on a string stays a HashAggregate
-    # (the q_time_ohlc lesson). Fail-loud domain guard (ADVICE r6): past
-    # the 12-digit window (secs outside [-1e11, 9e11)) or on a negative
-    # touch_id ('%' keeps the dividend sign in both engines) lpad would
-    # truncate / mis-order SILENTLY AND IDENTICALLY in both engines — the
-    # one failure shape the differential gate cannot see — so such rows
-    # raise instead (the oracle carries the same error() branch).
+    # (the q_time_ohlc lesson). Fail-loud domain guard (ADVICE r6, widened
+    # ADVICE r7): past the 12-digit window (secs outside [-1e11, 9e11)) or
+    # a touch_id outside [0, 1e10) lpad would truncate / mis-order
+    # SILENTLY AND IDENTICALLY in both engines — the one failure shape the
+    # differential gate cannot see — so such rows raise instead (the
+    # oracle carries the same error() branch). The id packs RAW, no
+    # modulo: '% 2^32' collapsed equal-second touches whose ids differ by
+    # 2^32 onto one key — the arbitrary-tiebreak class this guard exists
+    # to kill; lpad width 10 already fits the whole guarded domain.
     secs = F.expr("unix_micros(CAST(touch_ts AS TIMESTAMP)) div 1000000")
-    key = F.when(
-        secs.between(-100000000000, 899999999999) & (F.col("touch_id") >= 0),
-        F.concat(
-            F.lpad((secs + F.lit(100000000000)).cast("string"), 12, "0"),
-            F.lpad((F.col("touch_id") % F.lit(4294967296)).cast("string"), 10, "0"),
-        ),
-    ).otherwise(F.raise_error(F.lit("attribution key out of domain")))
+    key = attribution_touch_key(secs, F.col("touch_id"))
     return joined.groupBy("purchase_id", "user_id").agg(
         F.count(F.lit(1)).alias("n_touches"),
         F.min_by("touch_id", key).alias("first_touch"),

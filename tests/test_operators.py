@@ -885,3 +885,35 @@ def test_lsh_oversized_duplicate_cluster_is_gated_not_buffered(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(100001, 100002)}, got
+
+
+def test_merge_upsert_duplicate_update_rows_raise(spark):
+    """ADVICE r7: the one-update-per-key CDC contract is enforced, not
+    assumed — max_by picks an ARBITRARY winner among duplicate update
+    rows (the old max(struct) form at least picked deterministically),
+    so a violating batch must raise like SQL MERGE does on duplicate
+    source matches. Both the value-column and key-only paths."""
+    import pytest
+
+    from quarkus_etl_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    upd = spark.createDataFrame([(1, 11.0), (1, 12.0)], "k long, v double")
+    with pytest.raises(Exception, match="update rows share one key"):
+        merge_upsert(base, upd, ["k"]).collect()
+
+    basek = spark.createDataFrame([(1,), (2,)], "k long")
+    updk = spark.createDataFrame([(1,), (1,)], "k long")
+    with pytest.raises(Exception, match="update rows share one key"):
+        merge_upsert(basek, updk, ["k"]).collect()
+
+    # and a compliant batch with a duplicate BASE key still passes (MERGE
+    # updates every matching target row — that side may repeat)
+    dup_base = spark.createDataFrame([(1, 10.0), (1, 15.0)], "k long, v double")
+    ok = merge_upsert(
+        dup_base, spark.createDataFrame([(1, 99.0)], "k long, v double"), ["k"]
+    ).collect()
+    assert [(r["k"], r["v"], r["__version"]) for r in ok] == [
+        (1, 99.0, 1),
+        (1, 99.0, 1),
+    ]

@@ -69,3 +69,40 @@ def test_knn_graph_ann_duplicate_multiplicity_bounded(spark):
         r["cosine"] == 1.0 and r["src"] % 100000 == r["nbr"] % 100000
         for r in rows
     )
+
+
+def test_knn_graph_ann_zero_and_null_vector_duplicates(spark):
+    """ADVICE r7: identical ZERO vectors duplicate naturally (failed
+    encoders emit them, and the fuzz mutators mint them at phase>=2) —
+    the duplicate-collapse expansion must follow the guarded_cosine
+    convention: fellow edges at 0.0 (they rank LAST, as the uncollapsed
+    path ranks them), never the hardcoded 1.0 that made dead rows
+    top-ranked neighbors. NULL-vector copies get no edges at all (with
+    collapse off they never bucket-match). Nonzero duplicates keep their
+    true-cosine 1.0 fellows."""
+    from quarkus_etl_spark.operators.similarity import knn_graph_ann
+
+    rows_in = [
+        (i, [float(((i + 1) * (j + 2)) % 101 - 50) for j in range(8)])
+        for i in range(40)
+    ]
+    rows_in += [(i, [1.0] * 8) for i in (100, 101, 102)]
+    rows_in += [(i, [0.0] * 8) for i in (200, 201, 202)]
+    rows_in += [(i, None) for i in (300, 301, 302)]
+    df = spark.createDataFrame(rows_in, "vec_id long, embedding array<double>")
+
+    rows = knn_graph_ann(df, "vec_id", "embedding", k=3).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+
+    assert not any(s in (300, 301, 302) for s in by_src), "NULL vectors got edges"
+    for s in (200, 201, 202):
+        assert s in by_src, "zero-vector copy lost its edges"
+        assert all(r["cosine"] == 0.0 for r in by_src[s]), (
+            "zero-vector duplicate ranked above the guarded_cosine 0.0"
+        )
+    for s in (100, 101, 102):
+        fellows = [r for r in by_src[s] if r["nbr"] in (100, 101, 102)]
+        assert len(fellows) == 2
+        assert all(r["cosine"] == 1.0 for r in fellows)

@@ -268,3 +268,33 @@ def test_time_bucket_pre_epoch_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_attribution_touch_key_full_id_width(spark):
+    """ADVICE r7: the packed ordering key carries the touch id RAW — the
+    old '% 2^32' collapsed equal-second touches whose ids differ by 2^32
+    onto one key, making min_by/max_by tie-break arbitrarily (possibly
+    differently per engine). Domain guard: ids outside [0, 1e10) raise
+    instead of lpad-truncating silently."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.queries.analytics_q import attribution_touch_key
+
+    big = 100 + (1 << 32)
+    df = spark.createDataFrame([(100, 0), (big, 0)], "tid long, secs long")
+    ks = {
+        r["tid"]: r["k"]
+        for r in df.select(
+            "tid", attribution_touch_key(F.col("secs"), F.col("tid")).alias("k")
+        ).collect()
+    }
+    assert ks[100] != ks[big]
+    assert ks[100] < ks[big]  # lexicographic == numeric over the domain
+
+    for bad in (-1, 10_000_000_000):
+        bad_df = spark.createDataFrame([(bad, 0)], "tid long, secs long")
+        with pytest.raises(Exception, match="out of domain"):
+            bad_df.select(
+                attribution_touch_key(F.col("secs"), F.col("tid"))
+            ).collect()
