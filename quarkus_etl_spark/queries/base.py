@@ -222,47 +222,56 @@ _PREVIOUSLY_GRADED = frozenset({
     # re-confirmation alongside the recall-floor documentation refresh.
     "q_udf_window_pandas", "q_udaf_grouped", "q_udf_cogroup",
     "q_time_lttb", "q_dq_freshness", "q_join_asof", "q_join_pit",
-    "q_agg_hll_merge", "q_multimodal_frames", "q_multimodal_audio",
-    "q_agg_approx_distinct", "q_sample", "q_sim_ann_ivf",
+    "q_multimodal_frames", "q_multimodal_audio",
+    "q_sample",
     "q_stream_live_eviction",
-    # q_dedup_near and q_dedup_simhash intentionally ABSENT: their LSH
-    # bucket gate moved to count-before-collect in r7 (the single-array
-    # OOM fix) — flagged by the fingerprint manifest, requeued.
+    # q_agg_hll_merge / q_agg_approx_distinct intentionally ABSENT: both
+    # upgraded rows-only → conclusive contract oracles in r8 (VERDICT r7
+    # #2: exact counts + rsd/merge-lossless booleans) — they need first
+    # hash verdicts and lead _GRADE_FIRST.
+    # q_sim_ann_ivf intentionally ABSENT: its r8 recall-floor pin
+    # (VERDICT r7 #5) warrants a fresh rows-only re-confirmation in the
+    # same window.
+    # --- CORRECTNESS_r07.json: 50 graded — 48 hash-PASS (the full r7
+    # regrade queue: the r6-changed trio, the fail-loud key guards, the
+    # max_by rewrite, both oracle upgrades, the three bounded-collect
+    # fixes, plus a staleness sweep of the oldest r1/r2 verdicts) + 2
+    # rows-only ran+rows by design. Folded per VERDICT r7 #1.
+    "q_time_gapfill", "q_time_interp", "q_text_fuzzy",
+    "q_dedup_canonical_best", "q_gen_addresses", "q_agg_percentile_approx",
+    "q_dq_checks", "q_dedup_near", "q_dedup_simhash", "q_text_postings",
+    # q_attribution / q_merge_upsert intentionally ABSENT despite fresh
+    # r7 PASSes: r8 changed both again (ADVICE r7 — raw-id packed key;
+    # fail-loud duplicate-update guard), so those verdicts are stale the
+    # day after. q_knn_graph_ann ABSENT: its duplicate-collapse fellow
+    # edges changed in r8 (zero/NULL-vector guarded_cosine convention).
 })
 
-# The r7 grading queue (ADVICE r6 item 1 + VERDICT r6 #3/#5/#8): fresh
-# hash verdicts for everything whose implementation or oracle changed
-# since its last grade — the r6-changed trio ADVICE caught still sitting
-# in _PREVIOUSLY_GRADED, the r7 fail-loud key guards, the merge_upsert
-# max_by rewrite, and the two rows-only → conclusive-oracle upgrades —
-# then the recall-refreshed ANN graph's rows-only re-confirmation.
-# 9 explicit candidates for a ~50-slot window; the remaining slots fall
-# through to priority-3 re-confirmations ordered by STALENESS (least
-# recently graded round first, from the committed CORRECTNESS records),
-# so each round's spare capacity refreshes the oldest PASSes instead of
-# re-grading the same early block every time.
+# The r8 grading queue (VERDICT r7 #2/#5 + ADVICE r7): fresh verdicts
+# for everything whose implementation or oracle changed since its last
+# grade. 6 explicit candidates for a ~50-slot window; the remaining
+# slots fall through to priority-3 re-confirmations ordered by
+# STALENESS (least recently graded round first, from the committed
+# CORRECTNESS records), which this round surfaces the oldest r1/r2
+# conclusive PASSes (VERDICT r7 #3).
 _GRADE_FIRST = (
-    # Impl+oracle changed in r6 (epoch-domain guard on gapfill/interp;
-    # q_text_fuzzy length-gap prune) but wrongly left in
-    # _PREVIOUSLY_GRADED — ADVICE r6 item 1; regrade (oracled, hash):
-    "q_time_gapfill", "q_time_interp", "q_text_fuzzy",
-    # r7 fail-loud packed-key domain guards (ADVICE r6 item 2) — pristine
-    # output unchanged, impl+oracle changed → regrade per precedent:
-    "q_attribution", "q_dedup_canonical_best",
-    # r7 max_by rewrite widening value-column types (ADVICE r6 item 3):
+    # rows-only → conclusive contract-oracle upgrades (VERDICT r7 #2):
+    # exact distinct counts + rsd-envelope booleans pinned TRUE; the HLL
+    # merge additionally pins merge-then-estimate == direct-build
+    # (first hash verdicts — the percentile_approx pattern):
+    "q_agg_approx_distinct", "q_agg_hll_merge",
+    # ADVICE r7: packed key now carries the raw 10-digit id (no % 2^32
+    # fold) with a widened fail-loud domain — impl+oracle changed:
+    "q_attribution",
+    # ADVICE r7: fail-loud one-update-per-key guard rides the merge
+    # window — impl changed, output on contract-compliant input same:
     "q_merge_upsert",
-    # rows-only → conclusive oracle upgrades (VERDICT r6 #5): md5-derived
-    # generator pools; KLL rank-error bounds vs exact quantiles:
-    "q_gen_addresses", "q_agg_percentile_approx",
-    # rows-only re-confirmation after the recall-floor doc refresh:
+    # ADVICE r7: duplicate-collapse fellow edges follow guarded_cosine
+    # (0.0 for zero vectors, none for NULL) — rows-only re-confirmation:
     "q_knn_graph_ann",
-    # r7 finiteness rule added to the DQ gate (impl+oracle changed):
-    "q_dq_checks",
-    # r7 count-before-collect LSH bucket gate (single-array OOM fix;
-    # emitted pair set unchanged — caught by the fingerprint manifest):
-    "q_dedup_near", "q_dedup_simhash",
-    # r7 window-bounded posting-list head (same discipline, same output):
-    "q_text_postings",
+    # VERDICT r7 #5: recall floor pinned this round — rows-only
+    # re-confirmation alongside the new pytest floor:
+    "q_sim_ann_ivf",
 )
 
 

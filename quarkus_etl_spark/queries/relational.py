@@ -398,14 +398,53 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct")  # approximate → rows-only check
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_rsd_ok,
+           TRUE AS parts_rsd_ok
+    FROM lineitem
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ count-distinct — the 100TB-scale substitute for exact
-    COUNT(DISTINCT) (one pass, fixed memory, no shuffle explosion)."""
+    COUNT(DISTINCT) (one pass, fixed memory, no shuffle explosion). The
+    estimates themselves are engine-specific, so (the
+    q_agg_percentile_approx pattern, VERDICT r7 #2) the hashed output is
+    the sketch CONTRACT, conclusively oracled:
+
+    - the exact distinct counts (real values, hash-compared vs DuckDB);
+    - `*_rsd_ok` booleans pinned TRUE asserting the estimate sits inside
+      5x its declared rsd (0.05 → 25% — a ~5-sigma envelope, so the pin
+      is stable across fuzz-mutated fixtures while still catching a
+      broken sketch outright). Integer arithmetic (|est-exact|*4 <=
+      exact), exact==0 degrades to TRUE on both sides.
+
+    The estimate is deterministic under repartitioning (register maxima
+    merge order-free), so the booleans are partition-stable. The exact
+    counts exist here FOR the oracle; the sketch is the headline op —
+    at 100 TB only the approx path runs (the exact one is the shuffle
+    this operator exists to avoid)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("__ao"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("__ap"),
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("__ao") - F.col("exact_orders")) * 4
+            <= F.col("exact_orders")
+        ).alias("orders_rsd_ok"),
+        (
+            F.abs(F.col("__ap") - F.col("exact_parts")) * 4
+            <= F.col("exact_parts")
+        ).alias("parts_rsd_ok"),
     )
 
 
@@ -1244,32 +1283,85 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_hll_merge")  # sketch bytes are engine-specific → rows-only
+@register(
+    "q_agg_hll_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_parts,
+           TRUE AS est_rsd_ok,
+           TRUE AS merge_agrees_direct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_parts,
+           TRUE AS est_rsd_ok,
+           TRUE AS merge_agrees_direct
+    FROM lineitem
+    """,
+)
 def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches — the property that makes
     approximate distinct counting work at warehouse scale: per-partition
     (here per-returnflag) HLL sketches are built ONCE, stored, and any
     rollup (the global count here) is a cheap sketch UNION — no rescan of
     the raw data, unlike exact COUNT(DISTINCT) which cannot reuse
-    per-group results. Rows-only check (sketch binaries and estimates are
-    engine-specific); the pytest suite pins estimate sanity against the
-    exact count."""
+    per-group results. Sketch binaries and estimates are engine-specific,
+    so (the q_agg_percentile_approx pattern, VERDICT r7 #2) the hashed
+    output is the sketch CONTRACT, conclusively oracled:
+
+    - exact per-group + global distinct counts (hash-compared vs DuckDB);
+    - `est_rsd_ok` pinned TRUE: each estimate within 10% of its exact
+      count (default lgConfigK=12 → rsd ~1.6%; 10% is a ~6-sigma
+      envelope, fuzz-stable but fatal to a broken sketch). The ALL row's
+      boolean uses the MERGED-union estimate, so the union path itself
+      is inside the envelope. Integer arithmetic, exact==0 degrades TRUE;
+    - `merge_agrees_direct` pinned TRUE on the ALL row: the union of the
+      per-group sketches estimates within 10% of what ONE sketch built
+      directly over the raw rows estimates. NOT exact equality: the
+      union is register-maxima only for same-mode sketches, and the
+      sparse→dense promotion happens at different points on the two
+      paths (measured: merged 1991 vs direct 2023 at 2000 exact —
+      ~1.6%), so the trustworthy-rollup contract is envelope agreement,
+      not bit identity.
+
+    The exact counts exist here FOR the oracle; at 100 TB only the
+    sketch path runs (one scan, map-side partials, 4 KB state/group)."""
     li = t(spark, sf_dir, "lineitem")
     per_group = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_partkey").alias("sketch")
+        F.hll_sketch_agg("l_partkey").alias("sketch"),
+        F.countDistinct("l_partkey").alias("exact_distinct_parts"),
+    )
+    direct_global = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("__direct"),
+        F.countDistinct("l_partkey").alias("exact_distinct_parts"),
     )
     merged = per_group.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_parts")
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est")
+    )
+    rsd_ok = (
+        F.abs(F.col("__est") - F.col("exact_distinct_parts")) * 10
+        <= F.col("exact_distinct_parts")
     )
     per = per_group.select(
         "l_returnflag",
-        F.hll_sketch_estimate("sketch").alias("est_distinct_parts"),
+        "exact_distinct_parts",
+        F.hll_sketch_estimate("sketch").alias("__est"),
+    ).select(
+        "l_returnflag",
+        "exact_distinct_parts",
+        rsd_ok.alias("est_rsd_ok"),
+        F.lit(True).alias("merge_agrees_direct"),
     )
-    return per.unionByName(
-        merged.withColumn("l_returnflag", F.lit("ALL")).select(
-            "l_returnflag", "est_distinct_parts"
-        )
+    all_row = direct_global.crossJoin(merged).select(
+        F.lit("ALL").alias("l_returnflag"),
+        "exact_distinct_parts",
+        rsd_ok.alias("est_rsd_ok"),
+        (
+            F.abs(F.col("__est") - F.col("__direct")) * 10
+            <= F.greatest(F.col("exact_distinct_parts"), F.lit(1))
+        ).alias("merge_agrees_direct"),
     )
+    return per.unionByName(all_row)
 
 
 @register(

@@ -34,7 +34,9 @@ def test_registry_is_superset_with_oracles():
     # every non-oracled query is an explicitly approximate/stateful one
     rows_only = registered - oracles
     allowed_rows_only = {
-        "q_agg_approx_distinct",  # HLL sketch
+        # q_agg_approx_distinct / q_agg_hll_merge: oracled since r8 (exact
+        # counts + rsd/merge-lossless booleans — the sketch CONTRACT is
+        # the hashed output, the percentile_approx pattern)
         "q_dedup_near",  # LSH recall
         "q_sim_ann_ivf",  # approximate recall
         # q_gen_addresses: oracled since r7 (md5-derived fields)
@@ -42,7 +44,6 @@ def test_registry_is_superset_with_oracles():
         # q_agg_percentile_approx: oracled since r7 (rank-error bounds vs
         # exact quantiles — the sketch CONTRACT is the hashed output)
         "q_multimodal_frames",  # deterministic stub decode (no codecs in image)
-        "q_agg_hll_merge",  # HLL sketch estimates are engine-specific
         "q_multimodal_audio",  # synthetic codec via mapInPandas (like frames)
         "q_knn_graph_ann",  # LSH candidate recall (pytest pins floor vs exact)
         "q_stream_live_eviction",  # no batch SQL computes "state at the time

@@ -748,24 +748,34 @@ def test_percentile_prefix_strategy_parity(spark, sf_dir):
 
 def test_hll_merge_estimate_tracks_exact(spark, sf_dir):
     """The merged (unioned) HLL estimate must approximate the exact global
-    distinct count within HLL's error envelope, and per-group estimates
-    must roll up consistently (union >= any single group's estimate)."""
+    distinct count within HLL's error envelope, roll up consistently
+    (union >= any single group's estimate), and — since the r8 contract
+    oracle hides raw estimates behind booleans — the hashed contract
+    columns must all hold. Raw estimates are recomputed here directly."""
     from pyspark.sql import functions as F  # noqa: F811
     from quarkus_etl_spark.queries import all_query_callables
     from quarkus_etl_spark.catalog import load_table
 
-    out = {
-        r["l_returnflag"]: r["est_distinct_parts"]
-        for r in all_query_callables()["q_agg_hll_merge"](spark, sf_dir).collect()
-    }
-    exact = (
-        load_table(spark, sf_dir, "lineitem")
-        .agg(F.countDistinct("l_partkey"))
-        .first()[0]
+    rows = all_query_callables()["q_agg_hll_merge"](spark, sf_dir).collect()
+    assert all(r["est_rsd_ok"] and r["merge_agrees_direct"] for r in rows), rows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(F.countDistinct("l_partkey")).first()[0]
+    assert {r["l_returnflag"]: r["exact_distinct_parts"] for r in rows}[
+        "ALL"
+    ] == exact
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
     )
-    est = out["ALL"]
+    est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e")
+    ).first()["e"]
+    per_ests = [
+        r["e"]
+        for r in per.select(F.hll_sketch_estimate("sketch").alias("e")).collect()
+    ]
     assert abs(est - exact) / exact < 0.05, (est, exact)
-    assert est >= max(v for k, v in out.items() if k != "ALL")
+    assert est >= max(per_ests)
 
 
 def test_dedup_keep_best_survives_huge_scores(spark):
