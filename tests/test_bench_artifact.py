@@ -1,0 +1,86 @@
+"""Pins for bench.py's self-normalizing vs_prev section (VERDICT r7 #4).
+
+Sessionless: exercises the artifact-comparison arithmetic and the
+tail-only-record salvage without starting Spark or running the bench.
+"""
+
+import json
+import os
+
+import bench
+
+
+def test_vs_prev_self_compare_is_identity(tmp_path, monkeypatch):
+    prev = {
+        "queries": {"q_a": 1.0, "q_b": 2.0, "q_err": -1.0},
+        "calib_sec": 0.15,
+    }
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PREV", str(p))
+    sec = bench._vs_prev_section({"q_a": 1.0, "q_b": 2.0}, 0.15)
+    assert sec["normalized_vs_prev"] == 1.0
+    assert sec["raw_ratio_vs_prev"] == 1.0
+    assert sec["flagged_regressions"] == []
+    # errored (-1) prev entries are excluded from the shared set
+    assert sec["shared_queries"] == 2
+
+
+def test_vs_prev_host_drift_cancels(tmp_path, monkeypatch):
+    """2x wall on every query at 2x calib = pure host drift: normalized 1.0,
+    nothing flagged (the exact ambiguity VERDICT r7 'what's wrong #1' hit)."""
+    prev = {"queries": {"q_a": 1.0, "q_b": 4.0}, "calib_sec": 0.10}
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PREV", str(p))
+    sec = bench._vs_prev_section({"q_a": 2.0, "q_b": 8.0}, 0.20)
+    assert sec["host_ratio_vs_prev"] == 2.0
+    assert sec["raw_ratio_vs_prev"] == 2.0
+    assert sec["normalized_vs_prev"] == 1.0
+    assert sec["flagged_regressions"] == []
+
+
+def test_vs_prev_flags_real_regression_at_compare_bar(tmp_path, monkeypatch):
+    """>=1.4x AND >=0.5 s host-normalized — the tools/bench_compare.py bar."""
+    prev = {"queries": {"q_slow": 1.0, "q_small": 0.1, "q_ok": 3.0}, "calib_sec": 0.1}
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PREV", str(p))
+    # q_slow 1.0 -> 2.0 (2x, +1s: flagged); q_small 0.1 -> 0.3 (3x but only
+    # +0.2s: below the absolute floor); q_ok unchanged
+    sec = bench._vs_prev_section({"q_slow": 2.0, "q_small": 0.3, "q_ok": 3.0}, 0.1)
+    assert sec["flagged_regressions"] == ["q_slow"]
+
+
+def test_load_prev_salvages_driver_tail_record(tmp_path):
+    """Driver BENCH records keep only the tail of the JSON line; the loader
+    must salvage '"q_*": secs' pairs and the calib from the raw tail text."""
+    tail = '0.91, "q_topk": 0.35, "q_agg_global": 0.22, "calib_sec": 0.175, "total_sec": 158.4}'
+    p = tmp_path / "tail.json"
+    p.write_text(json.dumps({"parsed": None, "tail": tail}))
+    loaded = bench._load_prev_artifact(str(p))
+    assert loaded is not None
+    qs, calib = loaded
+    assert qs == {"q_topk": 0.35, "q_agg_global": 0.22}
+    assert calib == 0.175
+
+
+def test_load_prev_missing_or_corrupt_is_none(tmp_path):
+    assert bench._load_prev_artifact(str(tmp_path / "nope.json")) is None
+    p = tmp_path / "bad.json"
+    p.write_text("{not json")
+    assert bench._load_prev_artifact(str(p)) is None
+
+
+def test_committed_artifact_round_trips_through_vs_prev(monkeypatch):
+    """The committed bench_out.json must always be loadable as a prev
+    artifact (the default comparison source for the next round's run)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "bench_out.json")
+    loaded = bench._load_prev_artifact(path)
+    assert loaded is not None
+    qs, calib = loaded
+    assert len(qs) >= 240 and calib and calib > 0
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PREV", raising=False)
+    sec = bench._vs_prev_section(dict(qs), calib)
+    assert sec["normalized_vs_prev"] == 1.0 and sec["flagged_regressions"] == []

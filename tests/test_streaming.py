@@ -755,3 +755,104 @@ def test_eviction_stream_checkpoint_restart_no_duplicate_windows(spark, tmp_path
         (dt.datetime(2024, 3, 1, 10, 30), 1),
         (dt.datetime(2024, 3, 1, 10, 45), 1),
     }
+
+
+def test_stream_stream_join_checkpoint_restart_exactly_once(spark, tmp_path):
+    """VERDICT r7 #6: mid-sequence checkpoint restart for the dual-watermark
+    STREAM-STREAM JOIN (the largest state store in the streaming family) —
+    the eviction-aggregate restart is already pinned; this pins the join's
+    three restart invariants in one run:
+
+    1. no duplicate emission: the (p1,v1) match emitted pre-restart must
+       not re-emit (source offsets + parquet-sink manifest);
+    2. join STATE survives restart: purchase p4 (unmatched, above the
+       watermark at stop time) must match the post-restart touch v5 —
+       a reset state store would lose the buffered row and the match;
+    3. the WATERMARK is restored, not recomputed from zero: the late pair
+       (p2 @10:45, v3 @10:40), both below the restored 11:50 watermark and
+       arriving together in the FIRST post-restart micro-batch, must be
+       dropped pre-join — a watermark reset to 1970 would accept both and
+       append an extra (p2,v3) row.
+
+    Expected end state: exactly the 3 matches a one-shot batch interval
+    join over the non-late rows produces, each exactly once."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quarkus_etl_spark.streaming.streams import (
+        file_stream,
+        state_partitions,
+        stream_stream_interval_join,
+    )
+
+    pdir, tdir = tmp_path / "purchases", tmp_path / "touches"
+    pdir.mkdir()
+    tdir.mkdir()
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    day = dt.datetime(2024, 3, 1)
+
+    def write_side(dirpath, name, id_col, ts_col, rows):
+        tbl = pa.table({
+            id_col: pa.array([i for i, _, _ in rows], pa.int64()),
+            "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+            ts_col: pa.array(
+                [day + dt.timedelta(hours=h, minutes=m) for _, _, (h, m) in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+        })
+        pq.write_table(tbl, os.path.join(str(dirpath), name))
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    P_SCHEMA = "p_event long, user_id long, p_ts timestamp"
+    T_SCHEMA = "v_event long, user_id long, v_ts timestamp"
+
+    def run_once():
+        purchases = file_stream(
+            spark, str(pdir), schema=P_SCHEMA, max_files_per_trigger=1
+        )
+        touches = file_stream(
+            spark, str(tdir), schema=T_SCHEMA, max_files_per_trigger=1
+        )
+        joined = stream_stream_interval_join(
+            purchases, touches, key="user_id",
+            left_ts="p_ts", right_ts="v_ts",
+            window="1 hour", watermark="10 minutes",
+        ).select("p_event", "v_event", "user_id")
+        with state_partitions(spark):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    # phase A: v1<->p1 match emits; p4 (u7 @11:55) buffers unmatched; the
+    # @12:00 closers push both sides' watermarks to 11:50 (global = min)
+    write_side(tdir, "t0.parquet", "v_event", "v_ts",
+               [(101, 1, (10, 0)), (199, 99, (12, 0))])
+    write_side(pdir, "p0.parquet", "p_event", "p_ts",
+               [(1, 1, (10, 30)), (4, 7, (11, 55)), (98, 98, (12, 0))])
+    run_once()
+    pre = spark.read.parquet(out).collect()
+    assert {(r["p_event"], r["v_event"]) for r in pre} == {(1, 101)}
+
+    # phase B: restart from the checkpoint. One file per side = ONE first
+    # micro-batch: the late pair (p2,v3) must die on the restored watermark,
+    # v5 must find the restored p4 state, (p3,v4) is the fresh-liveness pair.
+    write_side(pdir, "p1.parquet", "p_event", "p_ts",
+               [(2, 2, (10, 45)), (3, 5, (12, 30))])
+    write_side(tdir, "t1.parquet", "v_event", "v_ts",
+               [(102, 2, (10, 40)), (103, 5, (12, 15)), (104, 7, (11, 52))])
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r["p_event"], r["v_event"]) for r in rows}
+    assert len(rows) == 3, f"duplicate or extra emission: {sorted(got)}"
+    assert got == {(1, 101), (3, 103), (4, 104)}, sorted(got)
