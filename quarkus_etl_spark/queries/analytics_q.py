@@ -557,10 +557,14 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     view/click touch inside its trailing 1-hour window (first-touch /
     last-touch in one pass), plus the touch count. The interval join is
     the verified q_join_interval shape; the winners are ONE min_by/max_by
-    pair on a packed BIGINT key (micros<<32 | id low bits — scalar, so
-    both engines' arg_min/arg_max accept it, and the aggregate stays a
-    HashAggregate with map-side partials rather than a sort aggregate —
-    the q_time_ohlc lesson)."""
+    pair on a packed fixed-width STRING key (scalar, so both engines'
+    arg_min/arg_max accept it). The string buffer demotes the winner
+    aggregate to SortAggregate (immutable buffer field — the q_time_ohlc
+    finding); that is the accepted price of the overflow-free key: the
+    BIGINT pack ANSI-overflows on clock-skewed rows and a DECIMAL key is
+    silently wrong in DuckDB arg_min/arg_max (inline comment below).
+    Measured healthy at 100x (13.1 s @10M events) — the interval join,
+    not the winner sort, dominates."""
     ev = t(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
@@ -585,8 +589,11 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right — minimal repro in NOTES "Round 6"). Seconds come from `div`,
     # which truncates toward zero on BOTH engines (pinned in
     # tests/test_timeseries.py), so pre-epoch keys agree; the key is
-    # ordering-only and min_by/max_by on a string stays a HashAggregate
-    # (the q_time_ohlc lesson). Fail-loud domain guard (ADVICE r6, widened
+    # ordering-only. The string buffer costs a SortAggregate (immutable
+    # buffer fields demote — the q_time_ohlc finding), accepted here
+    # because no overflow-free scalar alternative exists: the guarded
+    # domain spans 1e12 seconds x 1e10 ids = 1e22 > 2^63, too wide for
+    # any BIGINT pack. Fail-loud domain guard (ADVICE r6, widened
     # ADVICE r7): past the 12-digit window (secs outside [-1e11, 9e11)) or
     # a touch_id outside [0, 1e10) lpad would truncate / mis-order
     # SILENTLY AND IDENTICALLY in both engines — the one failure shape the

@@ -139,3 +139,49 @@ def test_type_skew_manifest_is_frozen_and_wellformed():
         name, _, col = key.partition(".")
         assert name in oracled and col, key
         assert val.startswith("spark=") and " oracle=" in val, (key, val)
+
+
+def test_plan_marker_manifest_is_frozen_and_wellformed():
+    """tools/plan_markers.json (the plan_audit round gate) stays reviewed:
+    CartesianProduct EMPTY, Python-boundary nodes exactly the SURVEY-§2
+    UDF/multimodal names, and the hash-demotion (SortAggregate) +
+    nested-loop (BNLJ) lists at their reviewed sizes. The live sweep
+    itself is `python -m tools.plan_audit --check` (needs a session)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "plan_markers.json",
+    )
+    with open(path) as f:
+        frozen = json.load(f)
+    assert frozen["CartesianProduct"] == []
+    assert frozen["BatchEvalPython"] == ["q_udf_scalar", "q_udtf_python"]
+    assert frozen["ArrowEvalPython"] == ["q_udf_arrow", "q_udf_pandas"]
+    assert frozen["MapInPandas"] == ["q_multimodal_audio", "q_multimodal_frames"]
+    assert frozen["MapInArrow"] == ["q_udf_mapinarrow"]
+    assert frozen["ArrowWindowPython"] == ["q_udf_window_pandas"]
+    assert frozen["FlatMapGroupsInPandas"] == ["q_udaf_grouped"]
+    assert frozen["FlatMapCoGroupsInPandas"] == ["q_udf_cogroup"]
+    # every python-boundary name is a SURVEY-declared python-API query —
+    # no engine hot path leaks into a Python worker
+    py = {
+        n
+        for k, v in frozen.items()
+        for n in v
+        if k not in ("BroadcastNestedLoopJoin", "SortAggregate", "CartesianProduct")
+    }
+    assert all(n.startswith(("q_udf_", "q_udtf_", "q_udaf_", "q_multimodal_")) for n in py)
+    # reviewed hash-demotions: string-extreme outputs + the two documented
+    # overflow-safe packed string keys
+    assert frozen["SortAggregate"] == [
+        "q_attribution",
+        "q_dedup_canonical_best",
+        "q_dq_profile",
+        "q_emb_pq",
+        "q_fn_collate",
+        "q_shard_manifest",
+    ]
+    assert len(frozen["BroadcastNestedLoopJoin"]) == 32
