@@ -7,8 +7,11 @@ reviewed state into `tools/plan_markers.json`:
 - `CartesianProduct` — must stay EMPTY (unbounded x unbounded; even
   q_join_cross plans as a broadcast nested-loop join);
 - `BroadcastNestedLoopJoin` — acceptable ONLY for single-row /
-  broadcast-scalar fan-outs and the deliberate cross join; every name in
-  the manifest was reviewed as exactly that shape;
+  broadcast-scalar fan-outs, the deliberate cross join, and
+  q_time_gapfill's dense-grid expansion (its build side is the DISTINCT
+  series keys — bounded by key cardinality, not data size; VERDICT r7
+  adjudicated it inherent to gapfill's output contract); every name in
+  the manifest was reviewed as one of those shapes;
 - Python-boundary nodes (`BatchEvalPython`, `ArrowEvalPython`,
   `MapInPandas`, `MapInArrow`, `ArrowWindowPython`,
   `FlatMapGroupsInPandas`, `FlatMapCoGroupsInPandas`) — allowed only
