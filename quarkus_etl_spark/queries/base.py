@@ -161,7 +161,10 @@ _PREVIOUSLY_GRADED = frozenset({
     # q_dq_checks intentionally ABSENT: gained the lineitem_price_finite
     # rule in r7 (the upstream gate for the NaN/Inf-money cross-engine
     # divergence pinned in tests/test_nullsafety.py) — requeued.
-    "q_sample_hash", "q_table_diff",
+    # q_table_diff intentionally ABSENT (was here through r7): its oracle
+    # gained IS DISTINCT FROM in r8 (the <> form silently dropped
+    # value<->NULL price changes — fuzz seed 17 phase 5) — requeued.
+    "q_sample_hash",
     # --- CORRECTNESS_r04.json: 50 graded, 46 passed. The 4 hash-fails
     # (q_chunk_dedup, q_corpus_stats, q_pack_sequences, q_mix_rebalance —
     # DuckDB HUGEINT oracle leaks, fixed r5 by BIGINT casts) are intentionally
@@ -272,6 +275,10 @@ _GRADE_FIRST = (
     # VERDICT r7 #5: recall floor pinned this round — rows-only
     # re-confirmation alongside the new pytest floor:
     "q_sim_ann_ivf",
+    # fuzz seed 17 phase 5 find: the oracle's <> compare silently dropped
+    # value<->NULL price changes that table_diff's null-safe contract
+    # counts; oracle now IS DISTINCT FROM — the r7 verdict is stale:
+    "q_table_diff",
 )
 
 

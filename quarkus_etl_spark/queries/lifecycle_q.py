@@ -288,7 +288,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            o.o_totalprice AS old_o_totalprice,
            n.o_totalprice AS new_o_totalprice
     FROM orders o LEFT JOIN newt n USING (o_orderkey)
-    WHERE n.o_orderkey IS NULL OR n.o_totalprice <> o.o_totalprice
+    -- IS DISTINCT FROM, not <>: table_diff's compare is NULL-SAFE by
+    -- contract (a price flipping value<->NULL IS a change). The <> form
+    -- silently dropped exactly those rows — caught by fuzz seed 17
+    -- phase 5, where a duplicate-PK orders row crossed with a NULL-price
+    -- mutation (spark=232 vs duck=230).
+    WHERE n.o_orderkey IS NULL OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
     """,
 )
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

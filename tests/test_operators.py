@@ -452,6 +452,20 @@ def test_table_diff_classifies(spark):
     assert got == {2: "changed", 4: "added", 5: "removed"}
 
 
+def test_table_diff_value_to_null_transitions_are_changes(spark):
+    """The null-safe compare contract, both directions: a present row whose
+    value flips value<->NULL IS a change. The DuckDB oracle's old <> form
+    silently dropped exactly these (fuzz seed 17 phase 5: a duplicate-PK
+    row crossed with a NULL-price mutation); the oracle now mirrors the
+    operator with IS DISTINCT FROM."""
+    from quarkus_etl_spark.operators.cdc import table_diff
+
+    old = spark.createDataFrame([(1, None), (2, 20.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 11.0), (2, None)], "k long, v double")
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
 def test_ivf_kmeans_refinement_improves_balance_and_recall(spark, sf_dir):
     """Lloyd refinement must not hurt recall@10 vs brute force and should
     (weakly) improve cell balance; refined centroids are deterministic."""
