@@ -164,7 +164,9 @@ _PREVIOUSLY_GRADED = frozenset({
     # q_table_diff intentionally ABSENT (was here through r7): its oracle
     # gained IS DISTINCT FROM in r8 (the <> form silently dropped
     # value<->NULL price changes — fuzz seed 17 phase 5) — requeued.
-    "q_sample_hash",
+    # q_sample_hash intentionally ABSENT: its key build switched
+    # concat_ws -> null-propagating concat in r8 (NULL-orderkey rows were
+    # sampled under a truncated key — NULL-FK fuzz) — requeued.
     # --- CORRECTNESS_r04.json: 50 graded, 46 passed. The 4 hash-fails
     # (q_chunk_dedup, q_corpus_stats, q_pack_sequences, q_mix_rebalance —
     # DuckDB HUGEINT oracle leaks, fixed r5 by BIGINT casts) are intentionally
@@ -194,7 +196,10 @@ _PREVIOUSLY_GRADED = frozenset({
     # q_shard_manifest all flipped green.
     "q_chunk_dedup", "q_corpus_stats", "q_pack_sequences", "q_mix_rebalance",
     "q_shard_manifest", "q_feat_scale", "q_anon_k", "q_feat_target_encode",
-    "q_agg_incremental", "q_agg_countmin", "q_agg_countmin_merge",
+    # q_agg_incremental intentionally ABSENT: its history/delta split
+    # became TOTAL in r8 (NULL split keys vanished from both partitions —
+    # NULL-FK fuzz) — requeued.
+    "q_agg_countmin", "q_agg_countmin_merge",
     # q_dq_freshness intentionally ABSENT: lag_sec switched to integer div
     # in r6 (same >2^53 class as q_time_lttb); queued for a fresh verdict.
     "q_dq_anomaly", "q_dq_benford", "q_dq_profile",
@@ -242,7 +247,10 @@ _PREVIOUSLY_GRADED = frozenset({
     # rows-only ran+rows by design. Folded per VERDICT r7 #1.
     "q_time_gapfill", "q_time_interp", "q_text_fuzzy",
     "q_dedup_canonical_best", "q_gen_addresses", "q_agg_percentile_approx",
-    "q_dq_checks", "q_dedup_near", "q_dedup_simhash", "q_text_postings",
+    # q_dq_checks intentionally ABSENT despite its fresh r7 PASS: r8 made
+    # NULL-key semantics explicit (MATCH SIMPLE FK rules + *_not_null
+    # rules + non-null PK tuples; 8 -> 10 rule rows) — requeued.
+    "q_dedup_near", "q_dedup_simhash", "q_text_postings",
     # q_attribution / q_merge_upsert intentionally ABSENT despite fresh
     # r7 PASSes: r8 changed both again (ADVICE r7 — raw-id packed key;
     # fail-loud duplicate-update guard), so those verdicts are stale the
@@ -279,6 +287,14 @@ _GRADE_FIRST = (
     # value<->NULL price changes that table_diff's null-safe contract
     # counts; oracle now IS DISTINCT FROM — the r7 verdict is stale:
     "q_table_diff",
+    # r8 NULL-key semantics hardening (found auditing the table_diff
+    # class): explicit MATCH SIMPLE FK rules + *_not_null rules +
+    # non-null PK tuples, 8 -> 10 rule rows — the r7 verdict is stale:
+    "q_dq_checks",
+    # caught by the r8 NULL-FK fuzz extension (phase 5 now NULLs
+    # l_orderkey / o_custkey): sample key truncated by concat_ws;
+    # history/delta split dropped NULL keys from both sides:
+    "q_sample_hash", "q_agg_incremental",
 )
 
 

@@ -341,19 +341,33 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'lineitem_pk_unique',
            (SELECT COUNT(*) FROM lineitem),
-           (SELECT COUNT(*) FROM lineitem)
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
            - (SELECT COUNT(*) FROM
-               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL))
+    UNION ALL
+    SELECT 'lineitem_orderkey_not_null',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
     UNION ALL
     SELECT 'lineitem_orderkey_fk',
            (SELECT COUNT(*) FROM lineitem),
            (SELECT COUNT(*) FROM lineitem
-            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderkey IS NOT NULL))
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
     UNION ALL
     SELECT 'orders_custkey_fk',
            (SELECT COUNT(*) FROM orders),
            (SELECT COUNT(*) FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL))
     UNION ALL
     SELECT 'orders_totalprice_positive',
            (SELECT COUNT(*) FROM orders),
@@ -368,8 +382,16 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate: the validation report a pipeline runs between
     ingest and publish — range rules, positivity rules, primary-key
-    uniqueness, and referential integrity, one (rule, n_checked,
-    n_violations) row each. Plan shape: ONE pass per table computes all
+    uniqueness, key NOT-NULL rules, and referential integrity, one
+    (rule, n_checked, n_violations) row each. NULL-key semantics are
+    EXPLICIT (r8): FK rules follow SQL MATCH SIMPLE — a NULL child key is
+    not an orphan and NULL parents are stripped from the probe — while
+    the dedicated *_not_null rules surface the NULL keys themselves; PK
+    uniqueness is defined over non-NULL key tuples (a NULL key cannot
+    identify a row). That is both the standard-SQL posture and the only
+    one the two engines can agree on: bare NOT IN collapses to zero
+    violations on one NULL parent, and Spark's count_distinct ignores
+    NULL tuples DuckDB's DISTINCT keeps. Plan shape: ONE pass per table computes all
     of that table's range/positivity counts as conditional aggregates
     (map-side partials, no shuffle of raw rows); uniqueness is one
     distinct-count; each FK check is a left-anti join against the parent
@@ -407,21 +429,53 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("v_finite"),
+        # PK uniqueness over NON-NULL key tuples only (a NULL key cannot
+        # identify a row; it is surfaced by the not_null rule instead).
+        # This also keeps the two engines mirrored: Spark's count_distinct
+        # IGNORES tuples with any NULL while DuckDB's DISTINCT subquery
+        # keeps one row per distinct NULL-containing tuple — restricting
+        # both sides to non-null tuples removes the asymmetry.
         (
-            F.count(F.lit(1))
+            F.sum(
+                F.when(
+                    F.col("l_orderkey").isNotNull()
+                    & F.col("l_linenumber").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
             - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
         ).alias("v_pk"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "v_fk_null"
+        ),
     )
     o_counts = o.agg(
         F.count(F.lit(1)).alias("n_checked"),
         F.sum(F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)).alias("v_total"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v_fk_null"),
     )
+    # FK orphan checks use SQL MATCH SIMPLE semantics, explicit in BOTH
+    # engines: a NULL child key is NOT an orphan (the *_not_null rules
+    # surface those), and NULL parent keys are stripped before the probe.
+    # The old oracle's bare NOT IN silently matched neither convention —
+    # one NULL parent key collapsed its violation count to zero, and
+    # Spark's anti-join counted NULL children the oracle dropped.
     li_orphans = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        li.where(F.col("l_orderkey").isNotNull())
+        .join(
+            o.select("o_orderkey").where(F.col("o_orderkey").isNotNull()),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )
     o_orphans = (
-        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        o.where(F.col("o_custkey").isNotNull())
+        .join(
+            c.select("c_custkey").where(F.col("c_custkey").isNotNull()),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )
 
@@ -439,7 +493,9 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_pick(li_counts, "lineitem_discount_range", "v_disc"))
         .unionAll(_pick(li_counts, "lineitem_price_positive", "v_price"))
         .unionAll(_pick(li_counts, "lineitem_pk_unique", "v_pk"))
+        .unionAll(_pick(li_counts, "lineitem_orderkey_not_null", "v_fk_null"))
         .unionAll(_one("lineitem_orderkey_fk", li_n, li_orphans))
+        .unionAll(_pick(o_counts, "orders_custkey_not_null", "v_fk_null"))
         .unionAll(_one("orders_custkey_fk", o_n, o_orphans))
         .unionAll(_pick(o_counts, "orders_totalprice_positive", "v_total"))
         .unionAll(_pick(li_counts, "lineitem_price_finite", "v_finite"))
@@ -804,7 +860,15 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge EXACT — combining them in any order reproduces the full-scan
     aggregate bit-for-bit, which is precisely what the oracle (a full
     recompute) checks. Split point: l_orderkey < 4000 is 'history',
-    the rest is the day's delta."""
+    the rest is the day's delta.
+
+    The split predicate is TOTAL (r8, caught by the NULL-FK fuzz): a
+    NULL split key satisfies neither `< 4000` nor `>= 4000`, so such
+    rows silently vanished from BOTH partitions — at 100 TB that is a
+    rollup that quietly under-counts every batch containing a dirty
+    key. NULL-key rows are assigned to the DELTA side (a row with no
+    order id cannot already be in history); the refreshed aggregate now
+    reproduces the full recompute on any input."""
     li = t(spark, sf_dir, "lineitem")
     keys = ["l_returnflag", "l_linestatus"]
 
@@ -820,7 +884,9 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_path
     )
     stored = spark.read.parquet(base_path)
-    delta = partials(li.where(F.col("l_orderkey") >= 4000))
+    delta = partials(
+        li.where((F.col("l_orderkey") >= 4000) | F.col("l_orderkey").isNull())
+    )
     return (
         stored.unionByName(delta)
         .groupBy(*keys)

@@ -279,9 +279,21 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine — the pattern to use when a sample must be reproducible across
     systems (e.g. carving a held-out eval split from a 100 TB corpus and
     re-deriving it in another stack). Embarrassingly parallel: no shuffle,
-    filter runs at scan."""
+    filter runs at scan.
+
+    NULL-propagating concat, NOT concat_ws (the round-4 MISSING!=EMPTY
+    class, re-caught here by the r8 NULL-FK fuzz): concat_ws SKIPS null
+    parts, so a NULL-orderkey row was hashed under the key "5" (just the
+    linenumber) and sampled, while the oracle's || propagates NULL and
+    drops it. A row without its primary key has no defined sample
+    predicate — both engines now drop it (the not-null DQ rule is where
+    such rows get surfaced, not a sample carve)."""
     li = t(spark, sf_dir, "lineitem")
-    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
     return li.where(
         F.substring(F.md5(F.encode(key, "UTF-8")), 1, 2) < "1a"
     ).select("l_orderkey", "l_linenumber", "l_quantity")

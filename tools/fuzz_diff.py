@@ -296,6 +296,8 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
     if phase >= 5:
         for i in grab(pct):  # orphan lines: order deleted/never ingested
             rows[i]["l_orderkey"] = rows[i]["l_orderkey"] + 10_000_000
+        for i in grab(pct):  # order id lost in transit: NULL FK/PK-part
+            rows[i]["l_orderkey"] = None
         # ALL-NULL measure group: every quantity of one return-flag group
         # becomes NULL. Point NULLs (~1%) can never produce this shape, and
         # it is the one that erased a whole group from median/MAD-style
@@ -337,6 +339,8 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
     if phase >= 5:
         for i in grab(pct):  # customer deleted upstream: orphan FK
             rows[i]["o_custkey"] = rows[i]["o_custkey"] + 10_000_000
+        for i in grab(pct):  # customer id lost in transit: NULL FK
+            rows[i]["o_custkey"] = None
         for i in grab(pct):  # at-least-once ingestion: duplicate PK
             src = rows[rng.randrange(n)]
             if src["o_orderkey"] != rows[i]["o_orderkey"]:
