@@ -42,19 +42,23 @@ def _load_prev_artifact(path: str):
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     if "queries" in d:
-        return d["queries"], d.get("calib_sec")
+        return d["queries"], d.get("calib_sec"), d.get("calib2_sec")
     if isinstance(d.get("tail"), str):
         pairs = re.findall(r'"(q_[a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', d["tail"])
         if pairs:
             seen: dict[str, float] = {}
             for k, v in pairs:  # later duplicates (slowest10 section) keep first
                 seen.setdefault(k, float(v))
-            calib = re.search(r'"calib_sec":\s*(\d+(?:\.\d+)?)', d["tail"])
-            return seen, (float(calib.group(1)) if calib else None)
+
+            def _f(key):
+                m = re.search(rf'"{key}":\s*(\d+(?:\.\d+)?)', d["tail"])
+                return float(m.group(1)) if m else None
+
+            return seen, _f("calib_sec"), _f("calib2_sec")
     return None
 
 
-def _vs_prev_section(timings: dict[str, float], calib_now) -> dict:
+def _vs_prev_section(timings: dict[str, float], calib_now, calib2_now=None) -> dict:
     """VERDICT r7 #4: the artifact carries its own normalized-vs-previous
     number and per-query flag list, so cross-round judges never re-derive
     the calib arithmetic. Previous artifact = $SPARK_GRAFT_BENCH_PREV, else
@@ -66,12 +70,15 @@ def _vs_prev_section(timings: dict[str, float], calib_now) -> dict:
     prev = _load_prev_artifact(path)
     if not prev:
         return {"prev_artifact": None}
-    prev_q, calib_prev = prev
-    # host normalization: divide new timings by (calib_now / calib_prev);
-    # 1.0 when either side lacks the probe
-    host = 1.0
-    if calib_prev and calib_now and calib_prev > 0 and calib_now > 0:
-        host = calib_now / calib_prev
+    prev_q, calib_prev, calib2_prev = prev
+    # host normalization: divide new timings by the calib ratio; prefer the
+    # low-variance v2 probe when BOTH sides carry it (probe plans differ,
+    # so v1/v2 values never mix), fall back to v1, else 1.0
+    host, probe = 1.0, None
+    if calib2_prev and calib2_now and calib2_prev > 0 and calib2_now > 0:
+        host, probe = calib2_now / calib2_prev, "v2"
+    elif calib_prev and calib_now and calib_prev > 0 and calib_now > 0:
+        host, probe = calib_now / calib_prev, "v1"
     shared = [n for n in prev_q if n in timings and prev_q[n] > 0 and timings[n] > 0]
     if not shared:
         return {"prev_artifact": os.path.basename(path), "shared_queries": 0}
@@ -89,6 +96,8 @@ def _vs_prev_section(timings: dict[str, float], calib_now) -> dict:
     return {
         "prev_artifact": os.path.basename(path),
         "prev_calib_sec": calib_prev,
+        "prev_calib2_sec": calib2_prev,
+        "calib_probe_used": probe,
         "host_ratio_vs_prev": round(host, 4),
         "shared_queries": len(shared),
         "raw_ratio_vs_prev": round(t_new / t_prev, 4),
@@ -180,23 +189,56 @@ def main() -> None:
     # probe in the artifact lets cross-round diffs self-normalize
     # (tools/bench_compare.py divides by the calib ratio when both
     # artifacts carry one) instead of chasing host drift.
-    calib_sec = None
-    try:
-        calib_sec = round(
-            min(
-                _timed(
-                    lambda: materialize(
-                        spark.range(0, 400_000_000, 1, 32).selectExpr(
-                            "sum(id * 3 + 7) AS s", "count(if(id % 97 = 0, 1, NULL)) AS c"
-                        )
-                    )
+    def _calib_pass_v1() -> float:
+        return _timed(
+            lambda: materialize(
+                spark.range(0, 400_000_000, 1, 32).selectExpr(
+                    "sum(id * 3 + 7) AS s", "count(if(id % 97 = 0, 1, NULL)) AS c"
                 )
-                for _ in range(3)
-            ),
-            4,
+            )
         )
+
+    def _calib_pass_v2() -> float:
+        # 2B rows / 128 partitions (4 waves on 32 cores): a ~0.7 s job whose
+        # wall amortizes per-task scheduling jitter. Measured steady spread
+        # 1.02x vs 2.4x for the 0.2 s single-wave v1 plan, whose min-of-3
+        # latched turbo bursts the 3-minute query regime never saw (two
+        # same-code runs: calib 0.197 vs 0.141, query totals FLAT 177.0 vs
+        # 176.2 s — the normalized comparison flipped sign on probe noise).
+        # (id % K) keeps the 2B-row sum inside BIGINT under ANSI.
+        return _timed(
+            lambda: materialize(
+                spark.range(0, 2_000_000_000, 1, 128).selectExpr(
+                    "sum((id % 100003) * 3 + 7) AS s",
+                    "count(if(id % 97 = 0, 1, NULL)) AS c",
+                )
+            )
+        )
+
+    # v1 probe: kept bit-compatible with every prior artifact (min-of-3 of
+    # the same plan at the same point in the run) so cross-round ratios
+    # against pre-v2 artifacts keep working.
+    calib_sec = None
+    calib2_samples: list[float] = []
+    try:
+        calib_sec = round(min(_calib_pass_v1() for _ in range(3)), 4)
+        calib2_samples += [round(_calib_pass_v2(), 4) for _ in range(3)]
     except Exception as e:  # noqa: BLE001 - calibration must never fail the bench
         print(f"bench: calibration skipped: {e}", file=sys.stderr)
+
+    def _calib2_final() -> float | None:
+        """v2 probe value: MEDIAN over six samples, three taken before the
+        timed queries and three after, so the number reflects the regime
+        the queries actually ran in rather than one lucky instant."""
+        try:
+            calib2_samples.extend(round(_calib_pass_v2(), 4) for _ in range(3))
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: post-run calibration skipped: {e}", file=sys.stderr)
+        if not calib2_samples:
+            return None
+        s = sorted(calib2_samples)
+        mid = len(s) // 2
+        return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 4)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     pass_guard_sec = float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_SEC", "420"))
@@ -285,6 +327,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: streaming-rate section skipped: {e}", file=sys.stderr)
 
+    calib2_sec = _calib2_final()
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     # Key order matters: the driver's record of this line keeps only a TAIL
     # window (BENCH_r02.json shows the head — metric/value — truncated away
@@ -311,10 +354,17 @@ def main() -> None:
         # ratio vs the previous committed artifact with host drift cancelled,
         # plus the per-query flag list — judges read this instead of
         # re-deriving calib arithmetic
-        "vs_prev": _vs_prev_section(timings, calib_sec),
-        # host-regime probe (min-of-3 fixed codegen plan) — cross-round
-        # comparisons divide by the calib ratio to cancel host drift
+        "vs_prev": _vs_prev_section(timings, calib_sec, calib2_sec),
+        # host-regime probes. calib_sec is the LEGACY v1 probe (min-of-3,
+        # 0.2 s single-wave plan), kept bit-compatible so ratios against
+        # pre-v2 artifacts still work — but it is turbo-burst noisy
+        # (measured 0.197 vs 0.141 across same-code runs with FLAT query
+        # totals). calib2_sec is the low-variance probe: median of 6 runs
+        # of a ~0.7 s 4-wave plan, 3 before + 3 after the timed queries;
+        # raw samples recorded so a bimodal regime is visible.
+        "calib_samples": calib2_samples,
         "calib_sec": calib_sec,
+        "calib2_sec": calib2_sec,
         "total_sec": total,
     }
     # tail-capture duplicate: the driver's BENCH record keeps only the END of

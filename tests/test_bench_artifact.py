@@ -60,9 +60,10 @@ def test_load_prev_salvages_driver_tail_record(tmp_path):
     p.write_text(json.dumps({"parsed": None, "tail": tail}))
     loaded = bench._load_prev_artifact(str(p))
     assert loaded is not None
-    qs, calib = loaded
+    qs, calib, calib2 = loaded
     assert qs == {"q_topk": 0.35, "q_agg_global": 0.22}
     assert calib == 0.175
+    assert calib2 is None  # pre-v2 artifact
 
 
 def test_load_prev_missing_or_corrupt_is_none(tmp_path):
@@ -79,8 +80,27 @@ def test_committed_artifact_round_trips_through_vs_prev(monkeypatch):
     path = os.path.join(repo, "bench_out.json")
     loaded = bench._load_prev_artifact(path)
     assert loaded is not None
-    qs, calib = loaded
+    qs, calib, calib2 = loaded
     assert len(qs) >= 240 and calib and calib > 0
     monkeypatch.delenv("SPARK_GRAFT_BENCH_PREV", raising=False)
-    sec = bench._vs_prev_section(dict(qs), calib)
+    sec = bench._vs_prev_section(dict(qs), calib, calib2)
     assert sec["normalized_vs_prev"] == 1.0 and sec["flagged_regressions"] == []
+
+
+def test_vs_prev_prefers_low_variance_v2_probe(tmp_path, monkeypatch):
+    """When BOTH artifacts carry the v2 probe, normalization uses it (the
+    v1 min-of-3 probe measured 0.197 vs 0.141 across same-code runs with
+    flat query totals — probe plans differ, so v1/v2 values never mix)."""
+    prev = {"queries": {"q_a": 1.0}, "calib_sec": 0.10, "calib2_sec": 0.70}
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PREV", str(p))
+    # v1 says host 2x slower; v2 says unchanged — v2 must win
+    sec = bench._vs_prev_section({"q_a": 1.0}, 0.20, 0.70)
+    assert sec["calib_probe_used"] == "v2"
+    assert sec["host_ratio_vs_prev"] == 1.0
+    assert sec["normalized_vs_prev"] == 1.0
+    # v2 missing on one side: falls back to v1
+    sec = bench._vs_prev_section({"q_a": 1.0}, 0.20, None)
+    assert sec["calib_probe_used"] == "v1"
+    assert sec["host_ratio_vs_prev"] == 2.0
