@@ -270,6 +270,12 @@ def q_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scd2_build",
+    # The `pv <> value` compare below is NULL-UNSAFE ON BOTH ENGINES BY
+    # DESIGN (change-collapse semantics: a NULL on either side is "no
+    # detectable change", so the run is not split) and the Spark side
+    # mirrors it exactly — fuzz-proven in r8's <> audit. Do NOT convert
+    # to IS DISTINCT FROM (the q_table_diff fix does not generalize here:
+    # table_diff's CONTRACT is null-safe, scd2's collapse is not).
     oracle="""
     WITH ordered AS (
         SELECT user_id, ts, event_id, event_type, value,

@@ -247,54 +247,38 @@ _PREVIOUSLY_GRADED = frozenset({
     # rows-only ran+rows by design. Folded per VERDICT r7 #1.
     "q_time_gapfill", "q_time_interp", "q_text_fuzzy",
     "q_dedup_canonical_best", "q_gen_addresses", "q_agg_percentile_approx",
-    # q_dq_checks intentionally ABSENT despite its fresh r7 PASS: r8 made
-    # NULL-key semantics explicit (MATCH SIMPLE FK rules + *_not_null
-    # rules + non-null PK tuples; 8 -> 10 rule rows) — requeued.
     "q_dedup_near", "q_dedup_simhash", "q_text_postings",
-    # q_attribution / q_merge_upsert intentionally ABSENT despite fresh
-    # r7 PASSes: r8 changed both again (ADVICE r7 — raw-id packed key;
-    # fail-loud duplicate-update guard), so those verdicts are stale the
-    # day after. q_knn_graph_ann ABSENT: its duplicate-collapse fellow
-    # edges changed in r8 (zero/NULL-vector guarded_cosine convention).
+    # --- CORRECTNESS_r08.json: 50 graded — 48 hash-PASS (the full r8
+    # regrade queue: both HLL contract-oracle upgrades, the ADVICE r7
+    # pair, the table_diff/dq_checks/sample_hash/agg_incremental
+    # NULL-semantics fixes, plus the staleness sweep of the oldest
+    # windows/subqueries/TPC-H/functions/UDF/streaming verdicts) + 2
+    # rows-only ran+rows by design (the two ANN queries). Folded per
+    # VERDICT r8 #3.
+    "q_attribution", "q_merge_upsert", "q_knn_graph_ann", "q_sim_ann_ivf",
+    "q_table_diff", "q_dq_checks", "q_sample_hash", "q_agg_incremental",
+    "q_agg_approx_distinct",
+    # q_agg_hll_merge intentionally ABSENT despite its fresh r8 PASS: r9
+    # changed its exact-count build again (count the non-NULL partkeys —
+    # a NULL counted as a distinct value diverged from both the oracle's
+    # COUNT(DISTINCT) and the sketch, ADVICE r8) — requeued.
 })
 
-# The r8 grading queue (VERDICT r7 #2/#5 + ADVICE r7): fresh verdicts
-# for everything whose implementation or oracle changed since its last
-# grade. 6 explicit candidates for a ~50-slot window; the remaining
-# slots fall through to priority-3 re-confirmations ordered by
-# STALENESS (least recently graded round first, from the committed
-# CORRECTNESS records), which this round surfaces the oldest r1/r2
-# conclusive PASSes (VERDICT r7 #3).
+# The r9 grading queue (ADVICE r8 + the r9 NULL-FK fuzz extension):
+# fresh verdicts for everything whose implementation or oracle changed
+# since its last grade. The remaining ~49 window slots fall through to
+# priority-3 re-confirmations ordered by STALENESS (least recently
+# graded round first, from the committed CORRECTNESS records), which
+# this round surfaces the r3-r5-graded relational/lifecycle/curation
+# blocks (VERDICT r8 #3).
 _GRADE_FIRST = (
-    # rows-only → conclusive contract-oracle upgrades (VERDICT r7 #2):
-    # exact distinct counts + rsd-envelope booleans pinned TRUE; the HLL
-    # merge additionally pins merge-then-estimate == direct-build
-    # (first hash verdicts — the percentile_approx pattern):
-    "q_agg_approx_distinct", "q_agg_hll_merge",
-    # ADVICE r7: packed key now carries the raw 10-digit id (no % 2^32
-    # fold) with a widened fail-loud domain — impl+oracle changed:
-    "q_attribution",
-    # ADVICE r7: fail-loud one-update-per-key guard rides the merge
-    # window — impl changed, output on contract-compliant input same:
-    "q_merge_upsert",
-    # ADVICE r7: duplicate-collapse fellow edges follow guarded_cosine
-    # (0.0 for zero vectors, none for NULL) — rows-only re-confirmation:
-    "q_knn_graph_ann",
-    # VERDICT r7 #5: recall floor pinned this round — rows-only
-    # re-confirmation alongside the new pytest floor:
-    "q_sim_ann_ivf",
-    # fuzz seed 17 phase 5 find: the oracle's <> compare silently dropped
-    # value<->NULL price changes that table_diff's null-safe contract
-    # counts; oracle now IS DISTINCT FROM — the r7 verdict is stale:
-    "q_table_diff",
-    # r8 NULL-key semantics hardening (found auditing the table_diff
-    # class): explicit MATCH SIMPLE FK rules + *_not_null rules +
-    # non-null PK tuples, 8 -> 10 rule rows — the r7 verdict is stale:
-    "q_dq_checks",
-    # caught by the r8 NULL-FK fuzz extension (phase 5 now NULLs
-    # l_orderkey / o_custkey): sample key truncated by concat_ws;
-    # history/delta split dropped NULL keys from both sides:
-    "q_sample_hash", "q_agg_incremental",
+    # ADVICE r8: the exact counts behind the contract oracle now count
+    # NON-NULL partkeys (count("l_partkey") after the distinct, NULL
+    # estimates coalesced to 0) — a NULL l_partkey previously counted as
+    # a distinct value, diverging from both COUNT(DISTINCT) and the
+    # sketch; phase-5 fuzz now mints NULL l_partkey so the gate covers
+    # it. Impl changed — the r8 verdict is stale:
+    "q_agg_hll_merge",
 )
 
 

@@ -1347,13 +1347,19 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.6 s -> 2.5 s at 6M rows."""
     li = t(spark, sf_dir, "lineitem")
     pairs = li.select("l_returnflag", "l_partkey").distinct()
+    # count("l_partkey"), NOT count(lit(1)): the distinct pre-aggregation
+    # keeps one (flag, NULL) row per group with a NULL partkey, but both
+    # COUNT(DISTINCT l_partkey) and hll_sketch_agg ignore NULLs — counting
+    # the NULL row would diverge from the oracle and skew the rsd envelope
+    # by one on any NULL-partkey input (ADVICE r8; NULL l_partkey is now
+    # minted by phase-5 fuzz).
     exact_per = pairs.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("exact_distinct_parts")
+        F.count("l_partkey").alias("exact_distinct_parts")
     )
     exact_global = (
         pairs.select("l_partkey")
         .distinct()
-        .agg(F.count(F.lit(1)).alias("exact_distinct_parts"))
+        .agg(F.count("l_partkey").alias("exact_distinct_parts"))
     )
     sketch_per = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sketch")
@@ -1362,11 +1368,18 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_per.alias("s"),
         F.col("e.l_returnflag").eqNullSafe(F.col("s.l_returnflag")),
     ).select(F.col("e.l_returnflag"), "exact_distinct_parts", "sketch")
+    # coalesce(0): an all-NULL-partkey input yields a NULL sketch (aggs
+    # skip NULLs), and NULL estimates must degrade to 0 so the pinned-TRUE
+    # booleans stay TRUE (exact is 0 there too), not NULL.
     direct_global = li.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("__direct")
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")), F.lit(0)
+        ).alias("__direct")
     ).crossJoin(exact_global)
     merged = sketch_per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est")
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")), F.lit(0)
+        ).alias("__est")
     )
     rsd_ok = (
         F.abs(F.col("__est") - F.col("exact_distinct_parts")) * 10
@@ -1375,7 +1388,7 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per_group.select(
         "l_returnflag",
         "exact_distinct_parts",
-        F.hll_sketch_estimate("sketch").alias("__est"),
+        F.coalesce(F.hll_sketch_estimate("sketch"), F.lit(0)).alias("__est"),
     ).select(
         "l_returnflag",
         "exact_distinct_parts",

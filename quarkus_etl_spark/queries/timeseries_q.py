@@ -910,6 +910,11 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_pit",
+    # The `pv <> value` change-detection below is NULL-UNSAFE ON BOTH
+    # ENGINES BY DESIGN (same change-collapse semantics as q_scd2_build's
+    # oracle, which this one embeds) — fuzz-proven in r8's <> audit. Do
+    # NOT convert to IS DISTINCT FROM; the q_table_diff null-safe fix
+    # does not generalize to the collapse compare.
     oracle="""
     WITH clicks AS (
         SELECT user_id, ts, event_id, value FROM events

@@ -109,6 +109,16 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+# Executed-plan capture for the live-streaming plan-audit pin (VERDICT r8
+# #5): tools/plan_audit.py cannot sweep the q_stream_live_* queries —
+# calling them EXECUTES a real micro-batch run — so each completed
+# memory-sink run records its last micro-batch's executed physical plan
+# here, keyed by sink name, and tests/test_streaming.py asserts the same
+# marker classes the batch manifest freezes (no CartesianProduct, the
+# expected stateful operators, no stray Python boundary).
+LAST_EXECUTED_PLANS: dict[str, str] = {}
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> StreamingQuery:
@@ -116,6 +126,13 @@ def run_stream_to_memory(
     currently-available input is processed."""
     q = df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
     q.processAllAvailable()
+    try:
+        # explainInternal(True) = the extended explain of the LAST executed
+        # micro-batch (what StreamingQuery.explain prints); capture must
+        # happen before stop() discards the incremental execution.
+        LAST_EXECUTED_PLANS[name] = q._jsq.explainInternal(True)
+    except Exception:  # noqa: BLE001 - capture is an audit aid, never fatal
+        LAST_EXECUTED_PLANS.setdefault(name, "")
     return q
 
 

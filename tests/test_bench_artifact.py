@@ -104,3 +104,49 @@ def test_vs_prev_prefers_low_variance_v2_probe(tmp_path, monkeypatch):
     sec = bench._vs_prev_section({"q_a": 1.0}, 0.20, None)
     assert sec["calib_probe_used"] == "v1"
     assert sec["host_ratio_vs_prev"] == 2.0
+
+
+def test_load_prev_empty_file_warns_and_returns_none(tmp_path, capsys):
+    """`python bench.py > bench_out.json` truncates the prev artifact at
+    shell-open time; an empty prev must degrade loudly, not silently
+    (ADVICE r8)."""
+    p = tmp_path / "empty.json"
+    p.write_text("")
+    assert bench._load_prev_artifact(str(p)) is None
+    assert "EMPTY" in capsys.readouterr().err
+
+
+def test_vs_prev_uses_startup_snapshot_not_lazy_read(tmp_path):
+    """main() snapshots the prev artifact before the bench runs; the
+    section must honor a passed snapshot even if the file has since been
+    truncated (the redirect workflow)."""
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps({"queries": {"q_a": 1.0}, "calib_sec": 0.1}))
+    snap = bench._load_prev_artifact(str(p))
+    p.write_text("")  # the shell redirect's truncation
+    sec = bench._vs_prev_section({"q_a": 1.0}, 0.1, None, prev=snap, path=str(p))
+    assert sec["normalized_vs_prev"] == 1.0
+
+
+def test_oracle_ratio_section_shared_total(tmp_path, monkeypatch):
+    """VERDICT r8 #1: the ratio is computed over the SHARED positive-timed
+    queries only (rows-only Spark queries and errored oracle entries are
+    excluded)."""
+    ob = {
+        "engine": "duckdb x",
+        "dataset": "sf0.1",
+        "queries": {"q_a": 1.0, "q_b": 3.0, "q_err": -1.0, "q_only_oracle": 2.0},
+    }
+    p = tmp_path / "oracle_bench.json"
+    p.write_text(json.dumps(ob))
+    monkeypatch.setattr(bench, "ORACLE_BENCH_PATH", str(p))
+    sec = bench._oracle_ratio_section({"q_a": 2.0, "q_b": 6.0, "q_rows_only": 1.0})
+    assert sec["shared_queries"] == 2
+    assert sec["oracle_total_sec"] == 4.0
+    assert sec["spark_shared_total_sec"] == 8.0
+    assert sec["spark_vs_oracle_ratio"] == 2.0
+
+
+def test_oracle_ratio_section_missing_artifact(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "ORACLE_BENCH_PATH", str(tmp_path / "nope.json"))
+    assert bench._oracle_ratio_section({"q_a": 1.0}) == {"oracle_artifact": None}

@@ -856,3 +856,61 @@ def test_stream_stream_join_checkpoint_restart_exactly_once(spark, tmp_path):
     got = {(r["p_event"], r["v_event"]) for r in rows}
     assert len(rows) == 3, f"duplicate or extra emission: {sorted(got)}"
     assert got == {(1, 101), (3, 103), (4, 104)}, sorted(got)
+
+
+# VERDICT r8 #5 — close the plan-audit gate's streaming blind spot: the
+# q_stream_live_* queries are excluded from tools/plan_audit.py's sweep
+# (calling them executes a real micro-batch run), so their executed plans
+# are captured HERE, from the runs themselves, and pinned to the same
+# marker discipline the frozen batch manifest enforces. Expectations per
+# query: (memory-sink name, required stateful-operator markers).
+_LIVE_PLAN_EXPECT = {
+    "q_stream_live_tumbling": (
+        "live_tumbling", ["StateStoreRestore", "StateStoreSave"]),
+    "q_stream_live_sliding": (
+        "live_sliding", ["StateStoreRestore", "StateStoreSave"]),
+    "q_stream_live_session": (
+        "live_session", ["SessionWindowStateStore"]),
+    "q_stream_live_dedup": ("live_dedup", ["StreamingDeduplicate"]),
+    "q_stream_live_join": ("live_ssj", ["StreamingSymmetricHashJoin"]),
+    "q_stream_live_static_join": ("live_static_join", ["BroadcastHashJoin"]),
+    "q_stream_live_eviction": (
+        "live_eviction", ["StateStoreRestore", "StateStoreSave"]),
+}
+
+# The batch manifest's anti-pattern classes: unbounded products and
+# Python-boundary nodes have no place in ANY live stream's micro-batch
+# plan (none of the 7 is a declared UDF query).
+_LIVE_PLAN_FORBID = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "MapInArrow",
+    "ArrowWindowPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
+
+
+def test_live_streaming_executed_plan_markers(spark, sf_dir):
+    """Runs every q_stream_live_* query for real and audits the executed
+    physical plan of its final micro-batch (captured by
+    run_stream_to_memory before stop()): the expected state operator is
+    present, no anti-pattern node class appears."""
+    from quarkus_etl_spark.queries import all_query_callables
+    from quarkus_etl_spark.streaming import streams
+
+    qs = all_query_callables()
+    assert set(_LIVE_PLAN_EXPECT) == {
+        n for n in qs if n.startswith("q_stream_live_")
+    }, "live-query inventory drifted: update _LIVE_PLAN_EXPECT deliberately"
+    for qname, (sink, required) in sorted(_LIVE_PLAN_EXPECT.items()):
+        qs[qname](spark, sf_dir).collect()
+        plan = streams.LAST_EXECUTED_PLANS.get(sink, "")
+        assert plan, f"{qname}: no executed plan captured for sink {sink}"
+        for marker in required:
+            assert marker in plan, f"{qname}: expected {marker} in executed plan"
+        for marker in _LIVE_PLAN_FORBID:
+            assert marker not in plan, f"{qname}: forbidden {marker} in plan"

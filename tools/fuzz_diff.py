@@ -26,11 +26,12 @@ Mutation classes are phased so a failure is attributable:
           variants, trailing whitespace, NFC-vs-NFD combining chars,
           empty string ≠ NULL) — clock-skewed sources and dirty metadata.
   phase 5: REFERENTIAL hostility — orphan foreign keys (o_custkey /
-          l_orderkey / events.user_id pointing at nothing), duplicated
-          primary keys (o_orderkey, c_custkey double-ingestion), and
-          NULL join/partition keys (user_id) — the shapes schema drift
-          and at-least-once ingestion produce. Joins must agree on
-          drop/fan-out/NULL-group semantics in both engines.
+          l_orderkey / l_partkey / l_suppkey / c_nationkey / s_nationkey /
+          events.user_id pointing at nothing), duplicated primary keys
+          (o_orderkey, c_custkey double-ingestion), and NULL join/
+          partition keys (user_id, plus every FK above) — the shapes
+          schema drift and at-least-once ingestion produce. Joins must
+          agree on drop/fan-out/NULL-group semantics in both engines.
   phase 6: HOT-DUPLICATE multiplicity — one document text and one
           embedding vector each cloned into ~50 rows (the boilerplate-
           page / default-embedding shape). Exercises the r7 duplicate-
@@ -298,6 +299,18 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
             rows[i]["l_orderkey"] = rows[i]["l_orderkey"] + 10_000_000
         for i in grab(pct):  # order id lost in transit: NULL FK/PK-part
             rows[i]["l_orderkey"] = None
+        # r9 extension (VERDICT r8 #4): the other lineitem FKs the TPC-H
+        # shapes join through (q2/q9/q14/q16/q17/q19/q20 via l_partkey,
+        # q15/q16/q21 via l_suppkey) — and q_agg_hll_merge sketches
+        # l_partkey, where a NULL must not count as a distinct value.
+        for i in grab(pct):  # part catalog pruned upstream: orphan FK
+            rows[i]["l_partkey"] = rows[i]["l_partkey"] + 10_000_000
+        for i in grab(pct):  # part id lost in transit: NULL FK
+            rows[i]["l_partkey"] = None
+        for i in grab(pct):  # supplier delisted: orphan FK
+            rows[i]["l_suppkey"] = rows[i]["l_suppkey"] + 10_000_000
+        for i in grab(pct):  # supplier id lost in transit: NULL FK
+            rows[i]["l_suppkey"] = None
         # ALL-NULL measure group: every quantity of one return-flag group
         # becomes NULL. Point NULLs (~1%) can never produce this shape, and
         # it is the one that erased a whole group from median/MAD-style
@@ -359,10 +372,33 @@ def _mutate_customer(rows: list[dict], rng: random.Random, phase: int) -> None:
         src = rows[rng.randrange(n)]
         if src["c_custkey"] != rows[i]["c_custkey"]:
             rows[i]["c_custkey"] = src["c_custkey"]
+    # r9 (VERDICT r8 #4): the customer->nation FK (q_tpch_q2/q5/q7/q8/q10
+    # join through it) — region reorg orphans + lost ids
+    for i in grab(pct):
+        rows[i]["c_nationkey"] = rows[i]["c_nationkey"] + 10_000_000
+    for i in grab(pct):
+        rows[i]["c_nationkey"] = None
+
+
+def _mutate_supplier(rows: list[dict], rng: random.Random, phase: int) -> None:
+    if phase < 5:
+        return
+    n = len(rows)
+    idx = list(range(n))
+    rng.shuffle(idx)
+    grab = _grabber(idx)
+    pct = max(1, n // 100)
+    # r9 (VERDICT r8 #4): the supplier->nation FK (q_tpch_q2/q5/q7/q8/q9
+    # join through it; q21 FILTERS on it — NULLs must drop identically)
+    for i in grab(pct):
+        rows[i]["s_nationkey"] = rows[i]["s_nationkey"] + 10_000_000
+    for i in grab(pct):
+        rows[i]["s_nationkey"] = None
 
 
 MUTATORS = {
     "customer": _mutate_customer,
+    "supplier": _mutate_supplier,
     "documents": _mutate_documents,
     "embeddings": _mutate_embeddings,
     "events": _mutate_events,

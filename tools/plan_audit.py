@@ -29,9 +29,11 @@ must be regenerated deliberately (`--write`), mirroring
 tools/type_audit.py's frozen-manifest discipline.
 
 The q_stream_live_* queries are excluded: calling them EXECUTES a real
-micro-batch run (their batch window shapes are audited via the
-q_stream_* variants), and streaming physical plans are owned by the
-streaming tests.
+micro-batch run. Their executed micro-batch plans are audited instead by
+tests/test_streaming.py::test_live_streaming_executed_plan_markers
+(VERDICT r8 #5), which runs each live query and pins the same forbidden
+node classes plus the expected stateful operators, via the plan capture
+in streaming/streams.py::run_stream_to_memory.
 
 Usage:
     python -m tools.plan_audit --check   # gate (exit 1 on drift)
@@ -58,7 +60,10 @@ MARKERS = (
 )
 
 MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_markers.json")
-SF_DIR = "/root/testdata/sf0.001"
+# Marker sweeps run at the smallest fixture for speed; honor the repo-wide
+# SPARK_GRAFT_SF_DIR convention (bench.py, verify skill) but keep sf0.001
+# as the default — the manifest was frozen at that scale (ADVICE r8).
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 def sweep(spark, sf_dir: str = SF_DIR) -> dict[str, list[str]]:
