@@ -180,18 +180,45 @@ def oracle_bench_main() -> None:
 
     oracles = all_oracles()
     timings: dict[str, float] = {}
+    timed_out: list[str] = []
+    # Two guards keep the wall bounded on queries DuckDB handles poorly
+    # (measured: q_dedup_canonical — the iterate-to-fixpoint connected-
+    # components oracle — 373 s in DuckDB at sf0.1 vs 3.6 s in Spark):
+    # - per-query BUDGET via con.interrupt() from a watchdog timer; an
+    #   interrupted query records the budget itself as a FLOOR value and
+    #   is listed in `timed_out` — truncation UNDERSTATES the DuckDB
+    #   denominator, so the published spark_vs_oracle_ratio is an upper
+    #   bound (conservative against Spark), never flattery;
+    # - repeat-pass guard (mirrors the Spark side's wall-clock guard): a
+    #   first pass that already ran long gets no second pass.
+    budget = float(os.environ.get("SPARK_GRAFT_ORACLE_BUDGET_SEC", "120"))
+    repeat_guard = float(os.environ.get("SPARK_GRAFT_ORACLE_GUARD_SEC", "30"))
+    import threading
+
     for name in sorted(oracles):
-        for _ in range(n_runs):
+        for attempt in range(n_runs):
             start = time.monotonic()
+            watchdog = threading.Timer(budget, con.interrupt)
+            watchdog.start()
             try:
                 con.execute(oracles[name]).fetch_arrow_table()
             except Exception as e:  # noqa: BLE001
-                timings.setdefault(name, -1.0)
-                print(f"oracle bench error in {name}: {e}", file=sys.stderr)
+                watchdog.cancel()
+                if time.monotonic() - start >= budget - 1:
+                    timings[name] = round(budget, 4)
+                    timed_out.append(name)
+                    print(f"oracle BUDGET-FLOOR {name}: >{budget}s", file=sys.stderr)
+                else:
+                    timings.setdefault(name, -1.0)
+                    print(f"oracle bench error in {name}: {e}", file=sys.stderr)
                 break
+            watchdog.cancel()
             secs = round(time.monotonic() - start, 4)
             prev = timings.get(name)
             timings[name] = secs if prev is None or prev < 0 else min(prev, secs)
+            if attempt == 0 and secs > repeat_guard:
+                break
+        print(f"oracle {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     result = {
         "metric": "oracle_inventory_wall_sec",
@@ -203,6 +230,10 @@ def oracle_bench_main() -> None:
         "bench_runs": n_runs,
         "n_queries": len(timings),
         "n_errors": sum(1 for v in timings.values() if v < 0),
+        # interrupted at the per-query budget: their recorded time is a
+        # FLOOR, so total/ratio understate DuckDB's true cost
+        "timed_out_at_budget": sorted(timed_out),
+        "budget_sec": budget,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else None,
         "dataset": os.path.basename(os.path.normpath(sf_dir)),
         "note": (
@@ -243,6 +274,11 @@ def _oracle_ratio_section(timings: dict[str, float]) -> dict:
         "shared_queries": len(shared),
         "spark_shared_total_sec": spark_total,
         "oracle_total_sec": oracle_total,
+        # queries DuckDB could not finish inside the per-query budget —
+        # their oracle time is a floor, so the ratio is an UPPER bound
+        "oracle_floor_queries": sorted(
+            n for n in ob.get("timed_out_at_budget", []) if n in shared
+        ),
         "spark_vs_oracle_ratio": round(spark_total / oracle_total, 4),
     }
 
