@@ -150,3 +150,34 @@ def test_oracle_ratio_section_shared_total(tmp_path, monkeypatch):
 def test_oracle_ratio_section_missing_artifact(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "ORACLE_BENCH_PATH", str(tmp_path / "nope.json"))
     assert bench._oracle_ratio_section({"q_a": 1.0}) == {"oracle_artifact": None}
+
+
+def test_time_oracles_budget_floor_and_recovery():
+    """The oracle-bench watchdog (VERDICT r8 #1 machinery): a query that
+    blows the per-query budget is interrupted, recorded AT the budget as a
+    floor, and listed in timed_out; the connection stays usable for the
+    NEXT oracle; a genuine SQL error records -1; a fast query records its
+    real time."""
+    import duckdb
+
+    con = duckdb.connect()
+    oracles = {
+        # alphabetical run order: error -> fast -> slow -> fast again
+        "q_a_error": "SELECT * FROM this_table_does_not_exist",
+        "q_b_fast": "SELECT 42 AS x",
+        # unbounded-enough: a 3-way cross join DuckDB cannot finish in 0.3 s
+        "q_c_slow": (
+            "SELECT count(*) AS c FROM range(100000) a, range(100000) b,"
+            " range(100)"
+        ),
+        "q_d_after": "SELECT 7 AS y",
+    }
+    timings, timed_out = bench._time_oracles(
+        con, oracles, n_runs=2, budget=0.3, repeat_guard=0.2
+    )
+    assert timings["q_a_error"] == -1.0
+    assert 0 < timings["q_b_fast"] < 0.3
+    assert timings["q_c_slow"] == 0.3 and timed_out == ["q_c_slow"]
+    # the pending-interrupt absorb: the query AFTER the floored one must
+    # still measure normally
+    assert 0 < timings["q_d_after"] < 0.3
