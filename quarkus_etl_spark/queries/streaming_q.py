@@ -261,10 +261,29 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     where both rows are present — emission never waits on the watermark
     (only state EVICTION does) — so over a finite source the appended
     output is exactly the batch interval join, which is what makes a live
-    dual-stream execution hash-checkable against SQL. The watermark here
-    (90 days, i.e. beyond the fixture's 30-day span) pins "no eviction
-    ever fires" so the randomly-ordered 4-file input can't lose late
-    matches; production would size it to the real out-of-orderness and
+    dual-stream execution hash-checkable against SQL. Two input-domain
+    hazards found by the adversarial fuzz (r9 seed-31 @sf0.01,
+    spark=119 vs batch=121) and fixed here:
+
+    - the no-eviction watermark must exceed the event-time span of ANY
+      input this gate can feed — NOT just the pristine fixture's 30
+      days: the fuzz mints 1900 and 2200 clock-skew extremes (~110 000
+      days apart), and a 90-day watermark loses matches when a
+      far-future row in an early micro-batch advances the watermark
+      past later-arriving normal rows. 150 000 days covers the era.
+    - **Spark floors stream watermarks at epoch 0** (watermark state is
+      non-negative ms), so a PRE-1970 event time is late-by-construction
+      in a watermarked stream-stream join no matter the delay — proven
+      with a minimal repro: two same-instant 1900 rows under a
+      150 000-day watermark join to NOTHING. The engine-side answer is
+      ERA TRANSLATION: shift both sides' event time by a constant
+      +73 000 days (~200 years) before the watermarked join; the
+      interval condition and the lag difference are translation-
+      invariant (UTC session, fixed 86 400 s days), so the output is
+      bit-identical to the batch oracle while 1900-era legacy rows land
+      safely post-epoch.
+
+    Production would size the watermark to the real out-of-orderness and
     accept dropping older-than-watermark arrivals, keeping per-key state
     bounded by watermark + window."""
     from ..streaming.streams import (
@@ -281,11 +300,17 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.mode(
         "overwrite"
     ).parquet(path)
+    # era translation (see docstring): both sides shifted identically, so
+    # the join condition and lag_s are unchanged while pre-epoch rows
+    # clear Spark's non-negative watermark domain
+    era = F.expr("INTERVAL '73000' DAY")
     purchases = (
         file_stream(spark, path, max_files_per_trigger=2)
         .where(F.col("event_type") == "purchase")
         .select(
-            F.col("event_id").alias("p_event"), "user_id", F.col("ts").alias("p_ts")
+            F.col("event_id").alias("p_event"),
+            "user_id",
+            (F.col("ts") + era).alias("p_ts"),
         )
     )
     touches = (
@@ -294,7 +319,7 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id").alias("v_event"),
             "user_id",
-            F.col("ts").alias("v_ts"),
+            (F.col("ts") + era).alias("v_ts"),
         )
     )
     joined = stream_stream_interval_join(
@@ -304,7 +329,7 @@ def q_stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="p_ts",
         right_ts="v_ts",
         window="1 hour",
-        watermark="90 days",
+        watermark="150000 days",
     )
     out = joined.select(
         "p_event",

@@ -914,3 +914,63 @@ def test_live_streaming_executed_plan_markers(spark, sf_dir):
             assert marker in plan, f"{qname}: expected {marker} in executed plan"
         for marker in _LIVE_PLAN_FORBID:
             assert marker not in plan, f"{qname}: forbidden {marker} in plan"
+
+
+def test_stream_join_epoch_floor_and_era_translation(spark, tmp_path):
+    """Spark floors stream watermarks at epoch 0 (watermark state is
+    non-negative ms), so PRE-1970 event times are late-by-construction in
+    a watermarked stream-stream join — no delay can save them. Pinned
+    empirically (r9 seed-31 fuzz find, the q_stream_live_join fix):
+
+    - CONTROL: two same-instant 1900 rows under a 150000-day watermark
+      join to NOTHING (proves the floor is real and this test has teeth);
+    - FIX: translating both sides' event time by a constant era offset
+      (+73000 days) lands them post-epoch and the pair joins; the
+      interval condition is translation-invariant.
+    """
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "epoch_floor")
+    import os
+
+    os.makedirs(path)
+    rows = [(1, 7, dt.datetime(1900, 6, 15, 12, 0)),
+            (2, 7, dt.datetime(1900, 6, 15, 12, 0))]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "uid": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us", tz="UTC")),
+        }),
+        f"{path}/f0.parquet",
+    )
+
+    def run(shift_days: int, sink: str) -> list:
+        s = spark.readStream.format("parquet").schema(
+            "event_id long, uid long, ts timestamp"
+        ).load(path)
+        if shift_days:
+            s = s.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL '{shift_days}' DAY"))
+        a = s.where(F.col("event_id") == 1).withWatermark("ts", "150000 days").alias("a")
+        b = s.where(F.col("event_id") == 2).withWatermark("ts", "150000 days").alias("b")
+        j = a.join(
+            b,
+            (F.col("a.uid") == F.col("b.uid"))
+            & (F.col("b.ts") <= F.col("a.ts"))
+            & (F.col("b.ts") > F.col("a.ts") - F.expr("INTERVAL 1 hour")),
+            "inner",
+        ).select(F.col("a.event_id").alias("l"), F.col("b.event_id").alias("r"))
+        q = j.writeStream.format("memory").queryName(sink).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        return [tuple(r) for r in spark.table(sink).collect()]
+
+    assert run(0, "epoch_floor_ctl") == [], (
+        "control broke: pre-epoch rows now survive a watermarked "
+        "stream-stream join — Spark lifted the epoch floor; the era "
+        "translation in q_stream_live_join may be removable"
+    )
+    assert run(73000, "epoch_floor_fix") == [(1, 2)]
