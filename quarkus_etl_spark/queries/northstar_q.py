@@ -673,7 +673,8 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(pos1 - 1 AS BIGINT) AS pos,
-           CAST(sum(CAST(floor(x * 1000000000000000.0) AS DECIMAL(28,0))) AS DOUBLE)
+           CAST(CAST(sum(CAST(floor(x * 1000000000000000.0) AS DECIMAL(28,0)))
+                     AS VARCHAR) AS DOUBLE)
                / 1000000000000000.0 / count(*) AS centroid
     FROM (
         SELECT label,
@@ -704,8 +705,14 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("v").alias("pos", "x")
     )
     q = F.floor(F.col("x") * F.lit(1e15)).cast("decimal(28,0)")
+    # decimal -> double THROUGH A STRING (the q_agg_corr bridge): the
+    # exact sum exceeds 2^53 once a (label,pos) cell has ~10+ rows of
+    # 1e15-scale terms, and DuckDB's int128->double conversion measured
+    # 1 ULP off Spark's BigDecimal cast there (r9 seed-53 phase-6 fuzz —
+    # a hot-duplicate burst surfaced it); both engines parse decimal
+    # strings correctly rounded.
     return exploded.groupBy("label", F.col("pos").cast("long").alias("pos")).agg(
-        (F.sum(q).cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("centroid")
+        (F.sum(q).cast("string").cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("centroid")
     )
 
 
@@ -1161,8 +1168,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(qi AS DECIMAL(28,0))) AS DOUBLE) AS sx,
                CAST(SUM(CAST(qj AS DECIMAL(28,0))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(qi AS DECIMAL(28,0)) * CAST(qj AS DECIMAL(28,0)))
-                    AS DOUBLE) AS sxy
+               CAST(CAST(SUM(CAST(qi AS DECIMAL(28,0)) * CAST(qj AS DECIMAL(28,0)))
+                         AS VARCHAR) AS DOUBLE) AS sxy
         FROM q GROUP BY i, j
     )
     SELECT CAST(i - 1 AS BIGINT) AS pos_i, CAST(j - 1 AS BIGINT) AS pos_j,
@@ -1204,7 +1211,11 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("qi").cast(dec)).cast("double").alias("sx"),
         F.sum(F.col("qj").cast(dec)).cast("double").alias("sy"),
+        # sxy string-bridged: 1e14-scale products over thousands of rows
+        # exceed 2^53 (same r9 fuzz class as q_emb_centroid); sx/sy stay
+        # ~1e10 at gate scales — exact in double, no bridge needed
         F.sum(F.col("qi").cast(dec) * F.col("qj").cast(dec))
+        .cast("string")
         .cast("double")
         .alias("sxy"),
     )
@@ -1334,7 +1345,8 @@ _KMEANS_ORACLE = """
             FROM d1) WHERE rn = 1
     ), c1 AS (
         SELECT a.cluster, e.pos,
-               CAST(SUM(CAST(floor(e.x * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(floor(e.x * 1e15) AS DECIMAL(38,0)))
+                         AS VARCHAR) AS DOUBLE)
                    / 1e15 / COUNT(*) AS c
         FROM ex e JOIN a1 a ON e.vec_id = a.vec_id
         GROUP BY a.cluster, e.pos
@@ -1352,7 +1364,8 @@ _KMEANS_ORACLE = """
             FROM d2) WHERE rn = 1
     ), c2 AS (
         SELECT a.cluster, e.pos,
-               CAST(SUM(CAST(floor(e.x * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(floor(e.x * 1e15) AS DECIMAL(38,0)))
+                         AS VARCHAR) AS DOUBLE)
                    / 1e15 / COUNT(*) AS c
         FROM ex e JOIN a2 a ON e.vec_id = a.vec_id
         GROUP BY a.cluster, e.pos
@@ -1472,7 +1485,10 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex.join(assigned, "vec_id")
             .groupBy("cluster", "pos")
             .agg(
-                (F.sum(q).cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("c")
+                # string-bridged decimal->double: cluster cells exceed 2^53
+                # (see q_emb_centroid — same r9 fuzz class); a 1-ULP mean
+                # skew here could flip the floor(c*1e9) checksum
+                (F.sum(q).cast("string").cast("double") / F.lit(1e15) / F.count(F.lit(1))).alias("c")
             )
         )
 
