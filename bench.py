@@ -281,16 +281,24 @@ def oracle_bench_main() -> None:
     print(json.dumps({k: v for k, v in result.items() if k != "queries"}))
 
 
-def _oracle_ratio_section(timings: dict[str, float]) -> dict:
+def _oracle_ratio_section(timings: dict[str, float], dataset: str | None = None) -> dict:
     """Embed the committed oracle_bench.json denominator (VERDICT r8 #1):
     Spark-vs-DuckDB total over the SHARED oracled queries at the same
     dataset, so the 2x-of-baseline bar is a measured ratio in the bench
-    artifact instead of a trend-only claim."""
+    artifact instead of a trend-only claim. A dataset mismatch (bench run
+    at a different SF than the committed oracle artifact) yields a marker
+    instead of a cross-scale ratio that would mean nothing."""
     try:
         with open(ORACLE_BENCH_PATH) as f:
             ob = json.load(f)
     except Exception:  # noqa: BLE001 - artifact simply not generated yet
         return {"oracle_artifact": None}
+    if dataset is not None and ob.get("dataset") not in (None, dataset):
+        return {
+            "oracle_artifact": os.path.basename(ORACLE_BENCH_PATH),
+            "oracle_dataset": ob.get("dataset"),
+            "dataset_mismatch": dataset,
+        }
     oq = ob.get("queries", {})
     shared = [n for n in oq if n in timings and oq[n] > 0 and timings[n] > 0]
     if not shared:
@@ -579,7 +587,9 @@ def main() -> None:
         # measured denominator for the "within 2x of baseline" bar
         # (VERDICT r8 #1): DuckDB wall over the same oracled queries and
         # data, from the committed `python bench.py --oracle-bench` artifact
-        "oracle_bench": _oracle_ratio_section(timings),
+        "oracle_bench": _oracle_ratio_section(
+            timings, dataset=os.path.basename(os.path.normpath(sf_dir))
+        ),
         # host-regime probes. calib_sec is the LEGACY v1 probe (min-of-3,
         # 0.2 s single-wave plan), kept bit-compatible so ratios against
         # pre-v2 artifacts still work — but it is turbo-burst noisy

@@ -181,3 +181,20 @@ def test_time_oracles_budget_floor_and_recovery():
     # the pending-interrupt absorb: the query AFTER the floored one must
     # still measure normally
     assert 0 < timings["q_d_after"] < 0.3
+
+
+def test_oracle_ratio_section_dataset_mismatch(tmp_path, monkeypatch):
+    """A bench run at a different SF than the committed oracle artifact
+    must yield a mismatch marker, never a cross-scale ratio."""
+    p = tmp_path / "oracle_bench.json"
+    p.write_text(json.dumps({"dataset": "sf0.1", "queries": {"q_a": 1.0}}))
+    monkeypatch.setattr(bench, "ORACLE_BENCH_PATH", str(p))
+    sec = bench._oracle_ratio_section({"q_a": 2.0}, dataset="sf0.001")
+    assert sec == {
+        "oracle_artifact": "oracle_bench.json",
+        "oracle_dataset": "sf0.1",
+        "dataset_mismatch": "sf0.001",
+    }
+    # matching dataset still produces the ratio
+    sec = bench._oracle_ratio_section({"q_a": 2.0}, dataset="sf0.1")
+    assert sec["spark_vs_oracle_ratio"] == 2.0
