@@ -178,10 +178,22 @@ def _time_oracles(
 
             watchdog = threading.Timer(budget, _interrupt)
             watchdog.start()
+
+            def _settle(w=watchdog):
+                # cancel() is a no-op if the timer thread already left its
+                # wait — join() then blocks until _interrupt (evt.set +
+                # con.interrupt) has fully run, so fired.is_set() below is
+                # race-free. Without the join, a timer caught in the instant
+                # between query completion and cancel() could set the
+                # connection's pending interrupt AFTER the is_set() check,
+                # spuriously killing the NEXT oracle (ADVICE r9 #1).
+                w.cancel()
+                w.join()
+
             try:
                 con.execute(oracles[name]).fetch_arrow_table()
             except Exception as e:  # noqa: BLE001
-                watchdog.cancel()
+                _settle()
                 if fired.is_set():
                     # floor never overwrites a real faster measurement from
                     # an earlier attempt (a repeat pass can only be
@@ -195,13 +207,14 @@ def _time_oracles(
                     timings.setdefault(name, -1.0)
                     print(f"oracle bench error in {name}: {e}", file=sys.stderr)
                 break
-            watchdog.cancel()
+            _settle()
             secs = round(time.monotonic() - start, 4)
             if fired.is_set():
                 # the timer fired in the gap between query completion and
                 # cancel(): the interrupt flag is pending on the connection
                 # and would spuriously kill the NEXT execute — absorb it on
-                # a throwaway statement
+                # a throwaway statement (_settle joined the timer thread, so
+                # this flag now reflects every interrupt that will ever fire)
                 try:
                     con.execute("SELECT 1").fetchall()
                 except Exception:  # noqa: BLE001
@@ -239,12 +252,16 @@ def oracle_bench_main() -> None:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.1"
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     con = duck_connection(sf_dir)
-    # page-cache warm: one full scan per table, untimed (the Spark bench
-    # warms identically by materializing every fixture before timing)
+    # page-cache warm: one FULLY MATERIALIZED scan per table, untimed (the
+    # Spark bench warms identically by materializing every fixture before
+    # timing). NOT count(*) — DuckDB answers that from parquet row-group
+    # metadata without touching column data, so the old warm was a no-op
+    # and with SPARK_GRAFT_BENCH_RUNS=1 the first timed pass absorbed cold
+    # I/O, inflating the DuckDB denominator asymmetrically (ADVICE r9 #2).
     from quarkus_etl_spark.catalog import TABLES
 
     for tbl in TABLES:
-        con.execute(f"SELECT count(*) FROM {tbl}").fetchall()
+        con.execute(f"SELECT * FROM {tbl}").fetch_arrow_table()
 
     oracles = all_oracles()
     budget = float(os.environ.get("SPARK_GRAFT_ORACLE_BUDGET_SEC", "120"))

@@ -69,6 +69,24 @@ def ensure_views(spark: SparkSession, sf_dir: str) -> None:
 # Cross-engine exact-arithmetic helpers (Spark side + SQL-text side).
 # Money-like fixture doubles carry ≤2 decimal digits, so DECIMAL(18,2) is a
 # lossless container; sums in decimal are exact in both engines.
+#
+# DELIBERATE EXEMPTION from the string-bridge (pin per VERDICT r9 #5): the
+# direct `CAST(decimal AS DOUBLE)` these helpers emit is only safe while the
+# decimal's integer magnitude stays under 2^53 — past that, DuckDB's
+# int128→double conversion is NOT correctly rounded (measured 1 ULP off
+# Spark's BigDecimal cast, r9 fuzz seed 53 phase 6), and the remedy is to
+# bridge decimal→double THROUGH A STRING on both engines (decimal text
+# parses correctly rounded everywhere; see q_agg_corr and the three
+# embedding-moment queries in northstar_q.py, which sum floor(x*1e15)
+# fixed-point terms at 1e14+ scale and DID cross 2^53 under a hot-duplicate
+# burst). This scale-2 money family stays direct-cast ON PURPOSE: its sums
+# are bounded by |rows|·max(|price|) ≈ 6e6·1e5 = 6e11 at sf1 — three orders
+# of magnitude under 2^53 even at a 100× gate scale-up — the r9 stretch
+# probe drove 1e12 value extremes through all 17 events-value aggregators
+# without reaching the class, and five rounds of fuzz never hit it. Do not
+# "fix" these helpers to the string form blindly (it would churn 100+ green
+# oracle fingerprints for no semantic change), and do not widen their use
+# to fixed-point families at 1e15 scale (those MUST use the string bridge).
 # ---------------------------------------------------------------------------
 
 DEC = "decimal(18,2)"
@@ -271,39 +289,31 @@ _PREVIOUSLY_GRADED = frozenset({
     # changed its exact-count build again (count the non-NULL partkeys —
     # a NULL counted as a distinct value diverged from both the oracle's
     # COUNT(DISTINCT) and the sketch, ADVICE r8) — requeued.
+    # --- CORRECTNESS_r09.json: 50 graded — 50 hash-PASS (the full r9
+    # regrade queue: the hll_merge NULL-count fix, the stream-join era
+    # translation, the three string-bridged embedding moments, plus the
+    # staleness sweep of the oldest northstar/curation/text verdicts).
+    # Folded per VERDICT r9 #1. The three embedding-moment regrades land
+    # here; q_agg_hll_merge and q_stream_live_join stay ABSENT one more
+    # round — VERDICT r9 #1 asks the r10 sample to LEAD with the two
+    # r9-changed queries (a second post-fix confirmation) before they
+    # rejoin the staleness rotation.
+    "q_emb_centroid", "q_emb_covariance", "q_emb_kmeans",
 })
 
-# The r9 grading queue (ADVICE r8 + the r9 NULL-FK fuzz extension):
-# fresh verdicts for everything whose implementation or oracle changed
-# since its last grade. The remaining ~49 window slots fall through to
-# priority-3 re-confirmations ordered by STALENESS (least recently
-# graded round first, from the committed CORRECTNESS records), which
-# this round surfaces the r3-r5-graded relational/lifecycle/curation
-# blocks (VERDICT r8 #3).
+# The r10 grading queue (VERDICT r9 #1): the two r9-CHANGED queries lead
+# the window for a second post-fix confirmation — both already hold a
+# fresh r9 hash-PASS, but their fixes (the hll NULL-count build and the
+# stream-join era translation) landed and were graded within the same
+# round, so the judge asked for one more independent driver verdict
+# before they rejoin the staleness rotation. The remaining ~48 window
+# slots fall through to priority-3 re-confirmations ordered by STALENESS
+# (least recently graded round first, from the committed CORRECTNESS
+# records), which this round surfaces the oldest r3/r4-graded
+# relational/lifecycle blocks.
 _GRADE_FIRST = (
-    # ADVICE r8: the exact counts behind the contract oracle now count
-    # NON-NULL partkeys (count("l_partkey") after the distinct, NULL
-    # estimates coalesced to 0) — a NULL l_partkey previously counted as
-    # a distinct value, diverging from both COUNT(DISTINCT) and the
-    # sketch; phase-5 fuzz now mints NULL l_partkey so the gate covers
-    # it. Impl changed — the r8 verdict is stale:
     "q_agg_hll_merge",
-    # r9 fuzz find (seed 31 phase 5 at the sf0.01 base): Spark floors
-    # stream watermarks at epoch 0, so pre-1970 event-time pairs were
-    # late-by-construction and silently dropped from the live
-    # stream-stream join (spark=119 vs batch=121). Fixed by constant era
-    # translation (+73000 days on both sides — interval condition and
-    # lag are translation-invariant); pre-epoch pin + epoch-floor control
-    # in tests/test_streaming.py. Impl changed — the r8 verdict is stale:
     "q_stream_live_join",
-    # r9 fuzz find #3 (seed 53 phase 6 at the sf0.01 base — hot-duplicate
-    # multiplicity): the exact fixed-point sums behind the embedding
-    # moments exceed 2^53, where DuckDB's int128->double conversion
-    # measured 1 ULP off Spark's BigDecimal cast (q_emb_centroid dim 6:
-    # ...566 vs ...564). All three now bridge decimal->double through a
-    # STRING on both engines (the q_agg_corr discipline) — impl+oracle
-    # changed, the r4 verdicts are stale:
-    "q_emb_centroid", "q_emb_covariance", "q_emb_kmeans",
 )
 
 

@@ -259,10 +259,14 @@ def test_outlier_mad_keeps_all_null_measure_group(spark, tmp_path):
 
 
 def test_fuzz_mutators_survive_tiny_row_pools():
-    """ADVICE r6: the phased mutators draw ~17*pct indexes from a finite
-    shuffled pool; on a base table with fewer rows than the draw budget the
-    build must degrade gracefully (fewer mutations), not crash with
-    StopIteration."""
+    """ADVICE r6: the phased mutators draw a multi-pct index budget from a
+    finite shuffled pool; on a base table with fewer rows than the budget
+    the build must degrade gracefully (fewer mutations), not crash with
+    StopIteration. Since r10 the phase-5 FK classes draw FIRST (ADVICE r9
+    #3 — tail position silently starved them on tiny pools; this very
+    test's original fixture omitted l_partkey/l_suppkey and nothing
+    noticed), so the fixture now carries the full FK surface the real
+    parquet has."""
     import datetime as dt
     import random
 
@@ -275,18 +279,36 @@ def test_fuzz_mutators_survive_tiny_row_pools():
     ]
     MUTATORS["events"](events, random.Random(7), 5)
     lineitem = [
-        dict(l_orderkey=i, l_returnflag="A", l_quantity=1.0,
-             l_extendedprice=2.0, l_discount=0.1,
+        dict(l_orderkey=i, l_partkey=i, l_suppkey=i, l_returnflag="A",
+             l_quantity=1.0, l_extendedprice=2.0, l_discount=0.1,
              l_shipdate=dt.date(2024, 1, 1))
         for i in range(5)
     ]
     MUTATORS["lineitem"](lineitem, random.Random(7), 5)
+    # the pool (5 rows) is smaller than the FK-class budget alone — the
+    # front-positioned FK draws must have actually fired on some rows
+    assert any(
+        r["l_partkey"] is None or r["l_partkey"] >= 10_000_000
+        or r["l_orderkey"] is None or (r["l_orderkey"] or 0) >= 10_000_000
+        for r in lineitem
+    )
+    orders = [
+        dict(o_orderkey=i, o_custkey=i, o_totalprice=10.0,
+             o_orderpriority="1-URGENT", o_orderdate=dt.datetime(2024, 1, 2))
+        for i in range(5)
+    ]
+    MUTATORS["orders"](orders, random.Random(7), 5)
+    customer = [dict(c_custkey=i, c_nationkey=i % 3) for i in range(4)]
+    MUTATORS["customer"](customer, random.Random(7), 5)
+    supplier = [dict(s_suppkey=i, s_nationkey=i % 3) for i in range(4)]
+    MUTATORS["supplier"](supplier, random.Random(7), 5)
     docs = [
         dict(doc_id=i, text=f"doc {i}", lang="en", source="s", n_chars=5)
         for i in range(4)
     ]
     MUTATORS["documents"](docs, random.Random(7), 5)
     assert len(events) == 10 and len(lineitem) == 5 and len(docs) == 4
+    assert len(orders) == 5 and len(customer) == 4 and len(supplier) == 4
 
 
 def test_nonfinite_money_cross_engine_divergence_is_pinned(spark):

@@ -107,6 +107,16 @@ def _norm_plan(plan: str, sf_dir: str) -> str:
     plan = re.sub(
         rf"(bk_[a-z0-9_]*?){os.getpid()}\b", r"\g<1><PID>", plan
     )
+    # lifecycle scratch dirs are keyed .scratch/<sf>.<pid>/ since r10 (the
+    # concurrency fix, VERDICT r9 #3) — the pid is session noise exactly
+    # like the bk_ suffix above. It is DROPPED (not replaced by a token):
+    # pre-r10 plans carried the bare .scratch/<sf>/ path, so erasing the
+    # pid reproduces the historical normal form and the committed
+    # lifecycle fingerprints stay valid — a path-only re-keying is not an
+    # implementation change and must not look like one.
+    plan = re.sub(
+        rf"(\.scratch/[^/\s]*?)\.{os.getpid()}\b", r"\g<1>", plan
+    )
     return plan
 
 
@@ -178,6 +188,13 @@ def diff_against_manifest(
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--check", action="store_true",
+                    help="verify the manifest and exit nonzero on drift — the "
+                         "default when --write is absent; the explicit flag "
+                         "exists so the round battery drives all three "
+                         "manifest gates (plan_audit / type_audit / "
+                         "fingerprint) with the same --check one-liner "
+                         "(VERDICT r9 #7)")
     ap.add_argument("--write", action="store_true", help="regenerate manifest")
     ap.add_argument("--force", action="store_true",
                     help="allow --write to overwrite drifted previously-graded entries")
@@ -185,6 +202,8 @@ def main() -> int:
                     help="check only src+oracle parts (no Spark session)")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR_FP", SF_DIR_DEFAULT))
     args = ap.parse_args()
+    if args.check and args.write:
+        ap.error("--check and --write are mutually exclusive")
 
     if args.cheap and not args.write:
         current = cheap_fingerprints()

@@ -82,19 +82,30 @@ CSV_HOSTILE = [
 ]
 
 
-def _grabber(idx: list[int]):
+def _grabber(idx: list[int], table: str = "?"):
     """Bounded index dispenser over a pre-shuffled pool: grab(k) hands out
     AT MOST k distinct row indexes and simply returns fewer (possibly zero)
     once the pool is exhausted — on a small --base table the later mutation
     classes degrade gracefully instead of crashing the fuzz build with
-    StopIteration (ADVICE r6). Phase budgets sum to ~17*pct draws, which
-    exceeds tiny tables' row counts."""
+    StopIteration (ADVICE r6). A short grab is LOGGED so a dropped mutation
+    class is visible in the build output instead of silently reducing
+    coverage (ADVICE r9 #3 — the r9 FK extension grew lineitem's full-phase
+    budget to ~21*pct draws and customer/supplier grew too, so tiny bases
+    exhaust earlier than the old "~17*pct" note claimed; the highest-value
+    phase-5 FK classes are additionally drawn FIRST in their mutators)."""
     it = iter(idx)
 
     def grab(k: int) -> list[int]:
         import itertools
 
-        return list(itertools.islice(it, max(k, 0)))
+        out = list(itertools.islice(it, max(k, 0)))
+        if len(out) < k:
+            print(
+                f"fuzz: {table} index pool exhausted — a mutation class got "
+                f"{len(out)}/{k} rows (tiny base; later classes may draw 0)",
+                file=sys.stderr,
+            )
+        return out
 
     return grab
 
@@ -103,7 +114,7 @@ def _mutate_documents(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    grab = _grabber(idx)
+    grab = _grabber(idx, "documents")
     pct = max(1, n // 100)
     # phase 1: duplicates / near-duplicates / unicode / whitespace /
     # repeated-token spam / singleton blocks
@@ -184,7 +195,7 @@ def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None
     n = len(rows)
     idx = list(range(1, n))  # keep vec 0 (the probe) pristine
     rng.shuffle(idx)
-    grab = _grabber(idx)
+    grab = _grabber(idx, "embeddings")
     pct = max(1, n // 100)
     for i in grab(2 * pct):  # exact duplicate vectors (ties in cosine)
         src = rows[rng.randrange(n)]
@@ -218,7 +229,7 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    grab = _grabber(idx)
+    grab = _grabber(idx, "events")
     pct = max(1, n // 100)
     for i in grab(3 * pct):  # duplicate (user_id, ts): tiebreak stress
         src = rows[rng.randrange(n)]
@@ -274,8 +285,31 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    grab = _grabber(idx)
+    grab = _grabber(idx, "lineitem")
     pct = max(1, n // 100)
+    if phase >= 5:
+        # REFERENTIAL classes draw FIRST (ADVICE r9 #3): lineitem's full-
+        # phase budget (~21*pct since the r9 FK extension) exhausts a tiny
+        # --base pool before reaching a tail-positioned FK block, which
+        # would silently cancel exactly the NULL/orphan-FK coverage the
+        # extension added. Grab indexes are distinct across classes, so
+        # drawing these first changes only WHICH rows carry each mutation.
+        for i in grab(pct):  # orphan lines: order deleted/never ingested
+            rows[i]["l_orderkey"] = rows[i]["l_orderkey"] + 10_000_000
+        for i in grab(pct):  # order id lost in transit: NULL FK/PK-part
+            rows[i]["l_orderkey"] = None
+        # r9 extension (VERDICT r8 #4): the other lineitem FKs the TPC-H
+        # shapes join through (q2/q9/q14/q16/q17/q19/q20 via l_partkey,
+        # q15/q16/q21 via l_suppkey) — and q_agg_hll_merge sketches
+        # l_partkey, where a NULL must not count as a distinct value.
+        for i in grab(pct):  # part catalog pruned upstream: orphan FK
+            rows[i]["l_partkey"] = rows[i]["l_partkey"] + 10_000_000
+        for i in grab(pct):  # part id lost in transit: NULL FK
+            rows[i]["l_partkey"] = None
+        for i in grab(pct):  # supplier delisted: orphan FK
+            rows[i]["l_suppkey"] = rows[i]["l_suppkey"] + 10_000_000
+        for i in grab(pct):  # supplier id lost in transit: NULL FK
+            rows[i]["l_suppkey"] = None
     for i in grab(3 * pct):  # exact-tie quantities: percentile/mode stress
         rows[i]["l_quantity"] = 25.0
     for i in grab(2 * pct):  # tie prices
@@ -295,22 +329,6 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
         for i in grab(pct):
             rows[i]["l_discount"] = None
     if phase >= 5:
-        for i in grab(pct):  # orphan lines: order deleted/never ingested
-            rows[i]["l_orderkey"] = rows[i]["l_orderkey"] + 10_000_000
-        for i in grab(pct):  # order id lost in transit: NULL FK/PK-part
-            rows[i]["l_orderkey"] = None
-        # r9 extension (VERDICT r8 #4): the other lineitem FKs the TPC-H
-        # shapes join through (q2/q9/q14/q16/q17/q19/q20 via l_partkey,
-        # q15/q16/q21 via l_suppkey) — and q_agg_hll_merge sketches
-        # l_partkey, where a NULL must not count as a distinct value.
-        for i in grab(pct):  # part catalog pruned upstream: orphan FK
-            rows[i]["l_partkey"] = rows[i]["l_partkey"] + 10_000_000
-        for i in grab(pct):  # part id lost in transit: NULL FK
-            rows[i]["l_partkey"] = None
-        for i in grab(pct):  # supplier delisted: orphan FK
-            rows[i]["l_suppkey"] = rows[i]["l_suppkey"] + 10_000_000
-        for i in grab(pct):  # supplier id lost in transit: NULL FK
-            rows[i]["l_suppkey"] = None
         # ALL-NULL measure group: every quantity of one return-flag group
         # becomes NULL. Point NULLs (~1%) can never produce this shape, and
         # it is the one that erased a whole group from median/MAD-style
@@ -326,8 +344,18 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    grab = _grabber(idx)
+    grab = _grabber(idx, "orders")
     pct = max(1, n // 100)
+    if phase >= 5:
+        # referential classes first — same starvation rationale as lineitem
+        for i in grab(pct):  # customer deleted upstream: orphan FK
+            rows[i]["o_custkey"] = rows[i]["o_custkey"] + 10_000_000
+        for i in grab(pct):  # customer id lost in transit: NULL FK
+            rows[i]["o_custkey"] = None
+        for i in grab(pct):  # at-least-once ingestion: duplicate PK
+            src = rows[rng.randrange(n)]
+            if src["o_orderkey"] != rows[i]["o_orderkey"]:
+                rows[i]["o_orderkey"] = src["o_orderkey"]
     for i in grab(2 * pct):  # totalprice ties
         rows[i]["o_totalprice"] = 150000.0
     for i in grab(2 * pct):  # duplicate orderdate (windows/asof ties)
@@ -349,15 +377,6 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
         for d in (_dt.datetime(1900, 1, 1), _dt.datetime(2099, 12, 31)):
             for i in grab(max(1, pct // 2)):
                 rows[i]["o_orderdate"] = d
-    if phase >= 5:
-        for i in grab(pct):  # customer deleted upstream: orphan FK
-            rows[i]["o_custkey"] = rows[i]["o_custkey"] + 10_000_000
-        for i in grab(pct):  # customer id lost in transit: NULL FK
-            rows[i]["o_custkey"] = None
-        for i in grab(pct):  # at-least-once ingestion: duplicate PK
-            src = rows[rng.randrange(n)]
-            if src["o_orderkey"] != rows[i]["o_orderkey"]:
-                rows[i]["o_orderkey"] = src["o_orderkey"]
 
 
 def _mutate_customer(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -366,7 +385,7 @@ def _mutate_customer(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    grab = _grabber(idx)
+    grab = _grabber(idx, "customer")
     pct = max(1, n // 100)
     for i in grab(pct):  # double-ingested dimension rows: duplicate PK
         src = rows[rng.randrange(n)]
@@ -386,7 +405,7 @@ def _mutate_supplier(rows: list[dict], rng: random.Random, phase: int) -> None:
     n = len(rows)
     idx = list(range(n))
     rng.shuffle(idx)
-    grab = _grabber(idx)
+    grab = _grabber(idx, "supplier")
     pct = max(1, n // 100)
     # r9 (VERDICT r8 #4): the supplier->nation FK (q_tpch_q2/q5/q7/q8/q9
     # join through it; q21 FILTERS on it — NULLs must drop identically)
