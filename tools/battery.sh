@@ -5,8 +5,9 @@
 #
 # Runs every gate from .claude/skills/verify/SKILL.md, tee-ing to
 # battery.log at the repo root. Fuzz seeds are passed as arguments so each
-# round's fresh seeds are visible in the transcript:
-#   bash tools/battery.sh 61 67
+# round's fresh seeds are visible in the transcript; a seed may carry an
+# explicit phase as seed:phase (default 5):
+#   bash tools/battery.sh 61 67:6
 set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG=battery.log
@@ -32,8 +33,11 @@ run python -m tools.fingerprint --check
 run python -m tools.type_audit --check
 run python -m tools.plan_audit --check
 run python -m tools.fuzz_diff --tiny
-for seed in "$@"; do
-  run python -m tools.fuzz_diff --seed "$seed" --phase 5 --base /root/testdata/sf0.01
+for arg in "$@"; do
+  seed=${arg%%:*}
+  phase=5
+  [[ "$arg" == *:* ]] && phase=${arg#*:}
+  run python -m tools.fuzz_diff --seed "$seed" --phase "$phase" --base /root/testdata/sf0.01
 done
 
 if [ "$fail" -eq 0 ]; then
