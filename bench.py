@@ -30,8 +30,8 @@ def _load_prev_artifact(path: str):
     Accepts full bench.py output, a driver BENCH_r*.json wrapper ({"parsed":
     {...}}), or a driver tail-only record (head truncated; salvage the
     '"q_name": secs' pairs by regex — same logic as tools/bench_compare.py).
-    Returns a 3-tuple (queries_dict, calib_sec_or_None, calib2_sec_or_None)
-    or None if unusable.
+    Returns a 4-tuple (queries_dict, calib_sec, calib2_sec, calib3_sec)
+    with None for probes the artifact predates, or None if unusable.
     """
     import re
 
@@ -56,7 +56,10 @@ def _load_prev_artifact(path: str):
     if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
     if "queries" in d:
-        return d["queries"], d.get("calib_sec"), d.get("calib2_sec")
+        return (
+            d["queries"], d.get("calib_sec"), d.get("calib2_sec"),
+            d.get("calib3_sec"),
+        )
     if isinstance(d.get("tail"), str):
         pairs = re.findall(r'"(q_[a-z0-9_]+)":\s*(-?\d+(?:\.\d+)?)', d["tail"])
         if pairs:
@@ -68,7 +71,7 @@ def _load_prev_artifact(path: str):
                 m = re.search(rf'"{key}":\s*(\d+(?:\.\d+)?)', d["tail"])
                 return float(m.group(1)) if m else None
 
-            return seen, _f("calib_sec"), _f("calib2_sec")
+            return seen, _f("calib_sec"), _f("calib2_sec"), _f("calib3_sec")
     return None
 
 
@@ -80,7 +83,8 @@ def _prev_artifact_path() -> str:
 
 
 def _vs_prev_section(
-    timings: dict[str, float], calib_now, calib2_now=None, prev=None, path=""
+    timings: dict[str, float], calib_now, calib2_now=None, calib3_now=None,
+    prev=None, path="",
 ) -> dict:
     """VERDICT r7 #4: the artifact carries its own normalized-vs-previous
     number and per-query flag list, so cross-round judges never re-derive
@@ -95,12 +99,23 @@ def _vs_prev_section(
         prev = _load_prev_artifact(path)
     if not prev:
         return {"prev_artifact": None}
-    prev_q, calib_prev, calib2_prev = prev
-    # host normalization: divide new timings by the calib ratio; prefer the
-    # low-variance v2 probe when BOTH sides carry it (probe plans differ,
-    # so v1/v2 values never mix), fall back to v1, else 1.0
+    # pre-r10 snapshots are 3-tuples (no v3 probe); tolerate both shapes
+    prev_q, calib_prev, calib2_prev, *rest = prev
+    calib3_prev = rest[0] if rest else None
+    # host normalization: divide new timings by the calib ratio. Probe
+    # preference, newest first, when BOTH sides carry it (probe plans and
+    # sampling schedules differ, so values never mix across versions):
+    # v3 — INTERLEAVED samples taken between query batches inside the
+    #      timed window (r10: the 3-before+3-after v2 schedule measured a
+    #      25% median swing across same-code runs whose per-query medians
+    #      were flat at 1.00 — the regime WHILE the queries ran is the
+    #      only one that normalizes them);
+    # v2 — median of 6 runs of the 4-wave plan, 3 before + 3 after;
+    # v1 — legacy min-of-3 single-wave plan; else 1.0.
     host, probe = 1.0, None
-    if calib2_prev and calib2_now and calib2_prev > 0 and calib2_now > 0:
+    if calib3_prev and calib3_now and calib3_prev > 0 and calib3_now > 0:
+        host, probe = calib3_now / calib3_prev, "v3"
+    elif calib2_prev and calib2_now and calib2_prev > 0 and calib2_now > 0:
         host, probe = calib2_now / calib2_prev, "v2"
     elif calib_prev and calib_now and calib_prev > 0 and calib_now > 0:
         host, probe = calib_now / calib_prev, "v1"
@@ -122,6 +137,7 @@ def _vs_prev_section(
         "prev_artifact": os.path.basename(path),
         "prev_calib_sec": calib_prev,
         "prev_calib2_sec": calib2_prev,
+        "prev_calib3_sec": calib3_prev,
         "calib_probe_used": probe,
         "host_ratio_vs_prev": round(host, 4),
         "shared_queries": len(shared),
@@ -469,6 +485,29 @@ def main() -> None:
         mid = len(s) // 2
         return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 4)
 
+    # v3 probe: the SAME 4-wave plan as v2, but sampled INTERLEAVED between
+    # query batches inside the timed window (r10 measurement: two same-code
+    # runs had per-query median ratio 1.00 while the 3-before+3-after v2
+    # medians moved 25% — the host regime at the run's edges is not the
+    # regime the queries ran in, and a normalizer sampled outside the
+    # window can flip the headline on pure probe noise). calib3_sec is the
+    # median of these in-window samples; vs_prev prefers it when both
+    # sides carry one (the same staged-upgrade path v2 took over v1 in r9).
+    calib3_samples: list[float] = []
+
+    def _calib3_sample() -> None:
+        try:
+            calib3_samples.append(round(_calib_pass_v2(), 4))
+        except Exception as e:  # noqa: BLE001 - calibration must never fail the bench
+            print(f"bench: interleaved calibration skipped: {e}", file=sys.stderr)
+
+    def _calib3_final() -> float | None:
+        if not calib3_samples:
+            return None
+        s = sorted(calib3_samples)
+        mid = len(s) // 2
+        return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 4)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     pass_guard_sec = float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_SEC", "420"))
     totals_per_run: list[float] = []
@@ -488,10 +527,17 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             return 0.0
 
+    # one v3 sample every ~1/5th of a pass: 4 in-window samples per pass
+    # (~0.7 s each — <2% of a pass), 8 over the default two passes. Subset
+    # debugging runs (<20 queries) skip it: they are not cross-round
+    # comparison material and the probe would dominate their wall.
+    calib3_every = max(1, len(names) // 5) if len(names) >= 20 else 0
     for run in range(n_runs):
         run_total = 0.0
-        for name in names:
+        for i, name in enumerate(names):
             run_total += time_one(name)
+            if calib3_every and (i + 1) % calib3_every == 0 and i + 1 < len(names):
+                _calib3_sample()  # outside run_total: probe, not query wall
         totals_per_run.append(round(run_total, 4))
         if run_total > pass_guard_sec:
             break
@@ -572,6 +618,7 @@ def main() -> None:
             print(f"bench: streaming-rate section skipped: {e}", file=sys.stderr)
 
     calib2_sec = _calib2_final()
+    calib3_sec = _calib3_final()
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     # Key order matters: the driver's record of this line keeps only a TAIL
     # window (BENCH_r02.json shows the head — metric/value — truncated away
@@ -599,7 +646,8 @@ def main() -> None:
         # plus the per-query flag list — judges read this instead of
         # re-deriving calib arithmetic
         "vs_prev": _vs_prev_section(
-            timings, calib_sec, calib2_sec, prev=prev_snapshot, path=prev_path
+            timings, calib_sec, calib2_sec, calib3_sec,
+            prev=prev_snapshot, path=prev_path,
         ),
         # measured denominator for the "within 2x of baseline" bar
         # (VERDICT r8 #1): DuckDB wall over the same oracled queries and
@@ -613,10 +661,16 @@ def main() -> None:
         # (measured 0.197 vs 0.141 across same-code runs with FLAT query
         # totals). calib2_sec is the low-variance probe: median of 6 runs
         # of a ~0.7 s 4-wave plan, 3 before + 3 after the timed queries;
-        # raw samples recorded so a bimodal regime is visible.
+        # raw samples recorded so a bimodal regime is visible. calib3_sec
+        # is the IN-WINDOW probe: median of the same plan sampled between
+        # query batches while the bench runs (see _calib3_sample) — the
+        # r10-measured fix for edge-sampled medians moving 25% across
+        # same-code runs whose per-query medians were flat.
         "calib_samples": calib2_samples,
         "calib_sec": calib_sec,
         "calib2_sec": calib2_sec,
+        "calib3_samples": calib3_samples,
+        "calib3_sec": calib3_sec,
         "total_sec": total,
     }
     # tail-capture duplicate: the driver's BENCH record keeps only the END of

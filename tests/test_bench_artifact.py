@@ -60,10 +60,10 @@ def test_load_prev_salvages_driver_tail_record(tmp_path):
     p.write_text(json.dumps({"parsed": None, "tail": tail}))
     loaded = bench._load_prev_artifact(str(p))
     assert loaded is not None
-    qs, calib, calib2 = loaded
+    qs, calib, calib2, calib3 = loaded
     assert qs == {"q_topk": 0.35, "q_agg_global": 0.22}
     assert calib == 0.175
-    assert calib2 is None  # pre-v2 artifact
+    assert calib2 is None and calib3 is None  # pre-v2/v3 artifact
 
 
 def test_load_prev_missing_or_corrupt_is_none(tmp_path):
@@ -80,10 +80,10 @@ def test_committed_artifact_round_trips_through_vs_prev(monkeypatch):
     path = os.path.join(repo, "bench_out.json")
     loaded = bench._load_prev_artifact(path)
     assert loaded is not None
-    qs, calib, calib2 = loaded
+    qs, calib, calib2, calib3 = loaded
     assert len(qs) >= 240 and calib and calib > 0
     monkeypatch.delenv("SPARK_GRAFT_BENCH_PREV", raising=False)
-    sec = bench._vs_prev_section(dict(qs), calib, calib2)
+    sec = bench._vs_prev_section(dict(qs), calib, calib2, calib3)
     assert sec["normalized_vs_prev"] == 1.0 and sec["flagged_regressions"] == []
 
 
@@ -104,6 +104,34 @@ def test_vs_prev_prefers_low_variance_v2_probe(tmp_path, monkeypatch):
     sec = bench._vs_prev_section({"q_a": 1.0}, 0.20, None)
     assert sec["calib_probe_used"] == "v1"
     assert sec["host_ratio_vs_prev"] == 2.0
+
+
+def test_vs_prev_prefers_in_window_v3_probe(tmp_path, monkeypatch):
+    """When BOTH artifacts carry the v3 (interleaved, in-window) probe,
+    normalization uses it over v2 (r10: edge-sampled v2 medians moved 25%
+    across same-code runs whose per-query medians were flat at 1.00);
+    pre-v3 snapshots (3-tuples) must still load and fall back to v2."""
+    prev = {
+        "queries": {"q_a": 1.0},
+        "calib_sec": 0.10, "calib2_sec": 0.70, "calib3_sec": 0.60,
+    }
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PREV", str(p))
+    # v2 says host 2x slower; v3 says unchanged — v3 must win
+    sec = bench._vs_prev_section({"q_a": 1.0}, 0.10, 1.40, 0.60)
+    assert sec["calib_probe_used"] == "v3"
+    assert sec["host_ratio_vs_prev"] == 1.0
+    assert sec["normalized_vs_prev"] == 1.0
+    # v3 missing on the new side: falls back to v2
+    sec = bench._vs_prev_section({"q_a": 1.0}, 0.10, 1.40, None)
+    assert sec["calib_probe_used"] == "v2"
+    assert sec["host_ratio_vs_prev"] == 2.0
+    # legacy 3-tuple snapshot (pre-v3 bench.py pickled shape): still works
+    snap = ({"q_a": 1.0}, 0.10, 0.70)
+    sec = bench._vs_prev_section({"q_a": 1.0}, 0.10, 0.70, 0.60, prev=snap, path=str(p))
+    assert sec["calib_probe_used"] == "v2"
+    assert sec["normalized_vs_prev"] == 1.0
 
 
 def test_load_prev_empty_file_warns_and_returns_none(tmp_path, capsys):
