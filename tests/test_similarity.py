@@ -4,14 +4,22 @@ def test_knn_graph_ann_recall(spark, sf_dir):
     """The LSH-accelerated kNN graph must recover a meaningful share of the
     exact graph's edges (fixture vectors are near-orthogonal random — the
     hardest case for LSH — so the floor is modest; high-cosine planted
-    neighbors are exactly what sign-LSH keeps)."""
+    neighbors are exactly what sign-LSH keeps). Since r11 the query itself
+    emits the recall CONTRACT row (VERDICT r10 #4), so this test pins the
+    floor on the raw OPERATOR edges and cross-checks the query's summary."""
+    from pyspark.sql import functions as F
+
+    from quarkus_etl_spark.catalog import load_table
+    from quarkus_etl_spark.operators.similarity import knn_graph_ann
     from quarkus_etl_spark.queries.northstar_q import q_knn_graph, q_knn_graph_ann
 
     exact = {
         (r["src"], r["nbr"]) for r in q_knn_graph(spark, sf_dir).collect()
     }
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     approx = {
-        (r["src"], r["nbr"]) for r in q_knn_graph_ann(spark, sf_dir).collect()
+        (r["src"], r["nbr"])
+        for r in knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label").collect()
     }
     assert approx, "ANN graph is empty"
     recall = len(exact & approx) / len(exact)
@@ -23,6 +31,10 @@ def test_knn_graph_ann_recall(spark, sf_dir):
 
     per_src = Counter(s for s, _ in approx)
     assert max(per_src.values()) <= 3
+    # the driver-graded contract row agrees with the set arithmetic above
+    row = q_knn_graph_ann(spark, sf_dir).collect()[0]
+    assert row["n_exact_edges"] == len(exact)
+    assert row["recall_ok"] is True
 
 
 def test_ivf_topk_recall_floor(spark, sf_dir):
