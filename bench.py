@@ -211,6 +211,20 @@ def _time_oracles(
             except Exception as e:  # noqa: BLE001
                 _settle()
                 if fired.is_set():
+                    # The interrupt may NOT be what raised: a genuine query
+                    # error can land first with the watchdog firing in the
+                    # gap before _settle() — then the pending
+                    # con.interrupt() was never consumed by this execute and
+                    # would spuriously kill the NEXT oracle's first execute
+                    # as a -1.0 "error" (ADVICE r10). Absorb it on a
+                    # throwaway statement, exactly like the success path —
+                    # harmless when the exception WAS the interrupt (the
+                    # flag is then already consumed and this is a plain
+                    # SELECT 1).
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:  # noqa: BLE001
+                        pass
                     # floor never overwrites a real faster measurement from
                     # an earlier attempt (a repeat pass can only be
                     # interrupted by a host hiccup the first pass didn't hit)
@@ -527,10 +541,15 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             return 0.0
 
-    # one v3 sample every ~1/5th of a pass: 4 in-window samples per pass
-    # (~0.7 s each — <2% of a pass), 8 over the default two passes. Subset
-    # debugging runs (<20 queries) skip it: they are not cross-round
-    # comparison material and the probe would dominate their wall.
+    # one v3 sample every ~1/5th of a pass: at 246 queries that lands 5
+    # in-window samples per pass (after indices 49/98/147/196/245 — the
+    # last one still precedes the final query, ~0.7 s each, <2% of a
+    # pass), 10 over the default two passes — matching the committed r10
+    # artifact's calib3_samples length (ADVICE r10 fixed this comment; the
+    # cadence itself is unchanged so v3 values stay cross-round
+    # comparable). Subset debugging runs (<20 queries) skip it: they are
+    # not cross-round comparison material and the probe would dominate
+    # their wall.
     calib3_every = max(1, len(names) // 5) if len(names) >= 20 else 0
     for run in range(n_runs):
         run_total = 0.0

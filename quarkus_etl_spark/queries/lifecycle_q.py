@@ -2,7 +2,7 @@
 Tier A8-A10): sink round-trips, csv/json ingestion, the ETL job path itself,
 and the synthetic generator.
 
-Scratch artifacts go under /root/repo/.scratch/<sf>.<pid>/ keyed by scale
+Scratch artifacts go under /root/repo/.scratch/<sf>.pid<pid>/ keyed by scale
 factor AND process id (concurrent harness runs at the same sf must not
 clobber each other's sink round-trips — VERDICT r9 #3); each query
 (re)writes its own artifact so runs are self-contained, and the process's
@@ -43,8 +43,13 @@ def _scratch(sf_dir: str, name: str) -> str:
     # VERDICT r9 #3). Derby already did this (see the jdbc URL below); now
     # every scratch artifact is process-private, and this process's dir is
     # removed at exit so repeated local runs don't accumulate disk.
+    # The ".pid<N>" spelling (not a bare ".<N>") keeps the session token
+    # unambiguous for the fingerprint normalizer: a bare pid's digits can
+    # collide with a legitimate sf suffix (pid 1 in a container would make
+    # `.scratch/sf0.1/` normalize to `.scratch/sf0` — ADVICE r10), while
+    # ".pid" never occurs in a scale-factor name.
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    p = _SCRATCH / f"{sf}.{os.getpid()}" / name
+    p = _SCRATCH / f"{sf}.pid{os.getpid()}" / name
     p.parent.mkdir(parents=True, exist_ok=True)
     return str(p)
 
@@ -52,7 +57,7 @@ def _scratch(sf_dir: str, name: str) -> str:
 def _cleanup_scratch() -> None:
     import shutil
 
-    for d in _SCRATCH.glob(f"*.{os.getpid()}"):
+    for d in _SCRATCH.glob(f"*.pid{os.getpid()}"):
         shutil.rmtree(d, ignore_errors=True)
 
 

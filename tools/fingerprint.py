@@ -107,15 +107,19 @@ def _norm_plan(plan: str, sf_dir: str) -> str:
     plan = re.sub(
         rf"(bk_[a-z0-9_]*?){os.getpid()}\b", r"\g<1><PID>", plan
     )
-    # lifecycle scratch dirs are keyed .scratch/<sf>.<pid>/ since r10 (the
-    # concurrency fix, VERDICT r9 #3) — the pid is session noise exactly
-    # like the bk_ suffix above. It is DROPPED (not replaced by a token):
-    # pre-r10 plans carried the bare .scratch/<sf>/ path, so erasing the
-    # pid reproduces the historical normal form and the committed
-    # lifecycle fingerprints stay valid — a path-only re-keying is not an
-    # implementation change and must not look like one.
+    # lifecycle scratch dirs are keyed .scratch/<sf>.pid<pid>/ since r11
+    # (".pid" spelling per ADVICE r10 — a bare ".<pid>" suffix was
+    # ambiguous against legitimate sf names like sf0.1 when the pid's
+    # digits coincide, e.g. pid 1 in a container; ".pid" never occurs in a
+    # scale-factor name so this strip can't mangle unrelated paths). The
+    # pid is session noise exactly like the bk_ suffix above. It is
+    # DROPPED (not replaced by a token): pre-r10 plans carried the bare
+    # .scratch/<sf>/ path, so erasing the token reproduces the historical
+    # normal form and the committed lifecycle fingerprints stay valid — a
+    # path-only re-keying is not an implementation change and must not
+    # look like one.
     plan = re.sub(
-        rf"(\.scratch/[^/\s]*?)\.{os.getpid()}\b", r"\g<1>", plan
+        rf"(\.scratch/[^/\s]*?)\.pid{os.getpid()}\b", r"\g<1>", plan
     )
     return plan
 
