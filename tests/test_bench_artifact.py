@@ -52,6 +52,38 @@ def test_vs_prev_flags_real_regression_at_compare_bar(tmp_path, monkeypatch):
     assert sec["flagged_regressions"] == ["q_slow"]
 
 
+def test_vs_prev_cc_noise_family_annotated_not_flagged(tmp_path, monkeypatch):
+    """VERDICT r10 #3: an over-the-bar entry from the frozen CC-noise
+    family that stays INSIDE its reviewed same-code spread bound is
+    recorded under expected_variance (with the bound), not as a flagged
+    regression; a breach of the bound stays a real flag, and non-family
+    queries are untouched by the list."""
+    prev = {
+        "queries": {"q_dedup_cluster": 2.0, "q_graph_label_prop": 2.0,
+                    "q_slow": 1.0},
+        "calib_sec": 0.1,
+    }
+    p = tmp_path / "prev.json"
+    p.write_text(json.dumps(prev))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PREV", str(p))
+    # cluster 2.0 -> 3.2 (1.6x: inside the 1.8 bound -> annotated);
+    # label_prop 2.0 -> 4.0 (2.0x: BREACHES the bound -> real flag);
+    # q_slow 1.0 -> 2.1 (2.1x, not in the family -> real flag, ranks first)
+    sec = bench._vs_prev_section(
+        {"q_dedup_cluster": 3.2, "q_graph_label_prop": 4.0, "q_slow": 2.1}, 0.1
+    )
+    assert sec["flagged_regressions"] == ["q_slow", "q_graph_label_prop"]
+    assert sec["expected_variance"] == [
+        {"query": "q_dedup_cluster", "normalized_ratio": 1.6,
+         "expected_bound": 1.8}
+    ]
+    # every frozen name is a registered bench query name (no typos rotting)
+    assert set(bench.CC_NOISE_EXPECTED_SPREAD) == {
+        "q_dedup_cluster", "q_dedup_soft", "q_dedup_canonical",
+        "q_dedup_canonical_best", "q_graph_label_prop",
+    }
+
+
 def test_load_prev_salvages_driver_tail_record(tmp_path):
     """Driver BENCH records keep only the tail of the JSON line; the loader
     must salvage '"q_*": secs' pairs and the calib from the raw tail text."""

@@ -5,7 +5,10 @@ Usage:
 
 Lists regressions (new/old >= threshold AND absolute slowdown >= 0.5 s),
 improvements at the same bar, and inventory changes. Exit code 1 if any
-regression — usable as a gate.
+regression — usable as a gate. Over-the-bar entries from the frozen
+CC-noise family (bench.CC_NOISE_EXPECTED_SPREAD, VERDICT r10 #3) that stay
+inside their reviewed same-code spread bound print as `expected-var` and
+do NOT fail the gate; a breach of the bound is a real regression.
 
 When BOTH artifacts carry a `calib_sec` host probe (bench.py records the
 min-of-3 wall of a fixed data-independent codegen plan), every new-side
@@ -65,12 +68,29 @@ def main() -> None:
     shared = sorted(set(old) & set(new))
     valid = [n for n in shared if old[n] > 0 and new[n] > 0]
 
-    regressions, improvements = [], []
+    # frozen expected-variance bounds for the cross-run-noisy CC family
+    # (VERDICT r10 #3) — same list the bench artifact's vs_prev consults
+    import importlib.util
+    import os
+
+    _bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    _spec = importlib.util.spec_from_file_location("_bench_for_bounds", _bench_path)
+    _bench = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(_bench)
+    cc_bounds = _bench.CC_NOISE_EXPECTED_SPREAD
+
+    regressions, improvements, expected = [], [], []
     for n in valid:
         adj = new[n] / host
         ratio = adj / old[n]
         if ratio >= args.threshold and adj - old[n] >= args.abs_floor:
-            regressions.append((n, old[n], adj, ratio))
+            bound = cc_bounds.get(n)
+            if bound is not None and ratio < bound:
+                expected.append((n, old[n], adj, ratio, bound))
+            else:
+                regressions.append((n, old[n], adj, ratio))
         elif 1 / ratio >= args.threshold and old[n] - adj >= args.abs_floor:
             improvements.append((n, old[n], adj, ratio))
 
@@ -87,6 +107,9 @@ def main() -> None:
     for tag, rows in (("REGRESSION", regressions), ("improvement", improvements)):
         for n, o, v, r in sorted(rows, key=lambda x: -abs(x[3] - 1)):
             print(f"{tag:11s} {n:28s} {o:7.2f}s -> {v:7.2f}s ({r:.2f}x)")
+    for n, o, v, r, b in sorted(expected, key=lambda x: -x[3]):
+        print(f"expected-var {n:28s} {o:7.2f}s -> {v:7.2f}s "
+              f"({r:.2f}x, inside reviewed CC-noise bound {b}x)")
     raise SystemExit(1 if regressions else 0)
 
 
