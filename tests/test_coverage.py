@@ -188,7 +188,8 @@ def test_plan_marker_manifest_is_frozen_and_wellformed():
         "q_fn_collate",
         "q_shard_manifest",
     ]
-    # 34 = the 32 reviewed through r10 + the two r11 ANN recall-contract
-    # summary rows (q_sim_ann_ivf, q_knn_graph_ann): 1-row aggregate
-    # crossJoins assembling the contract row — bounded by construction.
-    assert len(frozen["BroadcastNestedLoopJoin"]) == 34
+    # 33 = the 32 reviewed through r10 + q_knn_graph_ann's r11 recall-
+    # contract assembly (one 1-row aggregate crossJoin — bounded by
+    # construction; q_sim_ann_ivf's contract row is a single LEFT
+    # equi-join + aggregate, no BNLJ).
+    assert len(frozen["BroadcastNestedLoopJoin"]) == 33
