@@ -102,6 +102,12 @@ CC_NOISE_EXPECTED_SPREAD = {
     "q_dedup_canonical": 1.8,
     "q_dedup_canonical_best": 1.8,
     "q_graph_label_prop": 1.8,
+    # r11: flagged at 2.59 s vs 1.39 in one of three same-code runs (1.68
+    # and 1.43 in the other two); a dedicated 8-rep SAME-SESSION probe
+    # then measured 1.69-3.70 s (2.19x spread) — intrinsically noisier
+    # than the CC family itself (its LSH-routed corpus×delta build shares
+    # the same action-per-stage shape). Bound = measured 2.19 + margin.
+    "q_dedup_incremental": 2.4,
 }
 
 
@@ -618,7 +624,7 @@ def main() -> None:
     # (comparable with every prior artifact).
     noisy_min3 = {
         "q_graph_label_prop", "q_dedup_cluster", "q_dedup_canonical",
-        "q_dedup_canonical_best", "q_dedup_soft",
+        "q_dedup_canonical_best", "q_dedup_soft", "q_dedup_incremental",
     }
     slowest10_median3: dict[str, float] = {}
     if totals_per_run and totals_per_run[-1] <= pass_guard_sec:
