@@ -18,6 +18,38 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def vec_nonfinite_to_null(c: Column | str) -> Column:
+    """Failed-encoder guard (r11 fuzz phase 7): a vector containing any
+    NaN/±Inf component carries no usable geometry — and letting one reach
+    the cosine path is actively dangerous: NaN/NaN = NaN, and the [-1,1]
+    clamp's null-skipping `least(greatest(NaN, -1), 1)` silently rewrites
+    it to 1.0 in Spark (self-similar to everything), while DuckDB orders
+    the raw NaN greatest — a cross-engine divergence AND a wrong answer.
+    Map such vectors to NULL at load so the round-4 missing-embedding
+    conventions (structural filters, NULL cosine, survivors-not-losers)
+    cover them with no further per-query logic. NULL stays NULL; -0.0 and
+    subnormal components are legitimate geometry and pass through.
+
+    One extra JVM-side O(dim) fold per row at load — map-only, no shuffle,
+    negligible next to the cosine math it protects."""
+    c = F.col(c) if isinstance(c, str) else c
+    nonfinite = F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    # when() without otherwise: nonfinite -> NULL, NULL input -> NULL
+    return F.when(~nonfinite, c)
+
+
+# DuckDB mirror of vec_nonfinite_to_null for the differential oracles:
+# TRUE only for a present, all-finite embedding (isfinite() is FALSE for
+# both NaN and ±Inf). Interpolate into an oracle's structural vector
+# filter so both engines admit exactly the same rows.
+SQL_EMB_FINITE = (
+    "(embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
+)
+
+
 def to_double_array(c: Column | str) -> Column:
     """Fixtures store `array<float>`; widen once so all arithmetic is f64."""
     c = F.col(c) if isinstance(c, str) else c

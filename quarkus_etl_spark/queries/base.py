@@ -49,6 +49,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with the failed-encoder guard applied at load:
+    a vector containing any non-finite component is mapped to NULL
+    (= missing embedding), so every downstream round-4 NULL convention
+    covers it with no per-query logic. Oracles mirror the guard with
+    functions.vectors.SQL_EMB_FINITE in their structural vector filter.
+    See vec_nonfinite_to_null for why letting NaN reach the cosine fold
+    is both divergent and wrong (r11 fuzz phase 7)."""
+    from ..functions.vectors import vec_nonfinite_to_null
+
+    return t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", vec_nonfinite_to_null("embedding")
+    )
+
+
 _VIEWS_READY: set[tuple[str, str]] = set()
 
 
@@ -175,8 +190,16 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_stream_live_static_join", "q_sink_parquet", "q_sink_orc",
     "q_sink_csv_quoted", "q_scan_csv", "q_scan_json", "q_etl_job",
     "q_multimodal_cols", "q_dedup_exact", "q_dedup_ngram",
-    "q_sim_topk", "q_sim_pairs", "q_text_stats", "q_text_ngrams",
-    "q_dedup_embed", "q_text_langid", "q_text_quality", "q_text_fingerprint",
+    # --- r11 late fold-out (fuzz phase 7, non-finite embeddings): the 14
+    # embedding-consumer queries gained the shared failed-encoder guard
+    # (base.emb + SQL_EMB_FINITE) — outputs identical on pristine
+    # fixtures, but implementation+oracle fingerprints changed, so all 14
+    # are requeued in _GRADE_FIRST for fresh verdicts: q_sim_topk,
+    # q_sim_pairs, q_dedup_embed, q_sim_ann_lsh, q_knn_graph, q_sim_mmr,
+    # q_rank_ndcg, q_sim_batch, q_hybrid_rrf, q_emb_centroid,
+    # q_emb_quantize, q_emb_covariance, q_emb_kmeans, q_emb_pq.
+    "q_text_stats", "q_text_ngrams",
+    "q_text_langid", "q_text_quality", "q_text_fingerprint",
     "q_text_tokens", "q_dedup_cluster", "q_dedup_canonical",
     "q_dedup_minhash", "q_text_tfidf", "q_text_bm25", "q_sessionize",
     "q_time_rollup", "q_join_interval", "q_win_range_frame",
@@ -198,15 +221,13 @@ _PREVIOUSLY_GRADED = frozenset({
     # gained the string-bridged decimal->double cast in r9 (seed-53
     # phase-6 fuzz measured DuckDB's int128->double 1 ULP off Spark's
     # BigDecimal cast under a hot-duplicate burst) — requeued.
-    "q_emb_quantize", "q_emb_pq",
-    "q_knn_graph", "q_graph_pagerank", "q_graph_triangles",
+    "q_graph_pagerank", "q_graph_triangles",
     # q_dedup_canonical_best intentionally ABSENT: keep-best key re-packed
     # as a string in r6 (BIGINT overflow + DuckDB decimal-arg_max bug);
     # queued for a fresh verdict.
     "q_graph_label_prop", "q_dedup_incremental",
     "q_dedup_soft", "q_dedup_url", "q_decontaminate",
-    "q_sim_batch", "q_sim_mmr", "q_sim_ann_lsh", "q_hybrid_rrf",
-    "q_rank_ndcg", "q_text_chunk", "q_text_pii", "q_text_repetition",
+    "q_text_chunk", "q_text_pii", "q_text_repetition",
     "q_text_html", "q_text_url", "q_text_colloc",
     # q_text_postings intentionally ABSENT: its posting-list head is
     # bounded BEFORE the collect since r7 (single-array discipline;
@@ -302,7 +323,8 @@ _PREVIOUSLY_GRADED = frozenset({
     # round — VERDICT r9 #1 asks the r10 sample to LEAD with the two
     # r9-changed queries (a second post-fix confirmation) before they
     # rejoin the staleness rotation.
-    "q_emb_centroid", "q_emb_covariance", "q_emb_kmeans",
+    # q_emb_centroid / q_emb_covariance / q_emb_kmeans re-requeued by the
+    # r11 phase-7 fold-out above (their r10 verdicts stand in the record).
     # --- CORRECTNESS_r10.json: 50 graded — 50 hash-PASS (led by the two
     # r9-changed queries the r9 judge queued for second post-fix verdicts,
     # then the staleness sweep of the oldest r4 curation/text and r5
@@ -324,6 +346,18 @@ _PREVIOUSLY_GRADED = frozenset({
 _GRADE_FIRST = (
     "q_sim_ann_ivf",
     "q_knn_graph_ann",
+    # r11 fuzz phase 7 (non-finite embedding hostility): the whole
+    # embedding-consumer family gained the shared failed-encoder guard
+    # (base.emb maps vectors with any NaN/±Inf component to NULL at load;
+    # oracles mirror it with the SQL_EMB_FINITE conjunct / a CASE map).
+    # Outputs are IDENTICAL on pristine fixtures (no non-finite vectors
+    # exist there — full sf0.001 sweep re-verified 0 failing), but the
+    # implementations and oracle texts changed, so each is queued for a
+    # fresh verdict under the new fingerprints.
+    "q_sim_topk", "q_sim_pairs", "q_dedup_embed", "q_sim_ann_lsh",
+    "q_knn_graph", "q_sim_mmr", "q_rank_ndcg", "q_sim_batch",
+    "q_hybrid_rrf", "q_emb_centroid", "q_emb_quantize",
+    "q_emb_covariance", "q_emb_kmeans", "q_emb_pq",
 )
 
 

@@ -26,7 +26,7 @@ from ..functions.text import (
     tokenize,
 )
 from ..plans.tuning import ensure_parallelism
-from .base import register, t
+from .base import emb, register, t
 
 # The same normalization pipeline, spelled in DuckDB.
 _SQL_TOKS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
@@ -218,7 +218,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_batch",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 8),
     c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
     scored AS (
@@ -241,7 +241,7 @@ def q_sim_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at k rows per (probe, partition) instead of |probes| x |rows|."""
     from ..operators.similarity import batch_topk
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     probes = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -1669,7 +1669,7 @@ _RRF_K, _RRF_TOPK, _RRF_OUT = 60, 100, 50
         FROM embeddings
         CROSS JOIN (SELECT embedding::DOUBLE[] AS probe
                     FROM embeddings WHERE vec_id = 0) p
-        WHERE embedding IS NOT NULL
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
         ORDER BY cosine DESC, vec_id ASC LIMIT {_RRF_TOPK}
     ), den AS (
         SELECT vec_id AS doc_id,
@@ -1707,7 +1707,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = lex100.withColumn("rl", F.row_number().over(wl)).select("doc_id", "rl")
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     den100 = brute_force_topk(
         e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=_RRF_TOPK
     )

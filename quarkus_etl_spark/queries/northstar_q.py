@@ -25,7 +25,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import brute_force_topk, lsh_topk, pairwise_similar
 from ..plans.tuning import ensure_parallelism
-from .base import register, t
+from .base import emb, register, t
 
 
 # --------------------------------------------------------------------------
@@ -294,7 +294,7 @@ def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
     key = (_session_key(spark), sf_dir)
     if key not in _PROBE_CACHE:
-        e = t(spark, sf_dir, "embeddings")
+        e = emb(spark, sf_dir)
         _PROBE_CACHE[key] = [
             float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]
         ]
@@ -308,14 +308,14 @@ def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
            CASE WHEN (embedding::DOUBLE[]) IS NULL OR (p.probe) IS NULL THEN NULL WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
     FROM embeddings
     CROSS JOIN (SELECT embedding::DOUBLE[] AS probe FROM embeddings WHERE vec_id = 0) p
-    WHERE embedding IS NOT NULL
+    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
 )
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 vs the vec_id=0 probe. Fold order matches
     DuckDB's list_cosine_similarity bit-for-bit (see functions.vectors)."""
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     return brute_force_topk(e, "embedding", "vec_id", _probe_vec(spark, sf_dir), k=10)
 
 
@@ -328,7 +328,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- returning NULL (phase-3 fuzz). A NULL cosine fails >= 0.4 anyway,
     -- so the filter is semantics-preserving.
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL)
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -345,7 +345,7 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall S-curve-bounded (operators/similarity.py ann_pairs)."""
     from ..operators.similarity import similar_pairs_auto
 
-    e = t(spark, sf_dir, "embeddings")
+    e = emb(spark, sf_dir)
     return similar_pairs_auto(e, "vec_id", "embedding", "label", threshold=0.4)
 
 
@@ -355,7 +355,7 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- structural NULL-embedding filter: see q_sim_pairs (NULL rows can
     -- never be losers; the final SELECT keeps them as survivors)
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     losers AS (
         SELECT DISTINCT b.vec_id
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -375,7 +375,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import drop_near_duplicates
     from ..operators.similarity import similar_pairs_auto
 
-    e = t(spark, sf_dir, "embeddings")
+    e = emb(spark, sf_dir)
     pairs = similar_pairs_auto(e, "vec_id", "embedding", "label", threshold=0.4)
     return drop_near_duplicates(e.select("vec_id", "label"), pairs, "vec_id")
 
@@ -393,7 +393,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT i, list(g ORDER BY d) AS p FROM pv GROUP BY i
     ), v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), probe AS (
         SELECT e AS pe FROM v WHERE vec_id = 0
     ), bucketed AS (
@@ -426,7 +426,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dot-product sign, bucket id, and emitted cosine is hash-verified
     (the fold orders match DuckDB bit-for-bit). The Gaussian family remains
     the production default in lsh_topk."""
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     return lsh_topk(
         e,
         "embedding",
@@ -608,7 +608,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), cents AS (
         SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, e AS c
         FROM v ORDER BY vec_id ASC LIMIT 16
@@ -682,7 +682,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 here exists FOR the contract, same as hll_merge's exact counts."""
     from ..operators.similarity import brute_force_topk, ivf_topk
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     probe = _probe_vec(spark, sf_dir)
     ann = ivf_topk(
         e, "embedding", "vec_id", probe, k=10, n_cells=16, nprobe=3
@@ -762,9 +762,15 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
                / 1000000000000000.0 / count(*) AS centroid
     FROM (
         SELECT label,
-               unnest(embedding::DOUBLE[]) AS x,
-               generate_subscripts(embedding, 1) AS pos1
-        FROM embeddings
+               unnest(e) AS x,
+               generate_subscripts(e, 1) AS pos1
+        -- non-finite -> NULL (mirrors base.emb / SQL_EMB_FINITE): a NULL
+        -- vector unnests to zero rows in both engines, so failed-encoder
+        -- rows vanish from the moments identically
+        FROM (SELECT label,
+                     CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                          THEN embedding::DOUBLE[] END AS e
+              FROM embeddings)
     )
     GROUP BY label, pos1
     """,
@@ -782,7 +788,7 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point form is the portable exact aggregation.
     Plan: posexplode (no shuffle) -> one hash aggregation on (label, pos):
     shuffle volume = |labels| x dim, not |rows| x dim."""
-    e = t(spark, sf_dir, "embeddings")
+    e = emb(spark, sf_dir)
     from ..functions.vectors import to_double_array
 
     exploded = ensure_parallelism(e.select("label", to_double_array("embedding").alias("v"))).select(
@@ -804,7 +810,12 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_emb_quantize",
     oracle="""
     WITH v AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        -- non-finite -> NULL (mirrors base.emb): NULL-vector quantization
+        -- semantics already agree cross-engine, so map instead of filter
+        SELECT vec_id,
+               CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                    THEN embedding::DOUBLE[] END AS e
+        FROM embeddings
     ), m AS (
         SELECT vec_id, e,
                greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
@@ -834,7 +845,7 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     grader's row hashable (array columns are not)."""
     from ..functions.vectors import to_double_array
 
-    e = t(spark, sf_dir, "embeddings")
+    e = emb(spark, sf_dir)
     ed = to_double_array("embedding")
     maxabs = F.greatest(
         F.array_max(F.transform(ed, lambda x: F.abs(x))), F.lit(1e-30)
@@ -1245,7 +1256,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT i, j,
                floor(e[i]::DOUBLE * 10000000.0) AS qi,
                floor(e[j]::DOUBLE * 10000000.0) AS qj
-        FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+        FROM (SELECT CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                          THEN embedding::DOUBLE[] END AS e
+              FROM embeddings),
              unnest(generate_series(1, 64)) AS a(i),
              unnest(generate_series(i, 64)) AS b(j)
     ), s AS (
@@ -1276,7 +1289,7 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF-inside-Generate interpreted path measured 10-40x slower), then one
     hash aggregate on 2080 keys: shuffle volume = |cells|, not
     |rows| x dim^2."""
-    e = t(spark, sf_dir, "embeddings")
+    e = emb(spark, sf_dir)
     from ..functions.vectors import to_double_array
 
     rows = ensure_parallelism(e).select(to_double_array("embedding").alias("v"))
@@ -1317,7 +1330,7 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_graph",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
                CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
@@ -1354,7 +1367,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     max_exact = int(os.environ.get("SPARK_GRAFT_EXACT_KNN_MAX_VECS", "50000"))
     from ..plans.tuning import log_route, routing_count
 
@@ -1384,7 +1397,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_graph_ann",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
                CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
@@ -1443,7 +1456,7 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import knn_graph_ann
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     ann = knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label").select(
         "src", "nbr", F.lit(1).alias("__hit")
     )
@@ -1503,12 +1516,12 @@ _KMEANS_ORACLE = """
         SELECT vec_id,
                generate_subscripts(embedding, 1) - 1 AS pos,
                unnest(embedding::DOUBLE[]) AS x
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), seeds AS (
         SELECT vec_id,
                row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
         QUALIFY row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
     ), c0 AS (
@@ -1594,7 +1607,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import to_double_array
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     v = ensure_parallelism(e).select("vec_id", to_double_array("embedding").alias("e"))
     ex = v.select(
         "vec_id", F.posexplode(F.col("e")).alias("pos", "x")
@@ -1708,7 +1721,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MMR_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
     rel AS (
         SELECT vec_id, e, CASE WHEN (e) IS NULL OR (pe) IS NULL THEN NULL WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS rel
@@ -1757,7 +1770,7 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the oracle through all three rounds."""
     from ..functions.vectors import cosine_similarity, to_double_array
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     v = ensure_parallelism(e).select(
         "vec_id", to_double_array("embedding").alias("e")
     )
@@ -1901,7 +1914,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_ndcg",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (SELECT e AS pe, label AS plabel FROM v WHERE vec_id = 0),
     ranked AS (
         SELECT vec_id, label, plabel,
@@ -1953,7 +1966,7 @@ def q_rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import cosine_similarity, to_double_array
 
-    e = t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     v = ensure_parallelism(e).select(
         "vec_id", "label", to_double_array("embedding").alias("e")
     )
@@ -2066,7 +2079,10 @@ def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_emb_pq",
     oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id,
+                      CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                           THEN embedding::DOUBLE[] END AS e
+               FROM embeddings),
     seeds AS (
         SELECT vec_id,
                row_number() OVER (
@@ -2131,7 +2147,7 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import to_double_array
 
-    e = t(spark, sf_dir, "embeddings")
+    e = emb(spark, sf_dir)
     v = ensure_parallelism(e).select(
         "vec_id", to_double_array("embedding").alias("e")
     )

@@ -336,3 +336,45 @@ def test_nonfinite_money_cross_engine_divergence_is_pinned(spark):
             "SELECT SUM(CAST(v AS DECIMAL(18,2))) FROM "
             "(VALUES (1.0::DOUBLE), ('NaN'::DOUBLE)) t(v)"
         ).fetchall()
+
+
+def test_vec_nonfinite_to_null_is_missing(spark):
+    """r11 fuzz phase 7: a vector with any NaN/±Inf component maps to NULL
+    at load (failed-encoder ≡ missing embedding), while -0.0 and subnormal
+    components are legitimate geometry and pass through untouched. Without
+    the guard, NaN reaches the cosine clamp where Spark's null-skipping
+    least/greatest silently rewrites NaN to 1.0 (self-similar to
+    everything) — 13 queries diverged from DuckDB before the convention
+    (see base.emb / vectors.SQL_EMB_FINITE for the two mirrored halves)."""
+    from quarkus_etl_spark.functions.vectors import (
+        cosine_similarity,
+        vec_nonfinite_to_null,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),             # finite -> unchanged
+            (2, [float("nan"), 1.0]),    # NaN component -> NULL
+            (3, [1.0, float("inf")]),    # +Inf component -> NULL
+            (4, [float("-inf"), 1.0]),   # -Inf component -> NULL
+            (5, None),                   # NULL stays NULL
+            (6, [-0.0, 0.0]),            # signed zero passes (zero-norm path)
+            (7, [5e-324, 1.0]),          # subnormal passes
+        ],
+        "id long, a array<double>",
+    )
+    out = {
+        r["id"]: (r["g"], r["c"])
+        for r in df.select(
+            "id",
+            vec_nonfinite_to_null("a").alias("g"),
+            cosine_similarity(
+                vec_nonfinite_to_null("a"), F.lit([1.0, 0.0]).cast("array<double>")
+            ).alias("c"),
+        ).collect()
+    }
+    assert out[1] == ([1.0, 2.0], pytest.approx(1.0 / 5**0.5))
+    assert out[2] == (None, None) and out[3] == (None, None)
+    assert out[4] == (None, None) and out[5] == (None, None)
+    assert out[6][0] == [-0.0, 0.0] and out[6][1] == 0.0  # zero-norm -> 0.0
+    assert out[7][0] == [5e-324, 1.0] and out[7][1] is not None

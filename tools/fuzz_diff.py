@@ -38,6 +38,19 @@ Mutation classes are phased so a failure is attributable:
           collapse (knn_graph_ann), the pre-collect LSH bucket gates,
           and dup-burst group semantics differentially where oracles
           exist (simhash/minhash/ngram pairs, dedup clusters).
+  phase 7: FLOAT-REGIME hostility — non-finite embedding vectors (NaN /
+          ±Inf components, all-NaN, signed-zero and float32-subnormal
+          vectors: failed-encoder rows) plus -0.0 / denormal measure
+          values. NaN/±Inf MEASURES are deliberately excluded: under ANSI
+          both engines fail loudly (at divergent cast sites) when a
+          non-finite crosses an int/decimal bridge — a documented
+          precondition (upstream DQ repair), not a comparable semantic.
+          Non-finite VECTORS are admitted and must hit the shared
+          "non-finite ≡ missing embedding" convention (base.emb /
+          vectors.vec_nonfinite_to_null) identically in both engines —
+          the r11 recon found Spark's null-skipping [-1,1] clamp silently
+          rewrote NaN cosines to 1.0 while DuckDB ordered them greatest
+          (13 queries diverged before the convention).
   --tiny (orthogonal): pure truncation to single-digit row counts —
           .first()-on-empty, empty-aggregation, all-rows-filtered paths.
 
@@ -223,6 +236,33 @@ def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None
         for i in grab(50):
             rows[i]["embedding"] = list(src["embedding"]) if src["embedding"] else [0.25] * 64
             rows[i]["label"] = src["label"]
+    if phase >= 7:
+        # failed-encoder NON-FINITE vectors (the realistic sibling of the
+        # phase-3 NULL embedding): one NaN component, an all-NaN vector,
+        # one +Inf component, sign-flipped zeros, and a float32-subnormal
+        # vector (1e-45 underflows any squared-norm math). Norm guards and
+        # the clamped-cosine convention must agree in both engines.
+        def _poke(i, val, j=0, whole=False):
+            e = rows[i]["embedding"]
+            if not e:
+                return
+            e = list(e)
+            if whole:
+                e = [val] * len(e)
+            else:
+                e[j % len(e)] = val
+            rows[i]["embedding"] = e
+
+        for i in grab(max(1, pct // 2)):
+            _poke(i, float("nan"), j=3)
+        for i in grab(max(1, pct // 4)):
+            _poke(i, float("nan"), whole=True)
+        for i in grab(max(1, pct // 2)):
+            _poke(i, float("inf"), j=7)
+        for i in grab(max(1, pct // 2)):
+            _poke(i, -0.0, whole=True)
+        for i in grab(max(1, pct // 4)):
+            _poke(i, 1e-45, whole=True)
 
 
 def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -279,6 +319,23 @@ def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
         for i in grab(pct):  # user deleted upstream: orphan FK
             if rows[i]["user_id"] is not None:
                 rows[i]["user_id"] = rows[i]["user_id"] + 10_000_000
+    if phase >= 7:
+        # FLOAT-REGIME hostility, scoped to what the pipeline contract
+        # admits. Underflowing divisions produce -0.0 and subnormals, and
+        # every sort/group/hash/bucket path must agree on them cell-for-
+        # cell (the verify hash distinguishes the sign of zero). NaN/±Inf
+        # MEASURES are deliberately NOT injected: a recon sweep (r11,
+        # seed 151) showed both engines fail loudly in ANSI mode when a
+        # non-finite crosses any int/decimal bridge (Spark CAST_OVERFLOW,
+        # DuckDB ConversionException) — at divergent sites, so there is no
+        # cross-engine agreement to test, only crash-site trivia. The
+        # documented posture: non-finite measures are a precondition
+        # violation the upstream DQ stage repairs; ANSI fail-loudly is the
+        # correct behavior when one leaks through. Non-finite EMBEDDINGS
+        # (failed encoders) ARE admitted — see _mutate_embeddings.
+        for v in (-0.0, 5e-324, -5e-324):
+            for i in grab(max(1, pct // 2)):
+                rows[i]["value"] = v
 
 
 def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -328,6 +385,13 @@ def _mutate_lineitem(rows: list[dict], rng: random.Random, phase: int) -> None:
             rows[i]["l_quantity"] = None
         for i in grab(pct):
             rows[i]["l_discount"] = None
+    if phase >= 7:
+        # underflow-signed zero discount: (1 - -0.0) folds to 1.0 in both
+        # engines, but a raw projection/group on the column must keep the
+        # sign-distinct cell identical cross-engine. (NaN/Inf measures
+        # excluded by the ANSI fail-loudly posture — see _mutate_events.)
+        for i in grab(max(1, pct // 2)):
+            rows[i]["l_discount"] = -0.0
     if phase >= 5:
         # ALL-NULL measure group: every quantity of one return-flag group
         # becomes NULL. Point NULLs (~1%) can never produce this shape, and
@@ -368,6 +432,9 @@ def _mutate_orders(rows: list[dict], rng: random.Random, phase: int) -> None:
     if phase >= 3:
         for i in grab(pct):  # missing totals (point NULLs)
             rows[i]["o_totalprice"] = None
+    if phase >= 7:
+        for i in grab(max(1, pct // 2)):  # underflow-signed zero total
+            rows[i]["o_totalprice"] = -0.0
     if phase >= 4:
         import datetime as _dt
 
@@ -467,7 +534,7 @@ def build_fuzz_dir(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4, 5, 6))
+    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4, 5, 6, 7))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--tiny", action="store_true",
                     help="degenerate-cardinality tables (single-digit rows)")
