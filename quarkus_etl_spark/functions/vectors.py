@@ -40,12 +40,36 @@ def vec_nonfinite_to_null(c: Column | str) -> Column:
     return F.when(~nonfinite, c)
 
 
-# DuckDB mirror of vec_nonfinite_to_null for the differential oracles:
-# TRUE only for a present, all-finite embedding (isfinite() is FALSE for
-# both NaN and ±Inf). Interpolate into an oracle's structural vector
-# filter so both engines admit exactly the same rows.
+def vec_contract_to_null(c: Column | str, dim: int) -> Column:
+    """The full embedding-column contract guard (r11 fuzz phases 7+8):
+    vec_nonfinite_to_null PLUS a dimension check — a vector whose length
+    differs from the column's declared dimension (encoder version drift,
+    truncated writes, empty lists) is equally unusable geometry and maps
+    to NULL/missing. The dimension leg is not optional hygiene: Spark's
+    zip_with silently NULL-pads the shorter side (a ragged dot product
+    quietly becomes NULL), while DuckDB's list_cosine_similarity raises
+    on mismatched lengths and an EMPTY list trips an INTERNAL error that
+    fatally invalidates the whole database — one ragged row would kill
+    the oracle side and silently skew the Spark side."""
+    c = F.col(c) if isinstance(c, str) else c
+    nonfinite = F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    # size(NULL) is NULL under default sizeOfNull semantics, so a NULL
+    # vector falls through both branches to NULL, same as before
+    return F.when((F.size(c) == F.lit(dim)) & ~nonfinite, c)
+
+
+# DuckDB mirror of vec_contract_to_null for the differential oracles:
+# TRUE only for a present, contract-dimension, all-finite embedding
+# (isfinite() is FALSE for both NaN and ±Inf; len() = dim rejects ragged
+# AND empty lists BEFORE any list_* kernel can see them — DuckDB's
+# list_cosine_similarity raises on ragged input and fatally invalidates
+# the database on an empty list). Interpolate into an oracle's structural
+# vector filter so both engines admit exactly the same rows. The fixture
+# embeddings table declares dim=64 (FIXTURES.md).
 SQL_EMB_FINITE = (
-    "(embedding IS NOT NULL"
+    "(embedding IS NOT NULL AND len(embedding) = 64"
     " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
 )
 

@@ -49,18 +49,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# The embeddings fixture's declared vector dimension (FIXTURES.md). Rows
+# that drift from it (encoder version skew, truncated/empty writes) are
+# failed encodes, mapped to missing by the load-time contract guard.
+EMB_DIM = 64
+
+
 def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings table with the failed-encoder guard applied at load:
-    a vector containing any non-finite component is mapped to NULL
-    (= missing embedding), so every downstream round-4 NULL convention
-    covers it with no per-query logic. Oracles mirror the guard with
-    functions.vectors.SQL_EMB_FINITE in their structural vector filter.
-    See vec_nonfinite_to_null for why letting NaN reach the cosine fold
-    is both divergent and wrong (r11 fuzz phase 7)."""
-    from ..functions.vectors import vec_nonfinite_to_null
+    """The embeddings table with the failed-encoder contract guard applied
+    at load: a vector containing any non-finite component (r11 fuzz
+    phase 7) OR whose length differs from the declared EMB_DIM (phase 8 —
+    ragged/empty vectors: Spark zip_with silently NULL-pads, DuckDB
+    list kernels raise, an empty list fatally invalidates DuckDB) is
+    mapped to NULL (= missing embedding), so every downstream round-4
+    NULL convention covers it with no per-query logic. Oracles mirror the
+    guard with functions.vectors.SQL_EMB_FINITE in their structural
+    vector filter."""
+    from ..functions.vectors import vec_contract_to_null
 
     return t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", vec_nonfinite_to_null("embedding")
+        "embedding", vec_contract_to_null("embedding", EMB_DIM)
     )
 
 

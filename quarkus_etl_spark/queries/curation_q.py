@@ -218,7 +218,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sim_batch",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 8),
     c AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
     scored AS (
@@ -1669,7 +1669,7 @@ _RRF_K, _RRF_TOPK, _RRF_OUT = 60, 100, 50
         FROM embeddings
         CROSS JOIN (SELECT embedding::DOUBLE[] AS probe
                     FROM embeddings WHERE vec_id = 0) p
-        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
         ORDER BY cosine DESC, vec_id ASC LIMIT {_RRF_TOPK}
     ), den AS (
         SELECT vec_id AS doc_id,

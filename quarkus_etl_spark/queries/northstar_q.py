@@ -308,7 +308,7 @@ def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
            CASE WHEN (embedding::DOUBLE[]) IS NULL OR (p.probe) IS NULL THEN NULL WHEN list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) = 0 OR list_dot_product(p.probe, p.probe) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], p.probe) END AS cosine
     FROM embeddings
     CROSS JOIN (SELECT embedding::DOUBLE[] AS probe FROM embeddings WHERE vec_id = 0) p
-    WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ORDER BY cosine DESC, vec_id ASC LIMIT 10
     """,
 )
@@ -328,7 +328,7 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- returning NULL (phase-3 fuzz). A NULL cosine fails >= 0.4 anyway,
     -- so the filter is semantics-preserving.
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -355,7 +355,7 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- structural NULL-embedding filter: see q_sim_pairs (NULL rows can
     -- never be losers; the final SELECT keeps them as survivors)
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     losers AS (
         SELECT DISTINCT b.vec_id
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -393,7 +393,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT i, list(g ORDER BY d) AS p FROM pv GROUP BY i
     ), v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), probe AS (
         SELECT e AS pe FROM v WHERE vec_id = 0
     ), bucketed AS (
@@ -608,7 +608,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), cents AS (
         SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, e AS c
         FROM v ORDER BY vec_id ASC LIMIT 16
@@ -768,7 +768,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- vector unnests to zero rows in both engines, so failed-encoder
         -- rows vanish from the moments identically
         FROM (SELECT label,
-                     CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                     CASE WHEN len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                           THEN embedding::DOUBLE[] END AS e
               FROM embeddings)
     )
@@ -813,7 +813,7 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- non-finite -> NULL (mirrors base.emb): NULL-vector quantization
         -- semantics already agree cross-engine, so map instead of filter
         SELECT vec_id,
-               CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+               CASE WHEN len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                     THEN embedding::DOUBLE[] END AS e
         FROM embeddings
     ), m AS (
@@ -1256,7 +1256,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT i, j,
                floor(e[i]::DOUBLE * 10000000.0) AS qi,
                floor(e[j]::DOUBLE * 10000000.0) AS qj
-        FROM (SELECT CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        FROM (SELECT CASE WHEN len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                           THEN embedding::DOUBLE[] END AS e
               FROM embeddings),
              unnest(generate_series(1, 64)) AS a(i),
@@ -1330,7 +1330,7 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_graph",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
                CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
@@ -1397,7 +1397,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_knn_graph_ann",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (
         SELECT a.vec_id AS ia, b.vec_id AS ib,
                CASE WHEN (a.e) IS NULL OR (b.e) IS NULL THEN NULL WHEN list_dot_product(a.e, a.e) = 0 OR list_dot_product(b.e, b.e) = 0 THEN 0.0 ELSE list_cosine_similarity(a.e, b.e) END AS c
@@ -1516,12 +1516,12 @@ _KMEANS_ORACLE = """
         SELECT vec_id,
                generate_subscripts(embedding, 1) - 1 AS pos,
                unnest(embedding::DOUBLE[]) AS x
-        FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), seeds AS (
         SELECT vec_id,
                row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
-        FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+        FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
         QUALIFY row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4
     ), c0 AS (
@@ -1721,7 +1721,7 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MMR_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
     rel AS (
         SELECT vec_id, e, CASE WHEN (e) IS NULL OR (pe) IS NULL THEN NULL WHEN list_dot_product(e, e) = 0 OR list_dot_product(pe, pe) = 0 THEN 0.0 ELSE list_cosine_similarity(e, pe) END AS rel
@@ -1914,7 +1914,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_ndcg",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     p AS (SELECT e AS pe, label AS plabel FROM v WHERE vec_id = 0),
     ranked AS (
         SELECT vec_id, label, plabel,
@@ -2080,7 +2080,7 @@ def q_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_emb_pq",
     oracle="""
     WITH v AS (SELECT vec_id,
-                      CASE WHEN len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+                      CASE WHEN len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
                            THEN embedding::DOUBLE[] END AS e
                FROM embeddings),
     seeds AS (

@@ -202,8 +202,12 @@ def test_sim_pairs_oracle_tolerates_null_embeddings(tmp_path, spark):
     structurally (round-5 fuzz: q_sim_pairs/q_dedup_embed errored)."""
     import duckdb
 
+    # contract-dim (64) vectors: the r11 phase-8 dimension leg of the
+    # oracle's structural guard excludes off-dim rows, so the NULL-
+    # tolerance behavior under test needs in-contract geometry
+    v = [1.0] + [0.0] * 63
     emb = spark.createDataFrame(
-        [(0, 1, [1.0, 0.0]), (1, 1, None), (2, 1, [1.0, 0.0])],
+        [(0, 1, v), (1, 1, None), (2, 1, v)],
         "vec_id long, label int, embedding array<double>",
     )
     emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
@@ -378,3 +382,34 @@ def test_vec_nonfinite_to_null_is_missing(spark):
     assert out[4] == (None, None) and out[5] == (None, None)
     assert out[6][0] == [-0.0, 0.0] and out[6][1] == 0.0  # zero-norm -> 0.0
     assert out[7][0] == [5e-324, 1.0] and out[7][1] is not None
+
+
+def test_vec_contract_dim_leg_rejects_ragged_and_empty(spark):
+    """r11 fuzz phase 8: the dimension leg of the contract guard. A vector
+    whose length breaks the declared dim is a failed encode (version skew /
+    truncated write) and maps to NULL — Spark's zip_with would silently
+    NULL-pad a ragged pair, and on the oracle side DuckDB's list kernels
+    raise on ragged input while an EMPTY list fatally invalidates the
+    whole database, so the structural exclusion must happen before any
+    vector math in BOTH engines (SQL_EMB_FINITE carries the len()=dim
+    conjunct)."""
+    from quarkus_etl_spark.functions.vectors import vec_contract_to_null
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),        # contract dim -> unchanged
+            (2, [1.0, 2.0]),             # truncated -> NULL
+            (3, [1.0, 2.0, 3.0, 4.0]),   # over-long -> NULL
+            (4, []),                     # empty (≠ NULL upstream) -> NULL
+            (5, None),                   # NULL stays NULL
+            (6, [float("nan"), 1.0, 2.0]),  # non-finite leg still applies
+        ],
+        "id long, a array<double>",
+    )
+    out = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id", vec_contract_to_null("a", 3).alias("g")
+        ).collect()
+    }
+    assert out == {1: [1.0, 2.0, 3.0], 2: None, 3: None, 4: None, 5: None, 6: None}

@@ -51,6 +51,13 @@ Mutation classes are phased so a failure is attributable:
           the r11 recon found Spark's null-skipping [-1,1] clamp silently
           rewrote NaN cosines to 1.0 while DuckDB ordered them greatest
           (13 queries diverged before the convention).
+  phase 8: VECTOR SHAPE DRIFT — ragged embeddings (32/80/1-dim rows in
+          the declared 64-dim column: encoder version skew) and EMPTY
+          lists. Spark zip_with silently NULL-pads ragged pairs; DuckDB
+          list kernels raise on them, and an empty list fatally
+          invalidates the DuckDB database — the dim=64 leg of the
+          contract guard must exclude all of them structurally in both
+          engines.
   --tiny (orthogonal): pure truncation to single-digit row counts —
           .first()-on-empty, empty-aggregation, all-rows-filtered paths.
 
@@ -263,6 +270,33 @@ def _mutate_embeddings(rows: list[dict], rng: random.Random, phase: int) -> None
             _poke(i, -0.0, whole=True)
         for i in grab(max(1, pct // 4)):
             _poke(i, 1e-45, whole=True)
+    if phase >= 8:
+        # VECTOR SHAPE DRIFT: encoder version skew and truncated/failed
+        # writes produce vectors whose length breaks the column's declared
+        # dim=64 contract. These are NOT benign: Spark's zip_with silently
+        # NULL-pads the shorter side, DuckDB's list_cosine_similarity
+        # raises on ragged input, and an EMPTY list trips a DuckDB
+        # INTERNAL error that fatally invalidates the whole database —
+        # one such row would kill every later oracle in the session. The
+        # contract guard (base.emb len=64 leg / SQL_EMB_FINITE) must
+        # structurally exclude them in both engines before any list
+        # kernel runs.
+        def _resize(i, newlen):
+            e = rows[i]["embedding"]
+            if not e:
+                return
+            e = list(e)
+            e = (e * (newlen // max(len(e), 1) + 1))[:newlen]
+            rows[i]["embedding"] = e
+
+        for i in grab(max(1, pct // 2)):  # truncated write
+            _resize(i, 32)
+        for i in grab(max(1, pct // 2)):  # newer 80-dim encoder
+            _resize(i, 80)
+        for i in grab(max(1, pct // 4)):  # empty list (≠ NULL!)
+            rows[i]["embedding"] = []
+        for i in grab(max(1, pct // 4)):  # scalar-collapsed vector
+            _resize(i, 1)
 
 
 def _mutate_events(rows: list[dict], rng: random.Random, phase: int) -> None:
@@ -534,7 +568,7 @@ def build_fuzz_dir(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
-    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4, 5, 6, 7))
+    ap.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4, 5, 6, 7, 8))
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--tiny", action="store_true",
                     help="degenerate-cardinality tables (single-digit rows)")
