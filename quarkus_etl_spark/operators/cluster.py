@@ -65,10 +65,16 @@ def connected_components(
         ).select("u", F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))).alias("comp"))
         # Convergence rides the same materialization: carry the previous
         # label through the round and count differences on the checkpointed
-        # frame — no extra old-vs-new join job.
+        # frame — no extra old-vs-new join job. The checkpoint is LAZY: the
+        # convergence count() right below is the round's single action and
+        # materializes it (an eager checkpoint here ran a second, redundant
+        # job per round — r11 A/B: 14.2 s -> 12.2 s over the 4 CC queries).
+        # Lazy is safe exactly because the count() is the sole consumer
+        # until materialization completes; the next round's joins then read
+        # the cached partitions.
         new_labels = jumped.join(
             labels.select("u", F.col("comp").alias("__prev")), "u"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new_labels.where(F.col("comp") != F.col("__prev")).count()
         labels = new_labels.select("u", "comp")
         if changed == 0:

@@ -203,12 +203,20 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
     null every dot product and silently hash all rows to one bucket.
     NULL/empty vectors are skipped — an arbitrary first() row being a
     failed-encoder row must not abort the whole query (the probe is
-    partition-order-dependent); only an all-degenerate table raises."""
-    row = (
-        df.select(F.size(to_double_array(vec_col)).alias("d"))
-        .where(F.col("d") > 0)
-        .first()
-    )
+    partition-order-dependent); only an all-degenerate table raises.
+    Cached per (session, plan, files) via routing_meta — the dim cannot
+    change while all three are unchanged, and the probe cost (~0.25 s at
+    sf0.1) was paid on every operator invocation (r11)."""
+    from ..plans.tuning import routing_meta
+
+    def _compute(d: DataFrame):
+        return (
+            d.select(F.size(to_double_array(vec_col)).alias("d"))
+            .where(F.col("d") > 0)
+            .first()
+        )
+
+    row = routing_meta(df, f"vec_dim:{vec_col}", _compute)
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot derive vector dim from column {vec_col!r}")
     return int(row["d"])
@@ -521,8 +529,18 @@ def knn_graph_ann(
         # Adaptive routing (same pattern as fits_exact_pairwise): the
         # expansion machinery only pays when duplicates EXIST. A corpus
         # that already ran exact dedup — or the pristine fixtures — takes
-        # the zero-extra-shuffle path; the probe is a limit-1 early-out.
-        if groups.where(F.col("__m") > 1).limit(1).count() > 0:
+        # the zero-extra-shuffle path; the probe is a limit-1 early-out,
+        # cached per (session, plan, files) like routing_count (the probe
+        # aggregate cost ~0.9 s per invocation at sf0.1 — r11; the boolean
+        # cannot change while session, plan and input files are unchanged).
+        from ..plans.tuning import routing_meta
+
+        has_dup = routing_meta(
+            groups,
+            "dup_probe",
+            lambda g: g.where(F.col("__m") > 1).limit(1).count() > 0,
+        )
+        if has_dup:
             nodes = groups.select(F.col("__rep").alias(id_col), *grp)
             members = raw.join(groups, grp).select(
                 F.col(id_col).alias("__src"),
