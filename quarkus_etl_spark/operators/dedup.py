@@ -213,7 +213,12 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full near-dedup pipeline: feature sets -> signatures -> LSH
     candidates -> exact verification at `threshold`."""
-    feats = feature_sets(df, id_col, text_col, feature, shingle_size)
+    # The hashed feature table feeds THREE consumers (the signature DAG and
+    # both sides of the verification join); materialize it once so the
+    # tokenize->hash extraction runs once, not three times — the guide-§8
+    # "fingerprints only" intermediate. r11 A/B over the dedup family at
+    # sf0.1: -8% min / -12% median, broadcast strategies unchanged.
+    feats = feature_sets(df, id_col, text_col, feature, shingle_size).localCheckpoint()
     sigs = minhash_signatures(feats, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return exact_jaccard(feats, cands, id_col).where(F.col("jaccard") >= threshold)
@@ -384,8 +389,14 @@ def ngram_jaccard_pairs(
     Word n-grams (default bigrams) capture local order, which keeps Jaccard
     discriminative even over a small shared vocabulary (unigram sets
     saturate). Deterministic and SQL-replicable (unlike LSH), so it serves
-    as the oracle-checked member of the near-dup family."""
-    sets = _ngram_sets(df, id_col, text_col, block_col, n)
+    as the oracle-checked member of the near-dup family.
+
+    The feature table is checkpointed: every candidate branch consumes it
+    at least twice (both sides of the blocked self-join; the LSH branch
+    three times), so without truncation the extraction pipeline re-runs
+    per consumer (r11 A/B: -8% min over the dedup family at sf0.1; at
+    scale it is the materialize-the-fingerprints step of guide §8)."""
+    sets = _ngram_sets(df, id_col, text_col, block_col, n).localCheckpoint()
     if strategy == "auto":
         # Both branches are EXACT (prefix filtering loses no recall), so
         # auto-routing never changes the result set — only the candidate
@@ -444,8 +455,11 @@ def near_dup_edges(
     recall bounded by the LSH S-curve; every surviving edge carries a
     value identical to what the exhaustive plan would emit). Candidate
     cost goes from quadratic-per-block to near-linear bucket expansion
-    with the 1000-row bucket cap."""
-    sets = _ngram_sets(df, id_col, text_col, block_col, n)
+    with the 1000-row bucket cap.
+
+    Feature table checkpointed for the same multi-consumer reason as
+    ngram_jaccard_pairs (r11)."""
+    sets = _ngram_sets(df, id_col, text_col, block_col, n).localCheckpoint()
     if strategy == "auto":
         strategy = "exhaustive" if _fits_exhaustive(df) else "lsh"
         log_route("near_dup_edges", strategy, approximate=strategy == "lsh")

@@ -197,7 +197,10 @@ _PREVIOUSLY_GRADED = frozenset({
     "q_stream_live_sliding", "q_stream_live_session",
     "q_stream_live_static_join", "q_sink_parquet", "q_sink_orc",
     "q_sink_csv_quoted", "q_scan_csv", "q_scan_json", "q_etl_job",
-    "q_multimodal_cols", "q_dedup_exact", "q_dedup_ngram",
+    # q_dedup_ngram intentionally ABSENT (was here through r11): the r11
+    # optimization round checkpoints the shared dedup feature table, so
+    # its plan fingerprint changed — requeued in _GRADE_FIRST.
+    "q_multimodal_cols", "q_dedup_exact",
     # --- r11 late fold-out (fuzz phase 7, non-finite embeddings): the 14
     # embedding-consumer queries gained the shared failed-encoder guard
     # (base.emb + SQL_EMB_FINITE) — outputs identical on pristine
@@ -229,7 +232,10 @@ _PREVIOUSLY_GRADED = frozenset({
     # gained the string-bridged decimal->double cast in r9 (seed-53
     # phase-6 fuzz measured DuckDB's int128->double 1 ULP off Spark's
     # BigDecimal cast under a hot-duplicate burst) — requeued.
-    "q_graph_pagerank", "q_graph_triangles",
+    # q_graph_triangles intentionally ABSENT (was here through r11): its
+    # edge list is checkpointed once in the r11 optimization round (plan
+    # fingerprint changed) — requeued in _GRADE_FIRST.
+    "q_graph_pagerank",
     # q_dedup_canonical_best intentionally ABSENT: keep-best key re-packed
     # as a string in r6 (BIGINT overflow + DuckDB decimal-arg_max bug);
     # queued for a fresh verdict.
@@ -242,7 +248,10 @@ _PREVIOUSLY_GRADED = frozenset({
     # output unchanged) — requeued.
     "q_text_keyphrase", "q_text_bigram_lp",
     "q_text_unigram_lp", "q_corpus_entropy", "q_corpus_curate",
-    "q_corpus_pipeline", "q_split_assign", "q_split_leakage",
+    # q_split_leakage intentionally ABSENT (was here through r11): its
+    # near-dup feature table is checkpointed in the r11 optimization
+    # round (plan fingerprint changed) — requeued in _GRADE_FIRST.
+    "q_corpus_pipeline", "q_split_assign",
     "q_span_corrupt", "q_tok_bpe_learn", "q_tok_apply", "q_vocab_build",
     "q_mix_temperature", "q_quota_sample", "q_sample_stratified",
     "q_sample_weighted", "q_oversample", "q_feat_hash",
@@ -301,9 +310,12 @@ _PREVIOUSLY_GRADED = frozenset({
     # max_by rewrite, both oracle upgrades, the three bounded-collect
     # fixes, plus a staleness sweep of the oldest r1/r2 verdicts) + 2
     # rows-only ran+rows by design. Folded per VERDICT r7 #1.
-    "q_time_gapfill", "q_time_interp", "q_text_fuzzy",
+    # q_text_fuzzy / q_dedup_near intentionally ABSENT (were here through
+    # r11): both consume the r11-checkpointed dedup feature table (plan
+    # fingerprints changed) — requeued in _GRADE_FIRST.
+    "q_time_gapfill", "q_time_interp",
     "q_dedup_canonical_best", "q_gen_addresses", "q_agg_percentile_approx",
-    "q_dedup_near", "q_dedup_simhash", "q_text_postings",
+    "q_dedup_simhash", "q_text_postings",
     # --- CORRECTNESS_r08.json: 50 graded — 48 hash-PASS (the full r8
     # regrade queue: both HLL contract-oracle upgrades, the ADVICE r7
     # pair, the table_diff/dq_checks/sample_hash/agg_incremental
@@ -366,6 +378,14 @@ _GRADE_FIRST = (
     "q_knn_graph", "q_sim_mmr", "q_rank_ndcg", "q_sim_batch",
     "q_hybrid_rrf", "q_emb_centroid", "q_emb_quantize",
     "q_emb_covariance", "q_emb_kmeans", "q_emb_pq",
+    # r11 OPTIMIZATION round: the dedup feature table and the triangle
+    # edge list are now checkpointed once instead of re-evaluated per
+    # consumer (operators/dedup.py, q_graph_triangles). Outputs are
+    # value-identical (targeted sf0.001 differential verify: 0 failing)
+    # but the analyzed plans truncate at the new checkpoint, so the five
+    # fingerprint-drifted queries are queued for fresh verdicts.
+    "q_dedup_ngram", "q_dedup_near", "q_graph_triangles",
+    "q_split_leakage", "q_text_fuzzy",
 )
 
 

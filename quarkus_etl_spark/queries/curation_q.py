@@ -1339,6 +1339,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select("pa", "pb")
     )
+    # The edge list feeds FOUR consumers (three wedge-join legs + the edge
+    # count); without truncation each consumer re-runs the pair-expansion
+    # self-join + support aggregate. Materialize it once (eager — the
+    # consumers land in one job, where a lazy checkpoint can double-compute
+    # under concurrent stages). r11 A/B at sf0.1: 2.02 -> 1.90 s min; at
+    # scale this removes 3 redundant evaluations of the quadratic-per-order
+    # pair build.
+    e = e.localCheckpoint()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
