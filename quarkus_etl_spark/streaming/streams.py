@@ -137,15 +137,23 @@ def run_stream_to_memory(
 
 
 @contextmanager
-def state_partitions(spark: SparkSession, n: int = 8):
+def state_partitions(spark: SparkSession, n: int | None = None):
     """Size stateful-streaming shuffle partitions to STATE volume, not CPU
     count: every state partition carries its own state store (a
     stream-stream join keeps FOUR per partition), each paying per-batch
     versioning/commit overhead, so partitions beyond what the state volume
     needs are pure fixed cost — measured 7.6 s -> 5.7 s on the live join
-    at 32 -> 8. A streaming query pins its partition count at first start
-    (from the checkpoint), so this must wrap the START, and a production
-    job would set it once per query from expected key cardinality."""
+    at 32 -> 8 (earlier round), and 9.1 -> 8.3 s min / 10.4 -> 9.2 s
+    median over the 4-query live family at 8 -> 4 (r11 interleaved A/B;
+    2 lost to under-parallelism). A streaming query pins its partition
+    count at first start (from the checkpoint), so this must wrap the
+    START. The default suits the fixtures' tiny state; a production job
+    sets SPARK_GRAFT_STREAM_STATE_PARTITIONS (or passes n) from expected
+    key cardinality."""
+    import os
+
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
