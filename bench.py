@@ -199,6 +199,25 @@ def _vs_prev_section(
     }
 
 
+def _write_bench_out(result: dict) -> None:
+    """Artifact-delivery hardening (VERDICT r11 #7): the driver's record of
+    the printed contract line keeps only a TAIL window, and r10's round lost
+    its entire per-query baseline to a head truncation. When
+    SPARK_GRAFT_BENCH_OUT is set, the FULL artifact is also written to that
+    path, so a stdout-capture truncation can never again erase a round's
+    per-query data. The printed contract line is unchanged; a write failure
+    warns and never fails the bench."""
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if not out_path:
+        return
+    try:
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+
+
 def _timed(fn) -> float:
     start = time.monotonic()
     fn()
@@ -746,6 +765,7 @@ def main() -> None:
     result["spark_vs_oracle_ratio"] = result["oracle_bench"].get(
         "spark_vs_oracle_ratio"
     )
+    _write_bench_out(result)
     print(json.dumps(result))
     spark.stop()
 

@@ -14,14 +14,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_ROUTING_COUNT_CACHE: dict[tuple[str, int, int], int] = {}
+# Key carries the input-file TUPLE itself, not hash(files) (ADVICE r11):
+# a 64-bit hash of distinct file sets can in principle collide and serve a
+# stale routing scalar, and the tuples are small (fixture tables are a
+# handful of part files). Bounded: routing keys are one entry per distinct
+# (session, plan, files) triple — a long-lived session that keeps reading
+# new file sets evicts oldest-first at the cap instead of growing forever.
+_ROUTING_CACHE_MAX = 256
+_ROUTING_COUNT_CACHE: dict[tuple, int] = {}
 
 # Same cache discipline, generalized to other plan-ROUTING scalars (vector
 # dimensionality probes, duplicate-existence probes): metadata that shapes
 # the physical plan, never row values that reach an output. Keyed like
 # routing_count — (session, analyzed-plan semantic hash, input-file
-# fingerprint) — so an overwritten/appended table invalidates the entry.
-_ROUTING_META_CACHE: dict[tuple[str, str, int, int], object] = {}
+# tuple) — so an overwritten/appended table invalidates the entry.
+_ROUTING_META_CACHE: dict[tuple, object] = {}
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    if len(cache) >= _ROUTING_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 def routing_meta(df: DataFrame, tag: str, compute):
@@ -43,12 +56,12 @@ def routing_meta(df: DataFrame, tag: str, compute):
             tag,
             _session_key(df.sparkSession),
             int(df._jdf.queryExecution().analyzed().semanticHash()),
-            hash(files),
+            files,
         )
     except Exception:  # pragma: no cover - Connect or API drift
         return compute(df)
     if key not in _ROUTING_META_CACHE:
-        _ROUTING_META_CACHE[key] = compute(df)
+        _cache_put(_ROUTING_META_CACHE, key, compute(df))
     return _ROUTING_META_CACHE[key]
 
 _route_logger = __import__("logging").getLogger("quarkus_etl_spark.routing")
@@ -101,14 +114,14 @@ def routing_count(df: DataFrame) -> int:
         key = (
             _session_key(df.sparkSession),
             int(df._jdf.queryExecution().analyzed().semanticHash()),
-            hash(files),
+            files,
         )
     except Exception:  # pragma: no cover - Connect or API drift
         return df.count()
     n = _ROUTING_COUNT_CACHE.get(key)
     if n is None:
         n = df.count()
-        _ROUTING_COUNT_CACHE[key] = n
+        _cache_put(_ROUTING_COUNT_CACHE, key, n)
     return n
 
 

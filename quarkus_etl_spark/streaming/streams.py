@@ -153,7 +153,14 @@ def state_partitions(spark: SparkSession, n: int | None = None):
     import os
 
     if n is None:
-        n = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"))
+        raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+        try:
+            n = int(raw)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer, "
+                f"got {raw!r}"
+            ) from None
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -260,3 +260,35 @@ def test_oracle_ratio_section_dataset_mismatch(tmp_path, monkeypatch):
     # matching dataset still produces the ratio
     sec = bench._oracle_ratio_section({"q_a": 2.0}, dataset="sf0.1")
     assert sec["spark_vs_oracle_ratio"] == 2.0
+
+
+def test_write_bench_out_writes_full_artifact(tmp_path, monkeypatch):
+    """VERDICT r11 #7: with SPARK_GRAFT_BENCH_OUT set, the full artifact
+    lands in the file (round-trippable, schema intact); unset is a no-op."""
+    result = {
+        "metric": "full_inventory_wall_sec",
+        "value": 1.23,
+        "unit": "sec",
+        "queries": {"q_a": 1.0, "q_b": 0.23},
+        "total_sec": 1.23,
+    }
+    out = tmp_path / "bench_full.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+    bench._write_bench_out(result)
+    assert json.loads(out.read_text()) == result
+    # the written file itself parses as a prev artifact (per-query baseline
+    # survives any stdout truncation)
+    loaded = bench._load_prev_artifact(str(out))
+    assert loaded is not None and loaded[0] == result["queries"]
+
+
+def test_write_bench_out_noop_without_env(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    bench._write_bench_out({"queries": {}})  # must not raise or write
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_write_bench_out_unwritable_path_warns_not_raises(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(tmp_path / "no_dir" / "x.json"))
+    bench._write_bench_out({"queries": {}})
+    assert "could not write" in capsys.readouterr().err
