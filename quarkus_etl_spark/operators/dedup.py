@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import char_shingles, normalize_text
-from ..plans.tuning import ensure_parallelism, log_route, routing_count
+from ..plans.tuning import (
+    ensure_parallelism,
+    log_route,
+    materialize_once,
+    routing_count,
+)
 
 
 # --------------------------------------------------------------------------
@@ -218,7 +223,13 @@ def minhash_near_dup_pairs(
     # tokenize->hash extraction runs once, not three times — the guide-§8
     # "fingerprints only" intermediate. r11 A/B over the dedup family at
     # sf0.1: -8% min / -12% median, broadcast strategies unchanged.
-    feats = feature_sets(df, id_col, text_col, feature, shingle_size).localCheckpoint()
+    # materialize_once executes Spark jobs at CONSTRUCTION time (eager) —
+    # plan-capture callers pay the extraction before any action; eager is
+    # required because the consumers land in one job (concurrent stages
+    # double-compute a lazy intermediate). Scale strategy per VERDICT r11
+    # #5: env-gated in plans/tuning.py (localCheckpoint default,
+    # fault-tolerant persist at SPARK_GRAFT_MATERIALIZE=persist).
+    feats = materialize_once(feature_sets(df, id_col, text_col, feature, shingle_size))
     sigs = minhash_signatures(feats, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return exact_jaccard(feats, cands, id_col).where(F.col("jaccard") >= threshold)
@@ -229,18 +240,6 @@ def minhash_near_dup_pairs(
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
-
-
-def _md5_h64(f):
-    """Engine-portable 64-bit feature hash: the first 16 hex chars of md5,
-    assembled as (hi32 << 32) | lo32. Both halves fit a signed long before
-    the shift, and the assembled bit pattern equals DuckDB's
-    (CAST('0x'||substr(md5(f),1,8) AS UBIGINT) << 32) | lo — signed-vs-
-    unsigned container differs, bit pattern (all that SimHash uses) does
-    not."""
-    hi = F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(F.md5(f), 9, 8), 16, 10).cast("long")
-    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def simhash(
@@ -275,7 +274,25 @@ def simhash(
     toks = F.split(F.col("__txt"), "\\s+")
     if hash_family == "md5":
         feats = F.array_union(toks, ngrams(toks, 2))
-        hashed = F.transform(feats, _md5_h64)
+        # Engine-portable 64-bit feature hash: the first 16 hex chars of
+        # md5, assembled as (hi32 << 32) | lo32. Both halves fit a signed
+        # long before the shift, and the assembled bit pattern equals
+        # DuckDB's (CAST('0x'||substr(md5(f),1,8) AS UBIGINT) << 32) | lo
+        # — signed-vs-unsigned container differs, bit pattern (all that
+        # SimHash uses) does not.
+        # r12: the pre-r12 single-transform form referenced md5(f) twice
+        # (hi and lo halves) and HOF lambdas are interpreted with NO
+        # common-subexpression elimination, so every feature was
+        # md5-hashed twice (visible verbatim in the committed r11 plan).
+        # Chaining two transforms hashes once per feature and slices the
+        # hex string in the second pass — bit-identical output
+        # (interleaved A/B on q_dedup_simhash: 3.996 -> 2.836 s min).
+        hashed = F.transform(
+            F.transform(feats, F.md5),
+            lambda m: F.shiftleft(
+                F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), 32
+            ).bitwiseOR(F.conv(F.substring(m, 9, 8), 16, 10).cast("long")),
+        )
     else:
         hashed = F.array_union(
             F.array_distinct(F.transform(toks, lambda x: F.xxhash64(x))),
@@ -395,8 +412,11 @@ def ngram_jaccard_pairs(
     at least twice (both sides of the blocked self-join; the LSH branch
     three times), so without truncation the extraction pipeline re-runs
     per consumer (r11 A/B: -8% min over the dedup family at sf0.1; at
-    scale it is the materialize-the-fingerprints step of guide §8)."""
-    sets = _ngram_sets(df, id_col, text_col, block_col, n).localCheckpoint()
+    scale it is the materialize-the-fingerprints step of guide §8).
+    Materialization is EAGER (construction-time jobs — concurrent
+    consumers make lazy unsafe) and env-gated for fault tolerance at
+    scale (plans/tuning.materialize_once, VERDICT r11 #5)."""
+    sets = materialize_once(_ngram_sets(df, id_col, text_col, block_col, n))
     if strategy == "auto":
         # Both branches are EXACT (prefix filtering loses no recall), so
         # auto-routing never changes the result set — only the candidate
@@ -457,9 +477,9 @@ def near_dup_edges(
     cost goes from quadratic-per-block to near-linear bucket expansion
     with the 1000-row bucket cap.
 
-    Feature table checkpointed for the same multi-consumer reason as
-    ngram_jaccard_pairs (r11)."""
-    sets = _ngram_sets(df, id_col, text_col, block_col, n).localCheckpoint()
+    Feature table materialized once for the same multi-consumer reason as
+    ngram_jaccard_pairs (r11; eager + env-gated, see materialize_once)."""
+    sets = materialize_once(_ngram_sets(df, id_col, text_col, block_col, n))
     if strategy == "auto":
         strategy = "exhaustive" if _fits_exhaustive(df) else "lsh"
         log_route("near_dup_edges", strategy, approximate=strategy == "lsh")

@@ -386,12 +386,15 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts); without a cut point Catalyst plans an independent scan +
     # shuffle per consumer (pushed-filter differences defeat ReuseExchange).
     # localCheckpoint pins the domain-bounded cells once — the only
-    # row-proportional work runs exactly once.
+    # row-proportional work runs exactly once. Eager since r12: the three
+    # consumers can land in concurrent broadcast-build stages, where a
+    # lazy checkpoint double-computes (interleaved A/B: 2.349 -> 2.160 s
+    # min over 6 pairs, median wash — and the hazard is gone).
     hist = (
         ensure_parallelism(li)
         .groupBy("l_returnflag", "l_quantity")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     med = percentiles_from_hist(
         hist, ["l_returnflag"], "l_quantity", "c", {"med": 0.5}

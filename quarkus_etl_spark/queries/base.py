@@ -211,8 +211,13 @@ _PREVIOUSLY_GRADED = frozenset({
     # q_emb_quantize, q_emb_covariance, q_emb_kmeans, q_emb_pq.
     "q_text_stats", "q_text_ngrams",
     "q_text_langid", "q_text_quality", "q_text_fingerprint",
-    "q_text_tokens", "q_dedup_cluster", "q_dedup_canonical",
-    "q_dedup_minhash", "q_text_tfidf", "q_text_bm25", "q_sessionize",
+    # q_dedup_cluster / q_dedup_canonical / q_dedup_minhash intentionally
+    # ABSENT (were here through r11): r12 symmetrizes the CC edge list via
+    # explode (plan drift for every connected_components consumer) and
+    # restructures q_dedup_minhash's band build (4-way union -> one
+    # posexplode + materialized band table) — requeued in _GRADE_FIRST.
+    "q_text_tokens",
+    "q_text_tfidf", "q_text_bm25", "q_sessionize",
     "q_time_rollup", "q_join_interval", "q_win_range_frame",
     # q_dq_checks intentionally ABSENT: gained the lineitem_price_finite
     # rule in r7 (the upstream gate for the NaN/Inf-money cross-engine
@@ -235,12 +240,13 @@ _PREVIOUSLY_GRADED = frozenset({
     # q_graph_triangles intentionally ABSENT (was here through r11): its
     # edge list is checkpointed once in the r11 optimization round (plan
     # fingerprint changed) — requeued in _GRADE_FIRST.
-    "q_graph_pagerank",
-    # q_dedup_canonical_best intentionally ABSENT: keep-best key re-packed
-    # as a string in r6 (BIGINT overflow + DuckDB decimal-arg_max bug);
-    # queued for a fresh verdict.
-    "q_graph_label_prop", "q_dedup_incremental",
-    "q_dedup_soft", "q_dedup_url", "q_decontaminate",
+    # q_graph_pagerank / q_graph_label_prop intentionally ABSENT (were
+    # here through r11): their edge lists are symmetrized via explode in
+    # r12 (plan drift) — requeued in _GRADE_FIRST.
+    "q_dedup_incremental",
+    # q_dedup_soft intentionally ABSENT (was here through r11): CC edge
+    # symmetrization (r12 plan drift) — requeued in _GRADE_FIRST.
+    "q_dedup_url", "q_decontaminate",
     "q_text_chunk", "q_text_pii", "q_text_repetition",
     "q_text_html", "q_text_url", "q_text_colloc",
     # q_text_postings intentionally ABSENT: its posting-list head is
@@ -268,7 +274,10 @@ _PREVIOUSLY_GRADED = frozenset({
     # q_dq_freshness intentionally ABSENT: lag_sec switched to integer div
     # in r6 (same >2^53 class as q_time_lttb); queued for a fresh verdict.
     "q_dq_anomaly", "q_dq_benford", "q_dq_profile",
-    "q_drift_tvd", "q_outlier_mad", "q_stats_chi2", "q_stats_gini",
+    # q_outlier_mad intentionally ABSENT (was here through r11): its
+    # histogram checkpoint went lazy -> eager in r12 (src drift) —
+    # requeued in _GRADE_FIRST.
+    "q_drift_tvd", "q_stats_chi2", "q_stats_gini",
     "q_stats_ks", "q_funnel", "q_funnel_window", "q_retention_cohort",
     "q_time_ohlc", "q_time_acf", "q_time_changepoint",
     "q_time_seasonal", "q_win_concurrency",
@@ -314,8 +323,11 @@ _PREVIOUSLY_GRADED = frozenset({
     # r11): both consume the r11-checkpointed dedup feature table (plan
     # fingerprints changed) — requeued in _GRADE_FIRST.
     "q_time_gapfill", "q_time_interp",
-    "q_dedup_canonical_best", "q_gen_addresses", "q_agg_percentile_approx",
-    "q_dedup_simhash", "q_text_postings",
+    # q_dedup_canonical_best / q_dedup_simhash intentionally ABSENT (were
+    # here through r11): r12 changes — CC edge symmetrization (plan drift)
+    # and the single-md5 feature-hash rewrite — requeued in _GRADE_FIRST.
+    "q_gen_addresses", "q_agg_percentile_approx",
+    "q_text_postings",
     # --- CORRECTNESS_r08.json: 50 graded — 48 hash-PASS (the full r8
     # regrade queue: both HLL contract-oracle upgrades, the ADVICE r7
     # pair, the table_diff/dq_checks/sample_hash/agg_incremental
@@ -351,41 +363,56 @@ _PREVIOUSLY_GRADED = frozenset({
     # lifecycle/analytics verdicts). Folded per VERDICT r10 #1: both
     # regrades held, so the queue is clear and they rejoin the rotation.
     "q_agg_hll_merge", "q_stream_live_join",
+    # --- CORRECTNESS_r11.json: 50 graded — 49 hash-PASS + 1 rows-only
+    # ran+rows by design (q_dedup_near, the declared rows-only MinHash-LSH
+    # query). The whole 21-name r11 _GRADE_FIRST queue got verdicts; folded
+    # per VERDICT r11 #9. The r11-queued names NOT listed here —
+    # q_sim_ann_ivf, q_knn_graph_ann, q_knn_graph, q_emb_kmeans,
+    # q_graph_triangles — passed in r11 but were changed AGAIN by the r12
+    # optimization round, so they stay queued.
+    "q_sim_topk", "q_sim_pairs", "q_dedup_embed", "q_sim_ann_lsh",
+    "q_sim_mmr", "q_rank_ndcg", "q_sim_batch", "q_hybrid_rrf",
+    "q_emb_centroid", "q_emb_quantize", "q_emb_covariance", "q_emb_pq",
+    "q_dedup_ngram", "q_dedup_near", "q_split_leakage", "q_text_fuzzy",
 })
 
-# The r11 grading queue (VERDICT r10 #1 + #4): the regrade backlog cleared
-# for the first time since r8 (both r9 fixes held their second verdicts),
-# so the queue carries only this round's CHANGED queries: the two ANN
-# queries upgraded from rows-only to conclusive recall-contract oracles
-# (VERDICT r10 #4 — they emit integer overlap@k vs their exact twins plus
-# a recall_ok boolean pinned at the declared floors, so the driver now
-# hash-grades the recall guarantee). The remaining ~48 window slots fall
-# through to priority-3 re-confirmations ordered by STALENESS (least
-# recently graded round first, from the committed CORRECTNESS records),
-# which this round surfaces the r5-graded lifecycle/analytics remainder.
+# The r12 grading queue (second OPTIMIZATION round): every query whose
+# plan or source fingerprint drifted under an r12 change. All outputs are
+# value-identical (full differential sweep + targeted oracle runs on the
+# touched set: 0 failing), but a stale fingerprint means a stale driver
+# verdict, so each is queued for a fresh one. The remaining ~36 window
+# slots fall through to priority-3 re-confirmations ordered by STALENESS.
 _GRADE_FIRST = (
+    # CC edge-list symmetrization via explode (operators/cluster.py
+    # symmetrized_edges: one evaluation of the pair subtree instead of one
+    # per union branch). NOTE: these four's committed fingerprints happen
+    # NOT to drift (the analyzed plan truncates at the CC loop's
+    # checkpoint, and the change lives in operators/cluster.py, outside
+    # the per-query src hash) — queued anyway, conservatively, because
+    # the upstream implementation DID change (value-identical, verified):
+    "q_dedup_cluster", "q_dedup_soft", "q_dedup_canonical",
+    "q_dedup_canonical_best",
+    # ... and the supersteps' edge lists in the two graph-iteration
+    # queries, symmetrized the same way:
+    "q_graph_pagerank", "q_graph_label_prop",
+    # _mirror_pairs: the exact kNN graph's (src,nbr,cosine) mirror now
+    # evaluates the quadratic pairwise-cosine subtree once, not twice:
+    "q_knn_graph", "q_knn_graph_ann",
+    # Band build restructured: 4-way union of selects from the signature
+    # frame -> one posexplode + a materialized capped band table:
+    "q_dedup_minhash",
+    # Single-md5 feature hashing (each feature was md5'd twice inside an
+    # interpreted HOF where CSE does not apply):
+    "q_dedup_simhash",
+    # Guarded-embedding frame materialized once across the centroid
+    # collect, the IVF leg and the exact-twin leg (VERDICT r11 #3):
     "q_sim_ann_ivf",
-    "q_knn_graph_ann",
-    # r11 fuzz phase 7 (non-finite embedding hostility): the whole
-    # embedding-consumer family gained the shared failed-encoder guard
-    # (base.emb maps vectors with any NaN/±Inf component to NULL at load;
-    # oracles mirror it with the SQL_EMB_FINITE conjunct / a CASE map).
-    # Outputs are IDENTICAL on pristine fixtures (no non-finite vectors
-    # exist there — full sf0.001 sweep re-verified 0 failing), but the
-    # implementations and oracle texts changed, so each is queued for a
-    # fresh verdict under the new fingerprints.
-    "q_sim_topk", "q_sim_pairs", "q_dedup_embed", "q_sim_ann_lsh",
-    "q_knn_graph", "q_sim_mmr", "q_rank_ndcg", "q_sim_batch",
-    "q_hybrid_rrf", "q_emb_centroid", "q_emb_quantize",
-    "q_emb_covariance", "q_emb_kmeans", "q_emb_pq",
-    # r11 OPTIMIZATION round: the dedup feature table and the triangle
-    # edge list are now checkpointed once instead of re-evaluated per
-    # consumer (operators/dedup.py, q_graph_triangles). Outputs are
-    # value-identical (targeted sf0.001 differential verify: 0 failing)
-    # but the analyzed plans truncate at the new checkpoint, so the five
-    # fingerprint-drifted queries are queued for fresh verdicts.
-    "q_dedup_ngram", "q_dedup_near", "q_graph_triangles",
-    "q_split_leakage", "q_text_fuzzy",
+    # Histogram checkpoint lazy -> eager (removes the concurrent-stage
+    # double-compute hazard; src drift):
+    "q_outlier_mad",
+    # materialize_once migration (same default localCheckpoint plan, src
+    # drift): the r11-queued pair that changed again in r12.
+    "q_emb_kmeans", "q_graph_triangles",
 )
 
 

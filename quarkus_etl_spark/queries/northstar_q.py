@@ -24,7 +24,7 @@ from ..operators.dedup import (
     simhash_near_dup_pairs,
 )
 from ..operators.similarity import brute_force_topk, lsh_topk, pairwise_similar
-from ..plans.tuning import ensure_parallelism
+from ..plans.tuning import ensure_parallelism, materialize_once
 from .base import emb, register, t
 
 
@@ -683,6 +683,14 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk, ivf_topk
 
     e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    # r12 re-measure of the r11 rejection #5 (VERDICT r11 #3): the guarded
+    # embedding projection feeds the centroid collect, the IVF leg and the
+    # exact-twin leg — materialize it once so the vec-contract guard +
+    # scan run once, not per consumer (interleaved A/B: 5.470 -> 4.112 s
+    # min over 6 pairs at sf0.1; this query has no plan-keyed routing
+    # probes on the hot path, unlike q_knn_graph_ann where the same change
+    # was re-rejected — see that site).
+    e = materialize_once(ensure_parallelism(e))
     probe = _probe_vec(spark, sf_dir)
     ann = ivf_topk(
         e, "embedding", "vec_id", probe, k=10, n_cells=16, nprobe=3
@@ -973,12 +981,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The pair graph is referenced by every superstep: localCheckpoint
     # truncates the (expensive) similarity-join lineage so it executes
     # once, not once per iteration — same discipline as
-    # connected_components. Lazy: materializes on first use.
-    edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .localCheckpoint(eager=False)
-    )
+    # connected_components. Lazy: materializes on first use. Symmetrized
+    # via explode (r12): the union form evaluated the Jaccard-join pair
+    # subtree once per branch.
+    from ..operators.cluster import symmetrized_edges
+
+    edges = symmetrized_edges(pairs, "id_a", "id_b").localCheckpoint(eager=False)
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     score = (
         edges.select(F.col("u").alias("node"))
@@ -1205,23 +1213,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_MH_K)
     ]
     sig = bi.groupBy("doc_id").agg(*mins)
-    band_rows = [
-        sig.select(
-            "doc_id",
-            F.lit(j).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.col(f"s{2 * j}").cast("string"),
-                    F.col(f"s{2 * j + 1}").cast("string"),
-                )
-            ).alias("bk"),
+
+    def _band_key(j: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.col(f"s{2 * j}").cast("string"),
+                F.col(f"s{2 * j + 1}").cast("string"),
+            )
         )
-        for j in range(_MH_K // _MH_R)
-    ]
-    bands = band_rows[0]
-    for b in band_rows[1:]:
-        bands = bands.unionByName(b)
+
+    # r12 (guide §2.4, duplicated subtrees): the old 4-way union of
+    # selects from `sig` re-evaluated the whole explode -> distinct ->
+    # 8-md5-signature pipeline once per branch, and the banded table's
+    # self-join doubled it again — 8 evaluations, 16 parquet scans in
+    # the committed r11 plan. One explode of a 4-struct band array emits
+    # all 4 band rows per doc from a single evaluation of `sig`...
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(j).alias("band_id"), _band_key(j).alias("bk"))
+            for j in range(_MH_K // _MH_R)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("__b")).select(
+        "doc_id",
+        F.col("__b.band_id").alias("band_id"),
+        F.col("__b.bk").alias("bk"),
+    )
     # Deterministic oversized-bucket drop (same cap as the production
     # xxhash64 path): an LSH bucket holding >1000 members is boilerplate
     # gravity, and expanding it is quadratic — measured 3.5 s -> 22 s at a
@@ -1234,6 +1252,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bsz") <= 1000)
         .drop("bsz")
     )
+    # ...and materializing the capped band table once means BOTH sides
+    # of the bucket self-join read it instead of re-deriving the
+    # signature pipeline (eager: the join sides land in one job).
+    # Interleaved A/B (with the explode rewrite): 3.069 -> 1.678 s min.
+    bands = materialize_once(bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1326,6 +1349,18 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mirror_pairs(pairs: DataFrame) -> DataFrame:
+    """(src, nbr, cosine) in both directions from ONE evaluation of the
+    quadratic half-matrix pair subtree (r12; guide §2.4 — the old union
+    form planted the blocked pairwise-cosine plan under each branch, so
+    the kNN queries' exact graph computed twice)."""
+    from ..operators.cluster import symmetrized_edges
+
+    return symmetrized_edges(pairs, "id_a", "id_b", carry=("cosine",)).select(
+        F.col("u").alias("src"), F.col("v").alias("nbr"), "cosine"
+    )
+
+
 @register(
     "q_knn_graph",
     oracle="""
@@ -1378,13 +1413,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         return knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label")
     log_route("q_knn_graph", "exact", approximate=False)
     pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=-1.0)
-    m = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cosine"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cosine"
-        )
-    )
+    m = _mirror_pairs(pairs)
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
     return (
         m.withColumn("rn", F.row_number().over(w))
@@ -1456,16 +1485,23 @@ def q_knn_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import knn_graph_ann
 
+    # r12 re-measured the shared guarded-embedding checkpoint here
+    # (VERDICT r11 #3) and RE-REJECTED it for this query: 5.363 s min ->
+    # 6.031 with the frame materialized (6 interleaved pairs at sf0.1).
+    # Root cause: the routing_meta caches (vec-dim probe, duplicate probe,
+    # auto-plane count) key on the analyzed plan, and a checkpointed frame
+    # is a fresh RDD scan per invocation — every call re-paid 3 probe jobs
+    # that the raw-plan key amortizes to zero. The guard+scan subtree the
+    # checkpoint would deduplicate is 2000 rows — cheaper than one probe
+    # job. (q_sim_ann_ivf, which has no plan-keyed probes, KEEPS the
+    # checkpoint: 5.470 -> 4.112 s min.) The twin-leg duplication this
+    # query did have was fixed structurally instead (_mirror_pairs).
     e = emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     ann = knn_graph_ann(e, "vec_id", "embedding", k=3, block_col="label").select(
         "src", "nbr", F.lit(1).alias("__hit")
     )
     pairs = pairwise_similar(e, "vec_id", "embedding", "label", threshold=-1.0)
-    m = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "cosine"
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "cosine")
-    )
+    m = _mirror_pairs(pairs)
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
     exact = (
         m.withColumn("rn", F.row_number().over(w))
@@ -1700,9 +1736,11 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = update(a1)
     # The final result reads a2 through TWO branches (sizes directly,
     # checksums via c2); without truncation each branch re-runs the whole
-    # iterative chain. a2 is |n| x 2 longs — checkpoint it once
-    # (cluster.py's iterative-plan rule), so the chain executes once.
-    a2 = assign(to_arrays(c1)).localCheckpoint()
+    # iterative chain. a2 is |n| x 2 longs — materialize it once
+    # (cluster.py's iterative-plan rule; eager — both consumers land in
+    # one job — and env-gated for scale, plans/tuning.materialize_once),
+    # so the chain executes once.
+    a2 = materialize_once(assign(to_arrays(c1)))
     c2 = update(a2)
 
     sizes = a2.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
@@ -1878,11 +1916,9 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_dup_edges(
         d, "doc_id", "text", block_col="lang", threshold=0.7
     ).select("id_a", "id_b")
-    edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
-        .localCheckpoint(eager=False)
-    )
+    from ..operators.cluster import symmetrized_edges
+
+    edges = symmetrized_edges(pairs, "id_a", "id_b").localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

